@@ -1,0 +1,392 @@
+"""Deduplication operators over the documents corpus — exact, MinHash-LSH,
+SimHash, and n-gram Jaccard. Core training-data pipeline components
+(north-star additions, SURVEY.md §2.B end).
+
+Scale design:
+- Exact dedup = hash groupBy on the dedup key → one shuffle, map-side
+  partial aggregation.
+- MinHash+LSH: signatures and band keys are computed per-row with array
+  algebra (no shuffle); the only shuffle is the band-bucket self-join,
+  which is the point of LSH — candidate pairs ∝ true near-dups, not n².
+- SimHash: entirely per-row (nested array folds), zero shuffle; grouping
+  by simhash value afterwards is one exact-dedup-style shuffle.
+
+Parity design: oracle-checked variants use the portable polynomial hash
+(functions/portable.py) so DuckDB computes identical signatures. The
+``*_fast`` variants (bench-only, no oracle) swap in ``xxhash64`` — the
+JVM-native hot path you'd run at 100 TB; plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.functions.portable import P_HASH, duck_poly_hash, duck_tokens, poly_hash, tokens
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+# MinHash parameters: K signature functions in B bands of R rows.
+MINHASH_K = 8
+MINHASH_BANDS = 4
+MINHASH_R = 2
+_A = [2 * k + 3 for k in range(MINHASH_K)]
+_B = [(7919 * (k + 1)) % P_HASH for k in range(MINHASH_K)]
+
+JACCARD_THRESHOLD_U = 300_000  # 0.30 in micro-units
+
+
+# ----------------------------------------------------------- exact dedup
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text AS key_text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY text
+    ORDER BY keep_id
+    """,
+    tags=("dedup", "pipeline"),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: group on the content key, keep the smallest
+    doc_id as the canonical representative. At 100 TB you'd group on a
+    content hash (xxhash64/sha) instead of the raw text to shrink the
+    shuffle — same plan shape."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.col("text").alias("key_text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .orderBy("keep_id")
+    )
+
+
+# ------------------------------------------------------- shingles (shared)
+def _shingle_hashes(text_col: Column) -> Column:
+    """Distinct portable hashes of word-3-gram shingles (array<bigint>)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: poly_hash(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return F.array_distinct(shingles)
+
+
+def _duck_shingle_hashes() -> str:
+    """DuckDB fragment: same distinct shingle hashes, from column `text`."""
+    sh = duck_poly_hash("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    return f"list_distinct(list_transform(range(1, len(toks) - 1), i -> {sh}))"
+
+
+def _duck_minhash_cte() -> str:
+    """Shared CTE prefix: documents → toks → distinct shingle hashes → sigs."""
+    sigs = ",\n           ".join(
+        f"list_min(list_transform(sh, h -> ({_A[k]} * h + {_B[k]}) % {P_HASH})) AS sig_{k}"
+        for k in range(MINHASH_K)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {_duck_shingle_hashes()} AS sh
+      FROM tk WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+           {sigs}
+      FROM sh
+    )"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: array<bigint>, sig_0..sig_{K-1})."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("sh", _shingle_hashes(F.col("text"))).filter(F.size("sh") >= 1)
+    d = d.filter(F.size(tokens(F.col("text"))) >= 3).drop("text")
+
+    def perm(k: int):
+        # closure (not default-arg) — pyspark derives lambda arity from params
+        return lambda h: (F.lit(_A[k]) * h + F.lit(_B[k])) % F.lit(P_HASH)
+
+    for k in range(MINHASH_K):
+        d = d.withColumn(f"sig_{k}", F.array_min(F.transform(F.col("sh"), perm(k))))
+    return d
+
+
+@query(
+    "q_minhash_sig",
+    oracle=_duck_minhash_cte()
+    + f"""
+    SELECT doc_id, {', '.join(f'sig_{k}' for k in range(MINHASH_K))}
+    FROM sig
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (K=8 permutations over word-3-gram shingles).
+    Pure per-row array algebra — no shuffle; linear scan of the corpus."""
+    return minhash_signatures(spark, sf_dir).select(
+        "doc_id", *[f"sig_{k}" for k in range(MINHASH_K)]
+    )
+
+
+def _band_cols() -> list[Column]:
+    return [
+        ((F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}")) % F.lit(P_HASH)).alias(
+            f"band_{j}"
+        )
+        for j in range(MINHASH_BANDS)
+    ]
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=_duck_minhash_cte()
+    + f"""
+    , bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+             // len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_u
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+             // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD_U}
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: shingle → minhash → band →
+    bucket self-join → exact Jaccard verification on the candidates.
+    The band join is the only shuffle; Jaccard is verified only for
+    candidate pairs (the LSH contract). Threshold 0.30."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        ((F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}")) % F.lit(P_HASH)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = minhash_signatures(spark, sf_dir).select("doc_id", "sh")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    jacc = F.expr(
+        "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+        " div size(array_union(sa_sh, sb_sh))"
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.sh").alias("sa_sh"),
+            F.col("sb.sh").alias("sb_sh"),
+        )
+        .select("doc_a", "doc_b", jacc.alias("jaccard_u"))
+        .filter(F.col("jaccard_u") >= JACCARD_THRESHOLD_U)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+_POW2 = [2**i for i in range(17)]  # 1-based literal table shared with oracle
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), i ->
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h ->
+                    CASE WHEN (h % ({_POW2!r}[i + 2])) >= ({_POW2!r}[i + 1])
+                         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                    (acc, x) -> acc + x) > 0
+                  THEN CAST({_POW2!r}[i + 1] AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+             (acc, x) -> acc + x) AS simhash16
+    FROM (
+      SELECT doc_id,
+             list_transform({duck_tokens('text')}, t -> {duck_poly_hash('t')}) AS th
+      FROM documents
+    ) t
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token hashes vote ±1 per bit position
+    (with multiplicity), bit set where the vote is positive. Computed
+    entirely with nested array folds — per-row, zero shuffle. Near-dup
+    docs then cluster by equal (or low-Hamming) simhash."""
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.transform(tokens(F.col("text")), lambda t: poly_hash(t)).alias("th")
+    )
+    simhash = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.when(bit_vote_dynamic(i) > 0, F.element_at(pow2, i + 1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select("doc_id", simhash.alias("simhash16"))
+
+
+def bit_vote_dynamic(i: Column) -> Column:
+    """±1 bit vote sum for bit index column ``i`` over token hashes ``th``."""
+    pow2 = F.array(*[F.lit(p) for p in _POW2])
+    return F.aggregate(
+        F.col("th"),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.when(
+            (h % F.element_at(pow2, i + 2)) >= F.element_at(pow2, i + 1),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) * 1000000)
+             // len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_u
+    FROM (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+      FROM documents
+    ) a
+    JOIN (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS grams
+      FROM documents
+    ) b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity between consecutive documents —
+    the exact-verification kernel of n-gram near-dedup (array_intersect /
+    array_union set algebra on distinct grams). Pairing is id-adjacent
+    here to keep the demo linear; in the full pipeline the pair source is
+    the LSH candidate set (q_dedup_minhash)."""
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", grams.alias("grams"))
+    a = d.alias("a")
+    b = d.alias("b")
+    jacc = F.expr(
+        "(CAST(size(array_intersect(a_grams, b_grams)) AS BIGINT) * 1000000)"
+        " div size(array_union(a_grams, b_grams))"
+    )
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.grams").alias("a_grams"),
+            F.col("b.grams").alias("b_grams"),
+        )
+        .select("doc_a", "doc_b", jacc.alias("jaccard_u"))
+    )
+
+
+# ------------------------------------------------------------ fast paths
+@query("q_dedup_minhash_fast", tags=("dedup", "fast"), bench=True)
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs on the 100 TB hot path: identical plan
+    to q_dedup_minhash but signatures come from ``xxhash64`` (JVM,
+    codegen) instead of the portable polynomial hash. No oracle (DuckDB
+    has no xxhash64) — correctness of the pipeline is proven by the
+    portable twin; this one exists to be fast."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            )
+            % F.lit(P_HASH),
+        )
+    )
+    d = d.withColumn("sh", sh).filter(F.size("sh") >= 1).drop("text")
+
+    def perm(k: int):
+        return lambda h: (F.lit(_A[k]) * ((h + P_HASH) % P_HASH) + F.lit(_B[k])) % F.lit(P_HASH)
+
+    for k in range(MINHASH_K):
+        d = d.withColumn(f"sig_{k}", F.array_min(F.transform(F.col("sh"), perm(k))))
+    bands = d.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                ((F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}")) % F.lit(P_HASH)).alias("band_val"),
+            )
+            for j in range(MINHASH_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

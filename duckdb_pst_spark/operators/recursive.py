@@ -1,0 +1,163 @@
+"""Recursive tree traversal — SURVEY.md §2.B B12/B13.
+
+The reference's folder-tree queries are recursive CTEs over
+(node_id, parent_node_id) edges (/root/reference/README.md:406-469), with
+**UNION-dedup** as the termination rule — the root folder is its own
+parent (self-loop), so UNION ALL would never terminate
+(README.md:461-468).
+
+Two Spark implementations:
+
+1. ``treewalk`` — an iterate-to-fixpoint DataFrame loop with UNION-dedup
+   semantics (portable to any Spark ≥ 3.x, handles cyclic edges like the
+   self-loop root). Each iteration is one frontier expansion; lineage is
+   cut with ``localCheckpoint`` so plans stay O(1) per level. Iteration
+   count = tree depth (folder trees are shallow: depth ~5-10 even for
+   huge mail stores), so at 100 TB this is a handful of broadcast-join
+   stages, not a driver-side loop over rows.
+2. Native ``WITH RECURSIVE`` (Spark 4.0+) for acyclic traversals.
+
+The driver tables have no tree, so the oracle-checked queries traverse
+the implicit binary-heap tree over ``customer``: parent(k) = floor(k/2),
+root 0 is its own parent (exactly the PST root self-loop shape).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+
+def treewalk(
+    frontier: DataFrame,
+    edges: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    key_col: str = "key",
+    max_iters: int = 128,
+) -> DataFrame:
+    """Iterate-to-fixpoint closure with UNION-dedup termination.
+
+    ``frontier`` has one column ``key_col``; ``edges`` maps ``from_col`` →
+    ``to_col``. Returns all keys reachable from the frontier (inclusive).
+    Dedup per level (``subtract`` against the accumulator) is what
+    terminates cycles — the same mechanism as the reference's recursive
+    CTE UNION (README.md:461-468).
+    """
+    acc = frontier.select(F.col(key_col)).distinct().localCheckpoint(eager=True)
+    cur = acc
+    for _ in range(max_iters):
+        nxt = (
+            edges.join(cur, edges[from_col] == cur[key_col])
+            .select(edges[to_col].cast("long").alias(key_col))
+            .distinct()
+            .subtract(acc)
+        )
+        if nxt.isEmpty():
+            return acc
+        acc = acc.union(nxt).localCheckpoint(eager=True)
+        cur = nxt
+    raise RuntimeError(f"treewalk did not converge in {max_iters} iterations")
+
+
+def _heap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """child → parent edges of the binary-heap tree over customer keys."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("long").alias("child"),
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("parent"),
+    )
+
+
+@query(
+    "q_recursive_descendants",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(3 AS BIGINT) AS key
+      UNION
+      SELECT c.c_custkey AS key
+      FROM customer c JOIN d ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = d.key
+       AND c.c_custkey <> d.key
+    )
+    SELECT key FROM d
+    """,
+    tags=("recursive",),
+    bench=True,
+)
+def q_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: recursive CTE — all descendants of a node (reference
+    README.md:406-417 `dirtree`). Downward closure over child→parent
+    edges, implemented with the treewalk fixpoint loop."""
+    edges = _heap_edges(spark, sf_dir)
+    frontier = spark.range(3, 4).select(F.col("id").alias("key"))
+    # walk downward: frontier key matches edge.parent, emit edge.child
+    return treewalk(
+        frontier,
+        edges.filter(F.col("child") != F.col("parent")),
+        from_col="parent",
+        to_col="child",
+    )
+
+
+@query(
+    "q_recursive_ancestors",
+    oracle="""
+    WITH RECURSIVE a AS (
+      SELECT CAST(149 AS BIGINT) AS key
+      UNION
+      SELECT CAST(FLOOR(a.key / 2) AS BIGINT) AS key FROM a
+    )
+    SELECT key FROM a
+    """,
+    tags=("recursive",),
+)
+def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: recursive CTE — ancestor chain up to the root, where the root
+    is its own parent (self-loop) and only UNION-dedup terminates the
+    recursion (reference README.md:448-469, root row 290/290). The heap
+    tree's root 0 has parent 0 — same shape."""
+    edges = _heap_edges(spark, sf_dir)
+    frontier = spark.range(149, 150).select(F.col("id").alias("key"))
+    # walk upward: frontier key matches edge.child, emit edge.parent;
+    # the 0→0 self-loop is terminated by the dedup, as in the reference.
+    return treewalk(frontier, edges, from_col="child", to_col="parent")
+
+
+@query(
+    "q_recursive_native",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT CAST(1 AS BIGINT) AS key, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey AS key, d.depth + 1 AS depth
+      FROM customer c JOIN d ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = d.key
+       AND c.c_custkey <> d.key
+    )
+    SELECT key, depth FROM d
+    """,
+    tags=("recursive",),
+)
+def q_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 via Spark 4's native WITH RECURSIVE (UNION ALL, acyclic):
+    descendants of node 1 with depth. Shows the engine-native path next
+    to the portable treewalk loop."""
+    vname = f"rc_customer_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView(vname)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE d AS (
+          SELECT CAST(1 AS BIGINT) AS key, 0 AS depth
+          UNION ALL
+          SELECT c.c_custkey AS key, d.depth + 1 AS depth
+          FROM {vname} c JOIN d ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = d.key
+           AND c.c_custkey <> d.key
+        )
+        SELECT key, depth FROM d
+        """
+    )

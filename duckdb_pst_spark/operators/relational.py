@@ -1,0 +1,510 @@
+"""Relational capability surface — SURVEY.md §2.B.
+
+Each builder reproduces a construct the reference exercises through DuckDB
+(citations are into /root/reference/). All are declarative DataFrame
+programs: Catalyst supplies predicate pushdown, column pruning, join
+selection and AQE; nothing here hand-schedules execution.
+
+Oracle-parity rules (see functions/portable.py): aggregate sums over
+doubles go through floor-scaled BIGINTs; every computed column is aliased
+identically in the DataFrame code and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+
+# --------------------------------------------------------------- B1 scan
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    """,
+    tags=("scan", "projection"),
+    bench=True,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: full scan + projection (`select * from read_pst_messages`,
+    reference README.md:42). Column pruning reaches the parquet scan."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+
+
+# ------------------------------------------------------------- B2 filter
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("filter",),
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: equality predicate (reference
+    test/sql/table_function_parameters.test:33). Pushed to parquet."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "q_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE 'large%'
+    """,
+    tags=("filter",),
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: LIKE prefix filter (`conversation_topic like 'Test%'`,
+    reference test/sql/query_optimizations.test:51). A prefix LIKE is
+    sargable — Catalyst pushes StringStartsWith to the source."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@query(
+    "q_filter_null",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+    tags=("filter", "join"),
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: IS NULL / IS NOT NULL (reference
+    test/sql/table_function_parameters.test:21) — expressed as the classic
+    anti-join ("customers with no orders"); also covers LEFT OUTER JOIN."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------- B5/B6 counts
+@query(
+    "q_count_star",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+    tags=("agg",),
+    bench=True,
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: count(*) (reference README.md:11). With
+    spark.sql.parquet.aggregatePushdown the count is answered from parquet
+    footer statistics without reading row data — the Spark analogue of the
+    reference's stats-based COLUMN_DATA_SCAN rewrite
+    (src/table_function.cpp:325-351)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_count_distinct",
+    oracle="SELECT COUNT(DISTINCT l_partkey) AS distinct_parts FROM lineitem",
+    tags=("agg",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: count(DISTINCT col) (reference test/sql/read_pst_folders.test:21-23)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+# ------------------------------------------------------------ B7 groupby
+@query(
+    "q_groupby_count_order",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS c
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY c DESC, o_orderpriority
+    """,
+    tags=("agg", "sort"),
+    bench=True,
+)
+def q_groupby_count_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 (flagship): hash group-by + count + order by count desc — the
+    reference's README headline query shape (`select message_class,
+    count(*) c ... group by ... order by c desc`, README.md:25).
+    Partial aggregation happens map-side; only the per-group counts
+    shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("o_orderpriority"))
+    )
+
+
+# ------------------------------------------------------------- B8 order
+@query(
+    "q_orderby_multi",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_regionkey ASC, n_name DESC
+    """,
+    tags=("sort",),
+)
+def q_orderby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: multi-key ORDER BY asc/desc (reference
+    test/sql/read_unittest_pst.test:20, read_pst_folders.test:33)."""
+    return (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy(F.asc("n_regionkey"), F.desc("n_name"))
+    )
+
+
+@query(
+    "q_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+    bench=True,
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: order+limit top-n (reference test/sql/query_optimizations.test:51).
+    Catalyst compiles this to TakeOrderedAndProject — per-partition heaps,
+    no global sort, no full shuffle: exactly the plan shape the reference
+    gets from its late-materialization rewrite (§3 entry point 3) without
+    needing a custom hook. Unique tiebreak key keeps top-n deterministic."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: DISTINCT (reference test/sql/read_pst_folders.test:26-29).
+    Partial-aggregate dedup map-side before the shuffle."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# -------------------------------------------------------------- B11 join
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS cnt_cust
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: inner equi hash join (reference README.md:414 recursive-CTE body,
+    HASH_JOIN plan in query_optimizations.test:53). region/nation are
+    dimension tables → broadcast explicitly so the fact side never
+    shuffles for the join (at 100 TB, customer is the big side)."""
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt_cust"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 30000
+    )
+    """,
+    tags=("join",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join: customers having a large order. Semi join
+    avoids materializing the orders side in the output."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 30000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# ----------------------------------------------------------- B14 subquery
+@query(
+    "q_from_subquery",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM (SELECT * FROM orders WHERE o_totalprice > 1000) t
+    """,
+    tags=("subquery", "agg"),
+)
+def q_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: subquery in FROM (reference
+    test/sql/table_function_parameters.test:15). Catalyst collapses the
+    nesting; the filter still pushes to the scan."""
+    sub = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000)
+    return sub.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ----------------------------------------------------------- B15 case
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_label
+    FROM orders
+    """,
+    tags=("expr",),
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: CASE WHEN (reference test/sql/read_unittest_pst.test:20)."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+    )
+
+
+# ------------------------------------------------------- B17 struct access
+@query(
+    "q_struct_access",
+    oracle="""
+    SELECT s.name AS cust_name, s.bal AS bal
+    FROM (SELECT {'name': c_name, 'bal': c_acctbal} AS s FROM customer) t
+    """,
+    tags=("nested",),
+)
+def q_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: struct construction + field access (`member['display_name']`,
+    reference test/sql/read_unittest_pst.test:66)."""
+    c = table(spark, sf_dir, "customer")
+    s = c.select(F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias("s"))
+    return s.select(F.col("s.name").alias("cust_name"), F.col("s.bal").alias("bal"))
+
+
+# ----------------------------------------------------------- B21 order expr
+@query(
+    "q_orderby_expr",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    ORDER BY length(c_name) DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("sort", "expr"),
+)
+def q_orderby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: ORDER BY over an expression (reference
+    read_unittest_pst.test:66 orders by a struct field expression)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .orderBy(F.length("c_name").desc(), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------- set ops
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup — the construct that terminates the reference's
+    recursive CTEs (README.md:461-468)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+# ------------------------------------------------------ TPC-H-style aggs
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+    bench=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Money sums use floor-scaled
+    BIGINTs (functions/portable.py) so group sums are order-independent
+    and hash-match the oracle exactly; at scale this is also the faster
+    plan (integer sum beats double sum, and partial aggregation pushes
+    map-side)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2025-06-01 00:00:00").cast("timestamp_ntz")
+    )
+    cents = lambda c: F.floor(c * 100).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_join_agg_topn",
+    oracle="""
+    SELECT l.l_orderkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY rev_c DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "sort"),
+    bench=True,
+)
+def q_join_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact join → group → top-n.
+    The filtered customer side is small relative to lineitem, so it
+    broadcasts (AQE would also pick this up from runtime stats)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    rev_c = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    ).alias("rev_c")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev_c)
+        .orderBy(F.desc("rev_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_multi_join",
+    oracle="""
+    SELECT n.n_name,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY rev_c DESC, n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join. Dimension chain (region→nation) is
+    broadcast; the lineitem⋈orders backbone is the only real shuffle and
+    AQE re-plans it from runtime stats at scale."""
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("rev_c")
+        )
+        .orderBy(F.desc("rev_c"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count per group — min/max over doubles and timestamps are
+    exact (no accumulation), so they compare raw."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over the embeddings table (array<float> vectors) —
+brute-force cosine top-k baseline and an LSH-bucketed variant (the scale
+path), plus embedding near-dup. North-star additions (SURVEY.md §2.B end).
+
+All vector math is Spark higher-order functions (zip_with / aggregate) —
+JVM-side sequential folds, bit-identical to the DuckDB oracle's
+list_transform/list_reduce folds (see functions/vectors.py).
+
+Scale design: brute-force is O(|Q|·|C|) — fine for small query sets and
+the correctness baseline. The LSH variant buckets by random-hyperplane
+signs so each query only joins its bucket: the shuffle is on the bucket
+key and candidate count drops ~2^planes-fold; this is the shape that
+survives 100 TB (bucket join ≈ IVF probe). Skewed buckets are AQE's
+skew-join case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.functions.vectors import cosine, duck_cosine
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+DIM = 64
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+
+
+@query(
+    "q_embedding_norm",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt(list_reduce(list_transform(range(1, {DIM + 1}),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding — the basic vector kernel, per-row, no
+    shuffle. Left-fold in double precision == DuckDB's list_reduce."""
+    e = table(spark, sf_dir, "embeddings")
+    prods = F.zip_with(
+        F.col("embedding"), F.col("embedding"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return e.select(
+        "vec_id", F.sqrt(F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)).alias("l2_norm")
+    )
+
+
+def _knn(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Shared top-k kernel: cosine + per-query row_number."""
+    joined = q.crossJoin(c) if "bucket" not in q.columns else q.join(c, "bucket")
+    scored = joined.select(
+        F.col("qid"),
+        F.col("cand_id"),
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cand_id", "rn", "cos_sim")
+    )
+
+
+@query(
+    "q_knn_brute",
+    oracle=f"""
+    SELECT qid, cand_id, rn, cos_sim FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+             {duck_cosine('q.embedding', 'c.embedding', DIM)} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC, c.vec_id
+             ) AS rn
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline"),
+    bench=True,
+)
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: small query set broadcast against the
+    full candidate corpus, ranked per query. The broadcast means the
+    candidate scan is the only pass over big data — this is the exact
+    baseline an ANN index is validated against."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    return _knn(q, c, TOP_K)
+
+
+# ---------------------------------------------------------- LSH variant
+def _plane_weight(p: int, j: int) -> int:
+    """Deterministic pseudo-random hyperplane component in {-3..3}.
+    j is the 1-based dimension index (matches DuckDB list indexing)."""
+    return ((p * 31 + j * 17) % 7) - 3
+
+
+def _bucket_col(emb: str) -> Column:
+    """Hyperplane-sign bucket id (0..2^N_PLANES-1) for an embedding col."""
+    bits = []
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(float(_plane_weight(p, j))) for j in range(1, DIM + 1)])
+        dot = F.aggregate(
+            F.zip_with(w, F.col(emb), lambda x, y: x * y.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _duck_bucket(emb: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        prods = (
+            f"list_transform(range(1, {DIM + 1}), "
+            f"j -> CAST((({p} * 31 + j * 17) % 7) - 3 AS DOUBLE) * CAST({emb}[j] AS DOUBLE))"
+        )
+        dot = f"list_reduce({prods}, (x, y) -> x + y)"
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({2**p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_knn_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT qid, cand_id, rn, cos_sim FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+             {duck_cosine('q.embedding', 'c.embedding', DIM)} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC, c.vec_id
+             ) AS rn
+      FROM b q
+      JOIN b c ON c.bucket = q.bucket AND c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-of-random-hyperplane bucketing (8
+    deterministic integer planes), then cosine top-k *within the bucket
+    only*. Recall trades against the 2^8-fold candidate reduction; at
+    scale you'd multi-probe neighboring buckets. The join is a plain
+    equi-join on the bucket key — shuffle ∝ bucket sizes, not n²."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    return _knn(q, c, TOP_K)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {duck_cosine('a.embedding', 'b.embedding', DIM)} AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE {duck_cosine('a.embedding', 'b.embedding', DIM)} > 0.6
+    """,
+    tags=("dedup", "similarity", "pipeline"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: flag consecutive-id pairs whose cosine
+    exceeds the threshold. In the full pipeline the pair source is the
+    LSH bucket join (q_knn_lsh); id-adjacent pairing keeps the
+    correctness kernel linear."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    paired = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return paired.filter(F.col("cos_sim") > 0.6)

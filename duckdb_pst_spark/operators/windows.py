@@ -1,0 +1,141 @@
+"""Window functions & sessionization over the events stream table.
+
+Beyond the reference's own surface (SURVEY.md §2.D notes it has no window
+functions) — these are the north-star additions from §2.B and the
+building blocks of a training-data pipeline (per-user ordering, session
+segmentation).
+
+Parity rules: window frames are spelled out explicitly (ROWS BETWEEN …)
+because engines disagree on the default frame; order keys always include
+the unique ``event_id`` tiebreak so every frame is deterministic; running
+sums of doubles go through floor-scaled BIGINTs (functions/portable.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+_BY_USER_TIME = ["ts", "event_id"]
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT event_id, user_id, ts, rn FROM (
+      SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+    bench=True,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per user — "first 3 events per user". One hash
+    shuffle on user_id; per-partition sort. At scale, skewed users are
+    handled by AQE; rank-then-filter also admits a partial top-k pushdown
+    (each map task can pre-trim to 3 per user)."""
+    w = Window.partitionBy("user_id").orderBy(*_BY_USER_TIME)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    """,
+    tags=("window",),
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — previous event type per user (event-transition modeling)."""
+    w = Window.partitionBy("user_id").orderBy(*_BY_USER_TIME)
+    return table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_u,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+    FROM events
+    """,
+    tags=("window",),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregates per user, explicit ROWS frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*_BY_USER_TIME)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).over(w).alias("run_value_u"),
+        F.count(F.lit(1)).over(w).alias("run_cnt"),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts, session_id FROM (
+      SELECT event_id, user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+        FROM (
+          SELECT event_id, user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ) a
+      ) b
+    ) c
+    """,
+    tags=("window", "session"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag + flag +
+    running sum. The gap test is a pure timestamp comparison
+    (prev_ts + INTERVAL < ts) — no float math, so it's engine-exact.
+    This is the batch equivalent of Structured Streaming's session
+    window (see streaming/events.py)."""
+    order_w = Window.partitionBy("user_id").orderBy(*_BY_USER_TIME)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = table(spark, sf_dir, "events")
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order_w).isNull()
+            | (F.col("ts") > F.lag("ts").over(order_w) + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return flagged.select(
+        "event_id", "user_id", "ts", F.sum("is_new").over(run_w).alias("session_id")
+    )

@@ -1,0 +1,93 @@
+"""Structured Streaming surface for the events stream.
+
+The reference has no streaming (SURVEY.md §2.D); this is the north-star
+streaming path: the same windowed aggregation you'd run continuously at
+scale (readStream → watermark → window agg → writeStream), exercised here
+with ``Trigger.AvailableNow`` over the bounded events table so the result
+is a finite DataFrame the driver can oracle-check against DuckDB's
+``time_bucket`` — the streaming/batch unification Spark promises.
+
+Scale notes: tumbling-window counts keyed by (window, event_type) shuffle
+once per micro-batch with map-side partial aggregation; state store size
+is bounded by watermarking in a real continuous run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+_CACHE_DIR = Path(__file__).resolve().parent.parent.parent / ".cache"
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+
+def streaming_window_counts(
+    spark: SparkSession, events_dir: str, *, window: str = "1 hour"
+) -> DataFrame:
+    """readStream(parquet dir) → tumbling-window count per event_type.
+    Returns the *streaming* DataFrame (caller picks trigger/sink)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # nanos-as-long (see tables._events): rebuild microsecond TIMESTAMP_NTZ
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+            ),
+        )
+    if dict(stream.dtypes)["ts"] == "timestamp":
+        # Watermark bounds state store growth in a continuous run. Spark
+        # only supports event-time watermarks on TIMESTAMP (LTZ); on an
+        # NTZ column we rely on complete-mode output instead (correct for
+        # bounded replays like Trigger.AvailableNow).
+        stream = stream.withWatermark("ts", "1 hour")
+    return (
+        stream.groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@query(
+    "q_stream_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type, computed by an
+    actual Structured Streaming query (AvailableNow trigger, complete
+    mode, memory sink) and returned as the finalized batch result.
+    Oracle: DuckDB time_bucket — both align windows to the epoch."""
+    # file-stream sources need a directory; stage the single parquet file
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_window_counts(spark, staging)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(sink)
+    # materialize before cleanup so the temp dir can go away
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

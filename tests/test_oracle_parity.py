@@ -1,0 +1,37 @@
+"""Mirror of the driver's correctness gate, run at sf0.001 for speed.
+
+Every oracle-bearing QuerySpec must hash-match DuckDB exactly. Set
+SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to run at driver scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_pst_spark.registry import load_all
+from tests.oracle import compare
+
+SPECS = load_all()
+ORACLE_NAMES = [n for n, s in SPECS.items() if s.oracle is not None]
+ROWS_ONLY_NAMES = [n for n, s in SPECS.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(spark, SPECS[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = SPECS[name].builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
