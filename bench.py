@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the `noop` sink (full compute,
+no driver-side materialization — what a cluster job does), wall-clocked
+after a session warm-up so JVM/codegen startup isn't billed to query 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, spec, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = spec.builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.session import get_spark
+
+    specs = load_all()
+    bench_specs = [s for s in specs.values() if s.bench]
+
+    spark = get_spark("dps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders"):
+        from duckdb_pst_spark.tables import table
+
+        table(spark, sf_dir, t).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        try:
+            timings[spec.name] = round(run_query(spark, spec, sf_dir), 4)
+        except Exception as exc:  # a failed query shouldn't zero the whole bench
+            print(f"BENCH ERROR {spec.name}: {exc}", file=sys.stderr)
+            timings[spec.name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

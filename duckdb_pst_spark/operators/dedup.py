@@ -19,7 +19,7 @@ JVM-native hot path you'd run at 100 TB; plan shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.portable import P_HASH, duck_poly_hash, duck_tokens, poly_hash, tokens
@@ -62,13 +62,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- shingles (shared)
-def _shingle_hashes(text_col: Column) -> Column:
-    """Distinct portable hashes of word-3-gram shingles (array<bigint>)."""
-    toks = tokens(text_col)
+def _shingle_hashes(toks: Column, hash_fn) -> Column:
+    """Distinct hashes of word-3-gram shingles (array<bigint>).
+
+    ``toks`` must be a *materialized* column attribute, not an inline
+    tokenization expression: Spark does no common-subexpression
+    elimination inside higher-order-function lambdas, so an inline
+    ``split(...)`` here would re-tokenize the document for every
+    element_at — a ~200× blowup measured at sf0.1."""
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(1), n - 2),
-        lambda i: poly_hash(
+        lambda i: hash_fn(
             F.concat_ws(
                 " ",
                 F.element_at(toks, i),
@@ -107,19 +112,41 @@ def _duck_minhash_cte() -> str:
     )"""
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, sh: array<bigint>, sig_0..sig_{K-1})."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.withColumn("sh", _shingle_hashes(F.col("text"))).filter(F.size("sh") >= 1)
-    d = d.filter(F.size(tokens(F.col("text"))) >= 3).drop("text")
+def _with_sigs(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, sh) → + sig_0..sig_{K-1}.
+
+    ``sh_df`` MUST be materialized (localCheckpoint/persist) first:
+    Catalyst's CollapseProject re-inlines a chained array expression into
+    every consumer lambda — without the barrier, the 8 signature
+    transforms each recompute the entire shingle pipeline (measured ~10×
+    slowdown at sf0.1). On a real cluster this barrier is a
+    ``persist(MEMORY_AND_DISK)`` per stage of the dedup job.
+    """
 
     def perm(k: int):
         # closure (not default-arg) — pyspark derives lambda arity from params
         return lambda h: (F.lit(_A[k]) * h + F.lit(_B[k])) % F.lit(P_HASH)
 
+    d = sh_df
     for k in range(MINHASH_K):
         d = d.withColumn(f"sig_{k}", F.array_min(F.transform(F.col("sh"), perm(k))))
     return d
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: array<bigint>, sig_0..sig_{K-1})."""
+    toks_df = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .localCheckpoint(eager=True)  # barrier: stop shingle lambdas re-inlining the split
+    )
+    sh_df = (
+        toks_df.select("doc_id", _shingle_hashes(F.col("toks"), poly_hash).alias("sh"))
+        .filter(F.size("sh") >= 1)
+        .localCheckpoint(eager=True)  # barrier: stop sig transforms re-inlining shingles
+    )
+    return _with_sigs(sh_df)
 
 
 @query(
@@ -208,7 +235,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = minhash_signatures(spark, sf_dir).select("doc_id", "sh")
+    sh = sigs.select("doc_id", "sh")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     jacc = F.expr(
@@ -258,8 +285,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely with nested array folds — per-row, zero shuffle. Near-dup
     docs then cluster by equal (or low-Hamming) simhash."""
     pow2 = F.array(*[F.lit(p) for p in _POW2])
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.transform(tokens(F.col("text")), lambda t: poly_hash(t)).alias("th")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.transform(tokens(F.col("text")), lambda t: poly_hash(t)).alias("th")
+        )
+        # barrier: the 16 per-bit vote folds below each reference `th`;
+        # without materialization CollapseProject re-inlines the token
+        # hashing into all 16 (see _with_sigs docstring)
+        .localCheckpoint(eager=True)
     )
     simhash = F.aggregate(
         F.transform(
@@ -344,30 +378,33 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen) instead of the portable polynomial hash. No oracle (DuckDB
     has no xxhash64) — correctness of the pipeline is proven by the
     portable twin; this one exists to be fast."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
+    toks_df = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .localCheckpoint(eager=True)
+    )
+    n = F.size(F.col("toks"))
+    # multi-arg xxhash64 — no string concat allocation per shingle
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n - 2),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                )
-            )
-            % F.lit(P_HASH),
+            lambda i: F.pmod(
+                F.xxhash64(
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+                F.lit(P_HASH),
+            ),
         )
     )
-    d = d.withColumn("sh", sh).filter(F.size("sh") >= 1).drop("text")
-
-    def perm(k: int):
-        return lambda h: (F.lit(_A[k]) * ((h + P_HASH) % P_HASH) + F.lit(_B[k])) % F.lit(P_HASH)
-
-    for k in range(MINHASH_K):
-        d = d.withColumn(f"sig_{k}", F.array_min(F.transform(F.col("sh"), perm(k))))
+    sh_df = (
+        toks_df.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    d = _with_sigs(sh_df)
     bands = d.select(
         "doc_id",
         F.explode(F.array(*[
@@ -378,8 +415,22 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ])).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Skew guard (the standard LSH-at-scale move): a band bucket with B
+    # members yields B² candidate pairs, and degenerate buckets (boilerplate
+    # shingles) blow up the self-join quadratically. Cap bucket size — an
+    # over-full bucket carries almost no dedup signal per pair anyway.
+    cap = 64
+    sized = (
+        bands.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val"))
+        )
+        .filter(F.col("bucket_n") <= cap)
+        # materialize once — both sides of the self-join reuse it instead of
+        # recomputing the whole shingle→signature pipeline twice
+        .localCheckpoint(eager=True)
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
     return (
         a.join(
             b,

@@ -50,14 +50,21 @@ def treewalk(
     terminates cycles — the same mechanism as the reference's recursive
     CTE UNION (README.md:461-468).
     """
+    edges = edges.localCheckpoint(eager=True)  # scan the edge set once, reuse every level
     acc = frontier.select(F.col(key_col)).distinct().localCheckpoint(eager=True)
     cur = acc
     for _ in range(max_iters):
+        # The frontier and the accumulated closure are small relative to
+        # the edge set (closure ≤ subtree size; frontier ≤ one level), so
+        # both sides broadcast: each iteration is a map-only pass over the
+        # cached edges — no shuffle per level. For closures too big to
+        # broadcast, swap the anti-join for .subtract (shuffle-based).
         nxt = (
-            edges.join(cur, edges[from_col] == cur[key_col])
+            edges.join(F.broadcast(cur), edges[from_col] == cur[key_col])
             .select(edges[to_col].cast("long").alias(key_col))
+            .join(F.broadcast(acc), key_col, "left_anti")
             .distinct()
-            .subtract(acc)
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             return acc

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_pst_spark.functions.vectors import cosine, duck_cosine
+from duckdb_pst_spark.functions.vectors import cosine, dot, duck_cosine, norm
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -53,12 +53,22 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
-    """Shared top-k kernel: cosine + per-query row_number."""
+    """Shared top-k kernel: cosine + per-query row_number.
+
+    Norms are precomputed per side *below* the join (projections don't
+    collapse across a join), so each vector's norm fold runs once per
+    row, not once per pair; the per-pair work is just the dot product.
+    Bit-identical to computing cosine() per pair — same IEEE ops.
+    """
+    q = q.withColumn("q_norm", norm(F.col("q_emb")))
+    c = c.withColumn("c_norm", norm(F.col("c_emb")))
     joined = q.crossJoin(c) if "bucket" not in q.columns else q.join(c, "bucket")
     scored = joined.select(
         F.col("qid"),
         F.col("cand_id"),
-        cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"),
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
