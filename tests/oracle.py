@@ -25,7 +25,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(v):
     """Canonicalize a cell value for exact cross-engine comparison."""
     if v is None:
-        return None
+        return ("_", "")  # sortable against the other tagged tuples
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
