@@ -1,0 +1,120 @@
+"""Deterministic multimodal fixture table (north-star extension; the
+reference has no media path — this is the LLM-pipeline surface the build
+brief adds on top of SURVEY.md §2).
+
+One parquet table ``media`` holding image/audio/video payloads as opaque
+``binary`` columns with a typed metadata struct — the pattern a 100 TB
+training-data lake uses: bytes stay opaque to the engine, metadata is
+columnar and prunable, decode happens in Arrow-batched Python only for the
+rows/columns that survive pushdown.
+
+Payloads use trivial RAW codecs (dtype-packed numpy buffers, no container
+format) so decode/resize/frame-sample are REAL, deterministic numeric
+code testable without image/audio libraries:
+
+- image: row-major uint8 RGB, ``len = width*height*3``
+- audio: mono PCM16LE, ``len = 2*n_samples``
+- video: ``n_frames`` concatenated RAW images, ``len = n*w*h*3``
+
+Real container formats (JPEG/PNG/WAV/MP4) are delegated to optional
+libraries behind import-guards in ``multimodal.ops`` and raise
+``NotImplementedError`` when absent (this container ships none of them).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MEDIA_VERSION = "v1"
+DEFAULT_N_MEDIA = 240  # divisible by 3 kinds
+
+_CACHE_ROOT = Path(__file__).resolve().parent.parent.parent / ".cache" / "media"
+
+_META_T = pa.struct(
+    [
+        ("format", pa.string()),  # 'raw-rgb8' | 'raw-pcm16' | 'raw-vid8'
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("channels", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("kind", pa.string()),  # 'image' | 'audio' | 'video'
+        ("bytes", pa.binary()),
+        ("meta", _META_T),
+    ]
+)
+
+
+def _image(rng: np.random.Generator, w: int, h: int) -> bytes:
+    return rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+
+
+def _audio(rng: np.random.Generator, n: int) -> bytes:
+    t = np.arange(n, dtype=np.float64)
+    f = rng.uniform(100, 2000)
+    wave = (np.sin(2 * np.pi * f * t / 16_000) * 12_000).astype("<i2")
+    return wave.tobytes()
+
+
+def media_dir(n_media: int = DEFAULT_N_MEDIA) -> str:
+    return str(_CACHE_ROOT / f"{MEDIA_VERSION}_{n_media}")
+
+
+def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
+    """Write the media parquet; idempotent per (version, n). Returns dir."""
+    out = Path(media_dir(n_media))
+    marker = out / "_SUCCESS"
+    if marker.exists() and not force:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    rows = []
+    for mid in range(n_media):
+        rng = np.random.default_rng(mid)  # per-row seed → order-independent
+        kind = ("image", "audio", "video")[mid % 3]
+        meta = {
+            "format": None,
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "n_samples": None,
+            "n_frames": None,
+        }
+        if kind == "image":
+            w, h = 16 + (mid % 5) * 8, 12 + (mid % 7) * 4
+            payload = _image(rng, w, h)
+            meta.update(format="raw-rgb8", width=w, height=h, channels=3)
+        elif kind == "audio":
+            n = 4_000 + (mid % 11) * 800
+            payload = _audio(rng, n)
+            meta.update(format="raw-pcm16", sample_rate=16_000, n_samples=n)
+        else:
+            w, h, nf = 16, 12, 4 + (mid % 5)
+            payload = b"".join(_image(rng, w, h) for _ in range(nf))
+            meta.update(format="raw-vid8", width=w, height=h, channels=3, n_frames=nf)
+        rows.append(
+            {
+                "media_id": mid,
+                "doc_id": mid % 100,  # joinable to documents.doc_id
+                "kind": kind,
+                "bytes": payload,
+                "meta": meta,
+            }
+        )
+
+    pq.write_table(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA), out / "media.parquet")
+    marker.touch()
+    return str(out)

@@ -1,0 +1,205 @@
+"""Multimodal operators — Arrow-batched Pandas transforms over opaque
+binary media columns (north-star extension; no reference counterpart —
+the build brief's LLM-training-pipeline surface).
+
+Execution model (the 100 TB design):
+
+- Bytes never leave the executors — every operator is ``mapInPandas``
+  over a *pre-pruned* projection, so Parquet column pruning keeps
+  un-needed heavy columns (the payload when only metadata is asked for)
+  out of IO entirely, and Arrow moves each batch JVM→Python exactly once.
+- Decode/resize/frame-sample are pure numpy over the RAW codecs written
+  by ``multimodal.fixtures`` (vectorized per batch, no per-row Python in
+  the loop body beyond the unavoidable ragged-buffer iteration).
+- Batches of wide binary rows are kept small via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in
+  ``session.get_spark``); with ~1 MB payloads the default 10k rows/batch
+  would be a 10 GB Arrow allocation — size it to ~64-256 rows.
+- Real container formats (JPEG/PNG/WAV) are gated behind optional
+  imports and raise ``NotImplementedError`` here (libs absent in this
+  container); the RAW path is the tested, fully-real implementation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+try:  # optional real-codec backends — none are shipped in this container
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _require_raw(fmt: str, expected: str) -> None:
+    if fmt == expected:
+        return
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            f"container format {fmt!r} needs an image/audio codec library "
+            "(PIL/soundfile), which is not installed; only the RAW formats "
+            "('raw-rgb8', 'raw-pcm16', 'raw-vid8') are decodable here"
+        )
+
+
+DECODE_IMAGE_SCHEMA = (
+    "media_id long, width int, height int, channels int, mean_luma double, "
+    "min_px int, max_px int"
+)
+
+
+def decode_image(images: DataFrame) -> DataFrame:
+    """bytes → per-image stats (width/height/channels/BT.601 mean luma).
+
+    Input needs columns (media_id, bytes, meta); everything else is
+    dropped *before* the Arrow hop so the scan only reads what decoding
+    needs.
+    """
+    src = images.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-rgb8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+                luma = px @ np.array([0.299, 0.587, 0.114])
+                out.append((mid, w, h, c, float(luma.mean()), int(px.min()), int(px.max())))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_luma",
+                    "min_px",
+                    "max_px",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=DECODE_IMAGE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, bytes binary"
+
+
+def resize_image(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of RAW RGB payloads to (out_w, out_h).
+
+    Pure index-gather numpy — the same kernel shape a real thumbnailing
+    pass has, minus the codec. Output is again RAW RGB, so resizes chain.
+    """
+    src = images.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        # per-(w,h) gather indices, cached across rows in a batch
+        cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-rgb8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                if (w, h) not in cache:
+                    cache[(w, h)] = (
+                        (np.arange(out_h) * h) // out_h,
+                        (np.arange(out_w) * w) // out_w,
+                    )
+                ys, xs = cache[(w, h)]
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+                small = px[ys][:, xs]
+                out.append((mid, out_w, out_h, small.tobytes()))
+            yield pd.DataFrame(out, columns=["media_id", "width", "height", "bytes"])
+
+    return src.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, width int, height int, frame_bytes binary"
+
+
+def sample_frames(videos: DataFrame, every_k: int = 1) -> DataFrame:
+    """RAW video → one row per k-th frame (a flatMap: rows out ≥ rows in).
+
+    ``mapInPandas`` is Spark's batch-level flatMap, so emitting multiple
+    frame rows per video row needs no explode shuffle — frames land in the
+    same partition as their video, and downstream repartitioning is the
+    caller's choice.
+    """
+    src = videos.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-vid8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                nf = int(meta["n_frames"])
+                frame_len = w * h * c
+                for fi in range(0, nf, every_k):
+                    out.append((mid, fi, w, h, raw[fi * frame_len : (fi + 1) * frame_len]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "frame_bytes"]
+            )
+
+    return src.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "media_id long, duration_s double, rms double, peak int"
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """PCM16 → duration / RMS / peak amplitude, vectorized per payload."""
+    src = audio.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-pcm16")
+                wave = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                sr = int(meta["sample_rate"])
+                out.append(
+                    (
+                        mid,
+                        len(wave) / sr,
+                        float(np.sqrt((wave**2).mean())) if len(wave) else 0.0,
+                        int(np.abs(wave).max()) if len(wave) else 0,
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "duration_s", "rms", "peak"])
+
+    return src.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def media_table(spark, n_media: int | None = None) -> DataFrame:
+    """Load the fixture media table (generating it on first use)."""
+    from duckdb_pst_spark.multimodal import fixtures
+
+    d = fixtures.generate(n_media or fixtures.DEFAULT_N_MEDIA)
+    return spark.read.parquet(f"{d}/media.parquet")
+
+
+def of_kind(media: DataFrame, kind: str) -> DataFrame:
+    """Kind filter — an equality predicate Catalyst pushes to the scan, so
+    e.g. an image-only pipeline never reads audio/video payload bytes
+    (row-group pruning on the dictionary-encoded ``kind`` column)."""
+    return media.filter(F.col("kind") == kind)

@@ -1,0 +1,144 @@
+"""Registered multimodal queries (north-star extension).
+
+The deterministic RAW-codec payloads let several binary-pipeline checks be
+*oracle-checked* (payload sizes, frame counts, metadata consistency are
+SQL-expressible over the same parquet via ``read_parquet``); the numpy
+decode paths are rows-only, as the brief allows for non-SQL-expressible
+ops — their numeric correctness is pinned by ``tests/test_multimodal.py``
+golden assertions instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.multimodal import fixtures, ops
+from duckdb_pst_spark.registry import query
+
+_DIR = fixtures.generate()  # idempotent; absolute path for oracle SQL
+_MEDIA = f"read_parquet('{_DIR}/media.parquet')"
+
+
+@query(
+    "q_media_stats",
+    oracle=f"""
+    SELECT kind, count(*) AS n, sum(octet_length(bytes)) AS total_bytes
+    FROM {_MEDIA}
+    GROUP BY kind ORDER BY kind
+    """,
+    tags=("multimodal", "agg"),
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload inventory by modality — metadata-only pass; the payload
+    column is read but never crosses into Python."""
+    m = ops.media_table(spark)
+    return (
+        m.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("bytes")).alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
+    "q_media_meta_consistent",
+    oracle=f"""
+    SELECT media_id,
+           octet_length(bytes) AS nbytes,
+           CAST(meta.width * meta.height * meta.channels AS INTEGER) AS expect_bytes
+    FROM {_MEDIA}
+    WHERE kind = 'image'
+    """,
+    tags=("multimodal",),
+)
+def q_media_meta_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata invariant: image payload length == w*h*c — the
+    schema contract decode relies on, checked engine-side (B17-style
+    struct access on the meta column)."""
+    m = ops.of_kind(ops.media_table(spark), "image")
+    return m.select(
+        "media_id",
+        F.octet_length("bytes").alias("nbytes"),
+        (F.col("meta.width") * F.col("meta.height") * F.col("meta.channels"))
+        .cast("int")
+        .alias("expect_bytes"),
+    )
+
+
+@query(
+    "q_video_frame_sample",
+    oracle=f"""
+    SELECT media_id, CAST(meta.n_frames AS BIGINT) AS n_frames
+    FROM {_MEDIA}
+    WHERE kind = 'video'
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample every frame of each video through the mapInPandas
+    flatMap, then count frames per video — the oracle pins the count to
+    the metadata, so the Python frame splitter must emit exactly
+    meta.n_frames rows per video for the hash to match."""
+    frames = ops.sample_frames(ops.of_kind(ops.media_table(spark), "video"), every_k=1)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query(
+    "q_image_resize_bytes",
+    oracle=f"""
+    SELECT media_id, CAST(8 * 8 * 3 AS INTEGER) AS out_bytes
+    FROM {_MEDIA}
+    WHERE kind = 'image'
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_image_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every image to 8x8 through the numpy kernel; the oracle pins
+    each output payload to exactly 8*8*3 bytes."""
+    small = ops.resize_image(ops.of_kind(ops.media_table(spark), "image"), 8, 8)
+    return small.select("media_id", F.octet_length("bytes").alias("out_bytes"))
+
+
+@query("q_image_decode", tags=("multimodal", "udf"))
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode all images → per-image luma stats (rows-only; numeric golden
+    values are asserted in tests/test_multimodal.py)."""
+    return ops.decode_image(ops.of_kind(ops.media_table(spark), "image"))
+
+
+@query("q_audio_features", tags=("multimodal", "udf"))
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 duration/RMS/peak per clip (rows-only; golden-tested)."""
+    return ops.audio_features(ops.of_kind(ops.media_table(spark), "audio"))
+
+
+@query(
+    "q_media_doc_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, count(*) AS n_media,
+           sum(octet_length(m.bytes)) AS media_bytes
+    FROM {_MEDIA} m
+    JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY d.doc_id, d.lang
+    """,
+    tags=("multimodal", "join"),
+)
+def q_media_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media ↔ documents equi-join (the media table is the small side →
+    broadcast; at lake scale the build side flips and this becomes a
+    shuffle join on doc_id, which AQE picks automatically)."""
+    from duckdb_pst_spark.tables import table
+
+    m = ops.media_table(spark)
+    d = table(spark, sf_dir, "documents")
+    return (
+        m.join(d, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("bytes")).alias("media_bytes"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Golden numeric tests for the multimodal operators — these pin the
+numpy decode/resize/frame/audio kernels that the oracle can't express in
+SQL (the registered queries pin the structural outputs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.multimodal import fixtures, ops
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return ops.media_table(spark)
+
+
+def test_fixture_shape(media):
+    n = media.count()
+    assert n == fixtures.DEFAULT_N_MEDIA
+    kinds = dict(media.groupBy("kind").count().collect())
+    assert kinds == {k: n // 3 for k in ("image", "audio", "video")}
+
+
+def test_decode_image_golden(spark, media):
+    """Recompute mean luma for one image driver-side and match exactly."""
+    row = ops.of_kind(media, "image").filter(F.col("media_id") == 0).collect()[0]
+    w, h, c = row.meta.width, row.meta.height, row.meta.channels
+    px = np.frombuffer(row.bytes, dtype=np.uint8).reshape(h, w, c)
+    expect = float((px @ np.array([0.299, 0.587, 0.114])).mean())
+
+    got = {r.media_id: r for r in ops.decode_image(ops.of_kind(media, "image")).collect()}
+    assert got[0].width == w and got[0].height == h and got[0].channels == c
+    assert got[0].mean_luma == pytest.approx(expect, abs=1e-9)
+    assert 0 <= got[0].min_px <= got[0].max_px <= 255
+    assert len(got) == fixtures.DEFAULT_N_MEDIA // 3
+
+
+def test_resize_golden(spark, media):
+    """Nearest-neighbor 2x2 resize picks exactly the gathered pixels."""
+    one = ops.of_kind(media, "image").filter(F.col("media_id") == 3)
+    src = one.collect()[0]
+    w, h = src.meta.width, src.meta.height
+    px = np.frombuffer(src.bytes, dtype=np.uint8).reshape(h, w, 3)
+    ys, xs = (np.arange(2) * h) // 2, (np.arange(2) * w) // 2
+    expect = px[ys][:, xs].tobytes()
+
+    got = ops.resize_image(one, 2, 2).collect()[0]
+    assert bytes(got.bytes) == expect
+    assert (got.width, got.height) == (2, 2)
+
+
+def test_resize_chains(spark, media):
+    """RAW output of resize is decodable input for a second resize —
+    requires re-attaching a meta column, as a pipeline would."""
+    step1 = ops.resize_image(ops.of_kind(media, "image"), 8, 8)
+    step1 = step1.withColumn(
+        "meta",
+        F.struct(
+            F.lit("raw-rgb8").alias("format"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_samples"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+    step2 = ops.resize_image(step1, 4, 4)
+    lens = {r.n for r in step2.select(F.octet_length("bytes").alias("n")).collect()}
+    assert lens == {4 * 4 * 3}
+
+
+def test_frame_sampling_every_k(spark, media):
+    vids = ops.of_kind(media, "video")
+    meta = {r.media_id: r.meta.n_frames for r in vids.select("media_id", "meta").collect()}
+    all_frames = dict(
+        ops.sample_frames(vids, every_k=1).groupBy("media_id").count().collect()
+    )
+    assert all_frames == meta
+    halved = dict(
+        ops.sample_frames(vids, every_k=2).groupBy("media_id").count().collect()
+    )
+    assert halved == {k: (v + 1) // 2 for k, v in meta.items()}
+    # frame payloads are full images
+    f = ops.sample_frames(vids.limit(1), every_k=1).collect()
+    assert all(len(bytes(r.frame_bytes)) == r.width * r.height * 3 for r in f)
+
+
+def test_audio_features_golden(spark, media):
+    clip = ops.of_kind(media, "audio").filter(F.col("media_id") == 1)
+    src = clip.collect()[0]
+    wave = np.frombuffer(src.bytes, dtype="<i2").astype(np.float64)
+    got = ops.audio_features(clip).collect()[0]
+    assert got.duration_s == pytest.approx(len(wave) / src.meta.sample_rate)
+    assert got.rms == pytest.approx(float(np.sqrt((wave**2).mean())), rel=1e-12)
+    assert got.peak == int(np.abs(wave).max())
+
+
+def test_container_formats_are_stubbed(spark, media):
+    """Non-RAW formats must fail loudly, not silently mis-decode."""
+    bad = media.filter(F.col("kind") == "image").withColumn(
+        "meta",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.channels").alias("channels"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_samples").alias("n_samples"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        ops.decode_image(bad).collect()
+
+
+def test_decode_prunes_payloadless_columns(spark, media):
+    """Kind filter + projection reach the parquet scan: an image pipeline
+    must not read other modalities' payloads (pushed filter on kind)."""
+    df = ops.decode_image(ops.of_kind(media, "image"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "kind" in plan.split("PushedFilters:", 1)[1].splitlines()[0]
