@@ -42,6 +42,10 @@ def get_spark(
         # ~MB-sized blobs stays bounded (default 10k rows would be GBs)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # DSv2 parquet read path: aggregate pushdown (count/min/max from
+        # footers — the reference's COLUMN_DATA_SCAN analogue) only exists
+        # in v2 scans; correctness is identical on v1 (driver default).
+        .config("spark.sql.sources.useV1SourceList", "")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,110 @@
+"""Plan-shape assertions — the Spark port of the reference's EXPLAIN
+tests (/root/reference/test/sql/query_optimizations.test): instead of
+COLUMN_DATA_SCAN / HASH_JOIN regexes, assert pushed filters, pushed
+aggregates, pruned read schemas, TakeOrderedAndProject, broadcast joins,
+and shuffle counts on the registered queries. These gates are what keep
+the 100 TB plan shape from regressing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.plans import introspect as pi
+from duckdb_pst_spark.registry import load_all
+from duckdb_pst_spark.tables import table
+
+SPECS = load_all()
+
+
+def test_count_star_uses_footer_stats(spark, sf_dir):
+    """count(*) is answered from parquet footers (PushedAggregation) —
+    the analogue of the reference's stats-based COLUMN_DATA_SCAN rewrite
+    (query_optimizations.test:13-17)."""
+    df = SPECS["q_count_star"].builder(spark, sf_dir)
+    assert any("COUNT(*)" in a for a in pi.pushed_aggregates(df)), pi.executed_plan(df)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = SPECS["q_filter_eq"].builder(spark, sf_dir)
+    pushed = pi.pushed_filters(df)
+    assert any("c_mktsegment" in p and "EqualTo" in p for p in pushed), pushed
+
+
+def test_like_prefix_pushdown(spark, sf_dir):
+    df = SPECS["q_filter_like"].builder(spark, sf_dir)
+    pushed = pi.pushed_filters(df)
+    assert any("StringStartsWith" in p or "Like" in p for p in pushed), pushed
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    """A 4-column projection over 16-column lineitem must scan only 4
+    (reference projection_pushdown, pst_extension.cpp:35)."""
+    df = SPECS["q_scan_project"].builder(spark, sf_dir)
+    schemas = pi.read_schemas(df)
+    assert schemas, pi.executed_plan(df)
+    s = schemas[0]
+    assert "l_quantity" in s and "l_comment" not in s and "l_extendedprice" not in s
+
+
+def test_topn_is_take_ordered(spark, sf_dir):
+    """order+limit → TakeOrderedAndProject: per-partition heaps, no global
+    sort — the plan the reference needs late-materialization to get
+    (query_optimizations.test:49-53); Spark gets it natively."""
+    df = SPECS["q_topn"].builder(spark, sf_dir)
+    assert pi.has_take_ordered(df), pi.executed_plan(df)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """region/nation joins must be broadcast (no shuffle of the fact
+    side); zero sort-merge joins in the dim-join query."""
+    df = SPECS["q_join_inner"].builder(spark, sf_dir)
+    assert pi.broadcast_join_count(df) == 2, pi.executed_plan(df)
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_groupby_single_shuffle(spark, sf_dir):
+    """Hash aggregate = partial (map-side) + final: exactly one exchange
+    on the group key; the orderBy on the tiny aggregated result may add
+    one more, but never a third."""
+    df = SPECS["q_groupby_count_order"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 2, pi.executed_plan(df)
+
+
+def test_tpch_q1_shape(spark, sf_dir):
+    """Q1: scan→filter→partial agg→exchange→final agg, all codegen'd;
+    one shuffle for the 4-group aggregate + at most a sort exchange."""
+    df = SPECS["q_tpch_q1"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 2, pi.executed_plan(df)
+    assert pi.codegen_fraction(df) > 0.5
+
+
+def test_scan_pipeline_fully_codegened(spark, sf_dir):
+    """A scan→filter→project pipeline stays inside one WholeStageCodegen
+    span — nothing row-at-a-time in the hot path."""
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert pi.codegen_fraction(df) >= 0.5, pi.executed_plan(df)
+    # formatted explain marks codegen'd operators with a leading star
+    assert "* Filter" in pi.formatted_plan(df)
+
+
+def test_limit_no_full_scan_stages(spark, sf_dir):
+    """df.limit(n): CollectLimit/GlobalLimit plan, no exchange needed."""
+    df = table(spark, sf_dir, "orders").limit(5)
+    plan = pi.executed_plan(df)
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+    assert pi.shuffle_count(df) == 0, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_scan_project", "q_filter_eq", "q_tpch_q1", "q_join_inner"]
+)
+def test_no_python_udfs_in_core_relational(spark, sf_dir, name):
+    """Core relational surface must be pure JVM — no BatchEvalPython /
+    ArrowEvalPython stages (UDFs are the slow path)."""
+    plan = pi.executed_plan(SPECS[name].builder(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
