@@ -1,0 +1,194 @@
+"""PySpark Python DataSource for binary PST files:
+``spark.read.format("pst").option("table", "messages").load(glob)``.
+
+Maps the reference's scan architecture onto the DataSource API
+(/root/reference/src/table_function.cpp):
+
+- glob expansion at plan time (A1, table_function.cpp:48-61)
+- one InputPartition per file (A3/A4 partition planning — a PST file is
+  the natural parallel unit; node-range splits within a file are a
+  follow-up, matching the reference's ``partition_size`` buckets)
+- per-task ``PstArchive`` instance — the non-thread-safe-handle rule
+  (A10, function_state.cpp:59-71)
+- named scan parameters (A21): ``read_body_size_bytes``,
+  ``read_attachment_body``, ``read_limit``
+- class filter applied at read (A5); Catalyst prunes columns on top (A7)
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+_META = [
+    StructField("pst_path", StringType()),
+    StructField("pst_name", StringType()),
+    StructField("record_key", BinaryType()),
+    StructField("node_id", LongType()),
+    StructField("parent_node_id", LongType()),
+]
+
+FOLDER_SCHEMA = StructType(
+    _META
+    + [
+        StructField("container_class", StringType()),
+        StructField("display_name", StringType()),
+        StructField("subfolder_count", LongType()),
+        StructField("message_count", LongType()),
+        StructField("unread_message_count", LongType()),
+    ]
+)
+
+_RECIPIENT = StructType(
+    [
+        StructField("display_name", StringType()),
+        StructField("account_name", StringType()),
+        StructField("email_address", StringType()),
+        StructField("address_type", StringType()),
+        StructField("recipient_type", StringType()),
+        StructField("recipient_type_raw", IntegerType()),
+    ]
+)
+_ATTACHMENT = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("size", LongType()),
+        StructField("attach_content_id", StringType()),
+        StructField("attach_method", StringType()),
+        StructField("is_message", BooleanType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+MESSAGE_SCHEMA = StructType(
+    _META
+    + [
+        StructField("subject", StringType()),
+        StructField("body", StringType()),
+        StructField("body_html", StringType()),
+        StructField("display_name", StringType()),
+        StructField("comment", StringType()),
+        StructField("sender_name", StringType()),
+        StructField("sender_email_address", StringType()),
+        StructField("recipients", ArrayType(_RECIPIENT)),
+        StructField("has_attachments", BooleanType()),
+        StructField("attachment_count", LongType()),
+        StructField("attachments", ArrayType(_ATTACHMENT)),
+        StructField("importance", StringType()),
+        StructField("priority", StringType()),
+        StructField("sensitivity", StringType()),
+        StructField("creation_time", TimestampNTZType()),
+        StructField("last_modified", TimestampNTZType()),
+        StructField("message_delivery_time", TimestampNTZType()),
+        StructField("message_class", StringType()),
+        StructField("message_flags", IntegerType()),
+        StructField("message_size", LongType()),
+        StructField("conversation_topic", StringType()),
+        StructField("internet_message_id", StringType()),
+    ]
+)
+
+CLASS_FILTER = {
+    "notes": "IPM.Note",
+    "contacts": "IPM.Contact",
+    "appointments": "IPM.Appointment",
+    "sticky_notes": "IPM.StickyNote",
+    "tasks": "IPM.Task",
+    "distribution_lists": "IPM.DistList",
+}
+
+
+class PstDataSource(DataSource):
+    """format("pst") — options: table (folders|messages|notes|contacts|
+    appointments|sticky_notes|tasks|distribution_lists),
+    read_body_size_bytes, read_attachment_body, read_limit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pst"
+
+    def schema(self):
+        table = self.options.get("table", "messages")
+        return FOLDER_SCHEMA if table == "folders" else MESSAGE_SCHEMA
+
+    def reader(self, schema: StructType) -> "PstReader":
+        return PstReader(self.options, schema)
+
+
+class PstReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        self.table = options.get("table", "messages")
+        self.read_body_size_bytes = int(options.get("read_body_size_bytes", 1_000_000))
+        self.read_attachment_body = str(
+            options.get("read_attachment_body", "false")
+        ).lower() in ("true", "1")
+        self.read_limit = options.get("read_limit")
+        self.schema = schema
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        files = sorted(globmod.glob(self.path)) if self.path else []
+        # limit pushdown at planning (A6): with a row cap, one partition
+        # can satisfy it without opening every file
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition):
+        path = partition.value
+        if path is None:
+            return
+        from duckdb_pst_spark.sources.mspst.messaging import PstArchive
+
+        a = PstArchive(path)  # per-task handle (A10)
+        try:
+            meta = {
+                "pst_path": path,
+                "pst_name": a.display_name,
+                "record_key": a.record_key,
+            }
+            limit = int(self.read_limit) if self.read_limit is not None else None
+            n = 0
+            if self.table == "folders":
+                rows = a.folders()
+            else:
+                rows = a.messages(
+                    read_body_size_bytes=self.read_body_size_bytes,
+                    read_attachment_body=self.read_attachment_body,
+                )
+            want = CLASS_FILTER.get(self.table)
+            for r in rows:
+                if want is not None and not (r.get("message_class") or "").startswith(want):
+                    continue  # A5 class filter
+                if limit is not None and n >= limit:
+                    break
+                full = {**meta, **r}
+                yield tuple(_tupleize(full.get(f)) for f in self.fields)
+                n += 1
+        finally:
+            a.close()
+
+
+def _tupleize(v):
+    if isinstance(v, list):
+        return [_tupleize(x) for x in v]
+    if isinstance(v, dict):
+        return tuple(_tupleize(x) for x in v.values())
+    return v
+
+
+def register(spark) -> None:
+    """Make ``spark.read.format("pst")`` available on this session."""
+    spark.dataSource.register(PstDataSource)

@@ -1,0 +1,373 @@
+"""[MS-PST] messaging layer: store info, folder tree, messages,
+recipients, attachments, and named-property resolution — the same object
+surface the reference reaches through its SDK's ``pst``/``folder``/
+``message`` classes and serializes in
+/root/reference/src/row_serializer.cpp.
+
+Row dicts use the reference's output column names (schema.hpp) so the
+Spark source can build the identical DataFrames from either the binary
+reader (this module) or the parquet fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from duckdb_pst_spark.sources.mspst import ltp
+from duckdb_pst_spark.sources.mspst.ndb import (
+    NID_MESSAGE_STORE,
+    NID_NAME_TO_ID_MAP,
+    NID_ROOT_FOLDER,
+    NID_TYPE_NORMAL_FOLDER,
+    NID_TYPE_NORMAL_MESSAGE,
+    PstFile,
+    nid_type,
+)
+
+# enum label sets — schema.hpp:20-74 verbatim
+IMPORTANCE = ["LOW", "NORMAL", "HIGH"]
+PRIORITY = ["NONURGENT", "NORMAL", "URGENT"]  # raw −1..1 → index+1
+SENSITIVITY = ["NONE", "PERSONAL", "PRIVATE", "CONFIDENTIAL"]
+RECIPIENT_TYPE = {1: "TO", 2: "CC", 3: "BCC"}
+ATTACH_METHOD = [
+    "NO_ATTACHMENT",
+    "BY_VALUE",
+    "BY_REFERENCE",
+    "BY_REF_RESOLVE",
+    "BY_REF_ONLY",
+    "EMBEDDED_MESSAGE",
+    "OLE",
+]
+
+PSETID_APPOINTMENT = bytes.fromhex("90da d862 0c45 1b10 98da 0008 2b2a 56c2".replace(" ", ""))
+PSETID_TASK = bytes.fromhex("03200608 0000 0000 c000 0000 0000 0046".replace(" ", ""))
+PSETID_NOTE = bytes.fromhex("0e200608 0000 0000 c000 0000 0000 0046".replace(" ", ""))
+PSETID_COMMON = bytes.fromhex("08200608 0000 0000 c000 0000 0000 0046".replace(" ", ""))
+
+
+def _guid_le(data_4_2_2_8: bytes) -> bytes:
+    return data_4_2_2_8
+
+
+class NamedPropMap:
+    """NID_NAME_TO_ID_MAP PC ([MS-PST] §2.4.7): maps (guid, lid/name) →
+    0x8000+ property ids. Resolution: entry stream 0x0003 of 8-byte
+    records (dwPropertyID/wGuid/wPropIdx), guid stream 0x0002."""
+
+    def __init__(self, pst: PstFile):
+        e = pst.nbt.get(NID_NAME_TO_ID_MAP)
+        self.by_lid: dict[tuple[bytes, int], int] = {}
+        if e is None:
+            return
+        try:
+            pc = ltp.PropertyContext(pst, e.bid_data, e.bid_sub)
+            guids = pc.get(0x0002) or b""
+            entries = pc.get(0x0003) or b""
+        except Exception:
+            return  # partial decode of the map node → no named props
+        for off in range(0, len(entries) - 7, 8):
+            prop_id, guid_ix, prop_idx = struct.unpack_from("<IHH", entries, off)
+            is_string = guid_ix & 1
+            gi = guid_ix >> 1
+            if is_string:
+                continue  # string-named props: not needed for the golden surface
+            if gi >= 3:
+                g = guids[(gi - 3) * 16 : (gi - 2) * 16]
+            else:
+                g = bytes(16)
+            # LIDs used by the golden surface live in disjoint ranges per
+            # property set, so resolution keys on the LID alone (robust to
+            # GUID byte-order variance)
+            self.by_lid[(g, prop_id)] = 0x8000 + prop_idx
+            self.by_lid[prop_id] = 0x8000 + prop_idx
+
+    def pid(self, guid: bytes, lid: int) -> int | None:
+        return self.by_lid.get((guid, lid)) or self.by_lid.get(lid)
+
+
+class PstArchive:
+    """High-level reader for one PST file (per-task instance)."""
+
+    def __init__(self, path: str):
+        self.pst = PstFile(path)
+        self.named = NamedPropMap(self.pst)
+        store = self.pst.nbt.get(NID_MESSAGE_STORE)
+        self._store_pc = (
+            ltp.PropertyContext(self.pst, store.bid_data, store.bid_sub) if store else None
+        )
+
+    def close(self) -> None:
+        self.pst.close()
+
+    # ------------------------------------------------------------- store
+
+    @property
+    def display_name(self) -> str | None:
+        return self._store_pc.get(0x3001) if self._store_pc else None
+
+    @property
+    def record_key(self) -> bytes | None:
+        return self._store_pc.get(0x0FF9) if self._store_pc else None
+
+    # ------------------------------------------------------------ folders
+
+    def folder_nids(self) -> list[int]:
+        """Hierarchy-reachable normal folders, root first — matches the
+        reference's folder iteration (search-folder subtrees excluded:
+        the golden table has 16 rows, not 17 —
+        read_unittest_pst.test:14-37)."""
+        children: dict[int, list[int]] = {}
+        for nid, e in self.pst.nbt.items():
+            if nid_type(nid) == NID_TYPE_NORMAL_FOLDER and nid != NID_ROOT_FOLDER:
+                children.setdefault(e.nid_parent, []).append(nid)
+        out: list[int] = []
+        stack = [NID_ROOT_FOLDER]
+        while stack:
+            nid = stack.pop()
+            out.append(nid)
+            stack.extend(sorted(children.get(nid, []), reverse=True))
+        return out
+
+    def folder_row(self, nid: int) -> dict:
+        e = self.pst.nbt[nid]
+        pc = ltp.PropertyContext(self.pst, e.bid_data, e.bid_sub)
+        # golden root count includes its search-folder child → both types
+        # (read_unittest_pst.test:22 root subfolder_count = 3)
+        subfolders = sum(
+            1
+            for n, ne in self.pst.nbt.items()
+            if ne.nid_parent == nid and n != nid and nid_type(n) in (2, 3)
+        )
+        return {
+            "node_id": nid,
+            "parent_node_id": e.nid_parent,
+            "container_class": pc.get(0x3613),
+            "display_name": pc.get(0x3001) or "",
+            "subfolder_count": subfolders,
+            "message_count": pc.get(0x3602) or 0,
+            "unread_message_count": pc.get(0x3603) or 0,
+        }
+
+    def folders(self) -> Iterator[dict]:
+        for nid in self.folder_nids():
+            yield self.folder_row(nid)
+
+    # ----------------------------------------------------------- messages
+
+    def message_nids(self) -> list[int]:
+        return sorted(
+            n for n in self.pst.nbt if nid_type(n) == NID_TYPE_NORMAL_MESSAGE
+        )
+
+    def _named_get(self, pc: ltp.PropertyContext, guid: bytes, lid: int):
+        pid = self.named.pid(guid, lid)
+        return pc.get(pid) if pid else None
+
+    def message_row(
+        self,
+        nid: int,
+        *,
+        read_body_size_bytes: int = 1_000_000,
+        read_attachment_body: bool = False,
+    ) -> dict:
+        """NOTE_SCHEMA row (schema.hpp:138-171) + typed extras."""
+        e = self.pst.nbt[nid]
+        pc = ltp.PropertyContext(self.pst, e.bid_data, e.bid_sub)
+        sub = self.pst.read_subnodes(e.bid_sub)
+
+        def trunc(s: str | None) -> str | None:
+            if s is None or read_body_size_bytes == 0:
+                return s
+            return s[: max(read_body_size_bytes // 2, 1)]
+
+        imp = pc.get(0x0017)
+        pri = pc.get(0x0026)
+        sens = pc.get(0x0036)
+        row = {
+            "node_id": nid,
+            "parent_node_id": e.nid_parent,
+            "subject": _clean_subject(pc.get(0x0037)),
+            "body": trunc(pc.get(0x1000)),
+            "body_html": trunc(_html_str(pc.get(0x1013))),
+            "display_name": pc.get(0x3001),
+            "comment": pc.get(0x3004),
+            "sender_name": pc.get(0x0C1A),
+            "sender_email_address": pc.get(0x0C1F),
+            "recipients": self._recipients(sub),
+            "attachments": self._attachments(sub, read_attachment_body),
+            "importance": IMPORTANCE[imp] if imp is not None and 0 <= imp < 3 else None,
+            "priority": PRIORITY[pri + 1] if pri is not None and -1 <= pri <= 1 else None,
+            "sensitivity": SENSITIVITY[sens] if sens is not None and 0 <= sens < 4 else None,
+            "creation_time": pc.get(0x3007),
+            "last_modified": pc.get(0x3008),
+            "message_delivery_time": pc.get(0x0E06),
+            "message_class": pc.get(0x001A),
+            "message_flags": pc.get(0x0E07),
+            "message_size": pc.get(0x0E08),
+            "conversation_topic": pc.get(0x0070),
+            "internet_message_id": pc.get(0x1035),
+        }
+        row["has_attachments"] = bool(row["attachments"])
+        row["attachment_count"] = len(row["attachments"] or [])
+        cls = row["message_class"] or ""
+        if cls.startswith("IPM.Appointment"):
+            row.update(self._appointment_extras(pc))
+        elif cls.startswith("IPM.StickyNote"):
+            row.update(self._sticky_extras(pc))
+        elif cls.startswith("IPM.Task"):
+            row.update(self._task_extras(pc))
+        elif cls.startswith("IPM.DistList"):
+            row.update(self._dlist_extras(pc))
+        return row
+
+    def messages(self, **kw) -> Iterator[dict]:
+        for nid in self.message_nids():
+            yield self.message_row(nid, **kw)
+
+    # ------------------------------------------------- nested sub-objects
+
+    def _recipients(self, sub: dict) -> list[dict]:
+        from duckdb_pst_spark.sources.mspst.ndb import NID_RECIPIENT_TABLE
+
+        if NID_RECIPIENT_TABLE not in sub:
+            return []
+        bd, bs = sub[NID_RECIPIENT_TABLE]
+        tc = ltp.TableContext(self.pst, bd, bs)
+        out = []
+        for r in tc.rows():
+            rt = r.get(0x0C15)
+            out.append(
+                {
+                    "display_name": r.get(0x3001),
+                    "account_name": r.get(0x3A00),
+                    "email_address": r.get(0x3003),
+                    "address_type": r.get(0x3002),
+                    "recipient_type": RECIPIENT_TYPE.get(rt),
+                    "recipient_type_raw": rt,
+                }
+            )
+        return out
+
+    def _attachments(self, sub: dict, read_body: bool) -> list[dict]:
+        from duckdb_pst_spark.sources.mspst.ndb import NID_ATTACHMENT_TABLE
+
+        if NID_ATTACHMENT_TABLE not in sub:
+            return []
+        out = []
+        for snid, (bd, bs) in sub.items():
+            if nid_type(snid) != 0x08:  # attachment PC subnodes
+                continue
+            pc = ltp.PropertyContext(self.pst, bd, bs)
+            method = pc.get(0x3705) or 0
+            is_msg = method == 5
+            bts = None
+            if read_body and method == 1 and not is_msg:
+                bts = pc.get(0x3701)  # A14 gating (row_serializer.cpp:152-161)
+            out.append(
+                {
+                    "filename": pc.get(0x3704) or pc.get(0x3707) or pc.get(0x3703),
+                    "mime_type": pc.get(0x370E),
+                    "size": pc.get(0x0E20),
+                    "attach_content_id": pc.get(0x3712),
+                    "attach_method": ATTACH_METHOD[method] if 0 <= method < 7 else None,
+                    "is_message": is_msg,
+                    "bytes": bts,
+                }
+            )
+        return out
+
+    # ------------------------------------------------------- typed extras
+
+    def _appointment_extras(self, pc) -> dict:
+        g = PSETID_APPOINTMENT
+        # PidLidAppointmentStartWhole/EndWhole, falling back to the common
+        # PidTagStartDate/PidTagEndDate pair (same instant for non-recurring)
+        start = self._named_get(pc, g, 0x820D) or pc.get(0x0060)
+        end = self._named_get(pc, g, 0x820E) or pc.get(0x0061)
+        return {
+            "location": self._named_get(pc, g, 0x8208),
+            "start_time": start,
+            "end_time": end,
+            "duration": self._named_get(pc, g, 0x8213),
+            "all_day_event": self._named_get(pc, g, 0x8215),
+            "is_recurring": self._named_get(pc, g, 0x8223),
+            "busy_status": self._named_get(pc, g, 0x8205),
+        }
+
+    def _sticky_extras(self, pc) -> dict:
+        g = PSETID_NOTE
+        return {
+            "note_color": self._named_get(pc, g, 0x8B00),
+            "note_width": self._named_get(pc, g, 0x8B02),
+            "note_height": self._named_get(pc, g, 0x8B03),
+            "note_x": self._named_get(pc, g, 0x8B04),
+            "note_y": self._named_get(pc, g, 0x8B05),
+        }
+
+    def _task_extras(self, pc) -> dict:
+        g = PSETID_TASK
+        return {
+            "task_status": self._named_get(pc, g, 0x8101),
+            "percent_complete": self._named_get(pc, g, 0x8102),
+            "start_date": self._named_get(pc, g, 0x8104),
+            "due_date": self._named_get(pc, g, 0x8105),
+            "is_complete": self._named_get(pc, g, 0x811C),
+        }
+
+    def _dlist_extras(self, pc) -> dict:
+        g = PSETID_COMMON  # PSETID_Address actually; resolved via map
+        members = None
+        one_off = []
+        member_ids = []
+        for key, pid in self.named.by_lid.items():
+            lid = key if isinstance(key, int) else key[1]
+            if lid == 0x8055:  # PidLidDistributionListMembers
+                members = pc.get(pid) or members
+            elif lid == 0x8054:  # OneOffMembers
+                raw_items = pc.get(pid)
+                if raw_items:
+                    one_off = [_parse_one_off(b) for b in raw_items]
+        if members:
+            for b in members:
+                if len(b) >= 4:
+                    member_ids.append(struct.unpack("<I", b[-4:])[0])
+        return {
+            "member_node_ids": member_ids,
+            "one_off_members": [o for o in one_off if o],
+        }
+
+
+def _clean_subject(s: str | None) -> str | None:
+    """Strip the PST subject prefix-length marker (\\x01 + len byte)."""
+    if s and len(s) >= 2 and s[0] == "\x01":
+        return s[2:]
+    return s
+
+
+def _html_str(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _parse_one_off(blob: bytes) -> dict | None:
+    """One-off EntryID ([MS-OXCDATA] §2.2.5.1): flags(4) + provider guid
+    (16) + version(2) + flags(2) + UTF-16 display/type/email strings —
+    the reference's decode at row_serializer.cpp:1128-1162."""
+    if len(blob) < 24:
+        return None
+    try:
+        body = blob[24:].decode("utf-16-le", errors="replace")
+        parts = body.split("\x00")
+        if len(parts) >= 3:
+            return {
+                "display_name": parts[0],
+                "address_type": parts[1],
+                "email_address": parts[2],
+            }
+    except Exception:
+        pass
+    return None

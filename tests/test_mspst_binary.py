@@ -1,0 +1,156 @@
+"""Binary PST reader golden tests — every assertion mirrors
+/root/reference/test/sql/read_unittest_pst.test on the same fixture file,
+parsed by the pure-Python [MS-PST] implementation (ndb/ltp/messaging) and
+exposed through the ``pst`` Python DataSource."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+PST = "/root/reference/test/unittest.pst"
+
+GOLD_RECORD_KEY = bytes.fromhex("D8D31B118C3A3B4A9D8816686207E762")
+
+GOLD_FOLDERS = {  # read_unittest_pst.test:22-37
+    290: (290, None, "", 3, 0, 0),
+    32802: (290, None, "Top of Outlook data file", 13, 0, 0),
+    32834: (290, None, "Search Root", 0, 0, 0),
+    32866: (32802, None, "Deleted Items", 0, 0, 0),
+    32898: (32802, None, "Inbox", 0, 4, 0),
+    32930: (32802, None, "Outbox", 0, 0, 0),
+    32962: (32802, None, "Sent Items", 0, 0, 0),
+    32994: (32802, "IPF.Appointment", "Calendar", 0, 1, 0),
+    33026: (32802, "IPF.Contact", "Contacts", 0, 3, 0),
+    33058: (32802, "IPF.Journal", "Journal", 0, 0, 0),
+    33090: (32802, "IPF.StickyNote", "Notes", 0, 2, 0),
+    33122: (32802, "IPF.Task", "Tasks", 0, 1, 0),
+    33154: (32802, "IPF.Note", "Drafts", 0, 1, 0),
+    33186: (32802, "IPF.Note.OutlookHomepage", "RSS Feeds", 0, 0, 0),
+    33218: (32802, "IPF.Configuration", "Conversation Action Settings", 0, 0, 0),
+    33250: (32802, "IPF.Configuration", "Quick Step Settings", 0, 0, 0),
+}
+
+
+@pytest.fixture(scope="module")
+def archive():
+    from duckdb_pst_spark.sources.mspst.messaging import PstArchive
+
+    a = PstArchive(PST)
+    yield a
+    a.close()
+
+
+def test_store_golden(archive):
+    assert archive.display_name == "Outlook Data File"
+    assert archive.record_key == GOLD_RECORD_KEY
+
+
+def test_folders_golden_16_rows(archive):
+    rows = {f["node_id"]: f for f in archive.folders()}
+    assert len(rows) == 16
+    for nid, (parent, cclass, name, subs, msgs, unread) in GOLD_FOLDERS.items():
+        f = rows[nid]
+        assert f["parent_node_id"] == parent, nid
+        assert f["container_class"] == cclass, nid
+        assert f["display_name"] == name, nid
+        assert f["subfolder_count"] == subs, nid
+        assert f["message_count"] == msgs, nid
+        assert f["unread_message_count"] == unread, nid
+
+
+def test_message_class_mix(archive):
+    """5 notes + 2 contacts + 1 dlist + 1 appt + 2 sticky + 1 task
+    (read_unittest_pst.test:39-93, README.md:25-37)."""
+    from collections import Counter
+
+    c = Counter(m["message_class"] for m in archive.messages())
+    assert c == {
+        "IPM.Note": 5,
+        "IPM.Contact": 2,
+        "IPM.DistList": 1,
+        "IPM.Appointment": 1,
+        "IPM.StickyNote": 2,
+        "IPM.Task": 1,
+    }
+
+
+def test_sticky_notes_golden(archive):
+    """Geometry + topic (read_unittest_pst.test:96-102)."""
+    sticky = sorted(
+        (m for m in archive.messages() if m["message_class"] == "IPM.StickyNote"),
+        key=lambda m: m["node_id"],
+    )
+    s0, s1 = sticky
+    assert s0["node_id"] == 2097444 and s0["parent_node_id"] == 33090
+    assert s0["conversation_topic"] == (
+        "This UI hasn't changed since I used Outlook on Win9x. Awesome."
+    )
+    assert (s0["note_color"], s0["note_width"], s0["note_height"], s0["note_x"], s0["note_y"]) == (3, 2051, 1565, 80, 80)
+    assert s1["node_id"] == 2097476 and s1["conversation_topic"] is None
+    assert (s1["note_color"], s1["note_width"], s1["note_height"], s1["note_x"], s1["note_y"]) == (0, 2051, 1565, 81, 81)
+
+
+def test_appointment_golden(archive):
+    """start/end/duration/all-day (read_unittest_pst.test:113-120)."""
+    a = [m for m in archive.messages() if m["message_class"] == "IPM.Appointment"][0]
+    assert a["node_id"] == 2097316 and a["parent_node_id"] == 32994
+    assert a["start_time"] == dt.datetime(2025, 12, 25, 5, 0, 0)
+    assert a["end_time"] == dt.datetime(2025, 12, 26, 5, 0, 0)
+    assert a["duration"] == 1440
+    assert a["all_day_event"] is True
+
+
+def test_task_golden(archive):
+    """due date (read_unittest_pst.test:104-111)."""
+    t = [m for m in archive.messages() if m["message_class"] == "IPM.Task"][0]
+    assert t["node_id"] == 2097508 and t["parent_node_id"] == 33122
+    assert t["due_date"] == dt.datetime(2025, 12, 25, 0, 0, 0)
+
+
+def test_dlist_golden(archive):
+    """members + one-offs (read_unittest_pst.test:57-69)."""
+    d = [m for m in archive.messages() if m["message_class"] == "IPM.DistList"][0]
+    assert d["node_id"] == 2097412 and d["parent_node_id"] == 33026
+    assert d["display_name"] == "Cat Support Group"
+    assert sorted(d["member_node_ids"]) == [2097380, 2097412]
+    offs = sorted(d["one_off_members"], key=lambda o: o["display_name"])
+    assert offs == [
+        {
+            "display_name": "Hopper Cat (hopper@intellekt.fyi)",
+            "address_type": "SMTP",
+            "email_address": "hopper@intellekt.fyi",
+        },
+        {
+            "display_name": "Linus Cat (linus@intellekt.fyi)",
+            "address_type": "SMTP",
+            "email_address": "linus@intellekt.fyi",
+        },
+    ]
+
+
+def test_datasource_spark_integration(spark):
+    """spark.read.format('pst') end-to-end over the golden file."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    folders = spark.read.format("pst").option("table", "folders").load(PST)
+    assert folders.count() == 16
+    assert folders.filter("node_id = parent_node_id").count() == 1  # root self-loop
+
+    msgs = spark.read.format("pst").load(PST)
+    assert msgs.count() == 12
+    by_class = {r["message_class"]: r["count"] for r in msgs.groupBy("message_class").count().collect()}
+    assert by_class["IPM.Note"] == 5 and by_class["IPM.Contact"] == 2
+
+    notes = spark.read.format("pst").option("table", "notes").load(PST)
+    assert notes.count() == 5  # A5 class filter
+
+    limited = spark.read.format("pst").option("read_limit", "3").load(PST)
+    assert limited.count() == 3  # A6 read_limit
+
+    # pst_name/record_key metadata block (schema.hpp:124-133)
+    row = folders.select("pst_name", "record_key").first()
+    assert row["pst_name"] == "Outlook Data File"
+    assert bytes(row["record_key"]) == GOLD_RECORD_KEY
