@@ -41,6 +41,7 @@ def treewalk(
     to_col: str,
     key_col: str = "key",
     max_iters: int = 128,
+    dedup_level: bool = True,
 ) -> DataFrame:
     """Iterate-to-fixpoint closure with UNION-dedup termination.
 
@@ -59,16 +60,24 @@ def treewalk(
         # both sides broadcast: each iteration is a map-only pass over the
         # cached edges — no shuffle per level. For closures too big to
         # broadcast, swap the anti-join for .subtract (shuffle-based).
+        #
+        # One eager checkpoint = one job per level; ``acc`` is NOT
+        # re-checkpointed — it is a shallow union of already-materialized
+        # levels, so its lineage stays O(depth) over cached RDDs, and
+        # ``isEmpty`` on the materialized level is a cheap cached take(1).
         nxt = (
             edges.join(F.broadcast(cur), edges[from_col] == cur[key_col])
             .select(edges[to_col].cast("long").alias(key_col))
             .join(F.broadcast(acc), key_col, "left_anti")
-            .distinct()
-            .localCheckpoint(eager=True)
         )
+        if dedup_level:
+            # duplicates within a level only exist when a node has several
+            # parents (DAG); tree callers skip this shuffle entirely
+            nxt = nxt.distinct()
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return acc
-        acc = acc.union(nxt).localCheckpoint(eager=True)
+        acc = acc.union(nxt)
         cur = nxt
     raise RuntimeError(f"treewalk did not converge in {max_iters} iterations")
 
@@ -109,6 +118,7 @@ def q_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.filter(F.col("child") != F.col("parent")),
         from_col="parent",
         to_col="child",
+        dedup_level=False,  # heap tree: single parent per node
     )
 
 
@@ -133,7 +143,7 @@ def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = spark.range(149, 150).select(F.col("id").alias("key"))
     # walk upward: frontier key matches edge.child, emit edge.parent;
     # the 0→0 self-loop is terminated by the dedup, as in the reference.
-    return treewalk(frontier, edges, from_col="child", to_col="parent")
+    return treewalk(frontier, edges, from_col="child", to_col="parent", dedup_level=False)
 
 
 @query(

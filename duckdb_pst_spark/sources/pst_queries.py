@@ -107,7 +107,7 @@ def q_pst_folder_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent_node_id").cast("long").alias("parent"),
     )
     frontier = spark.range(32802, 32803).select(F.col("id").alias("key"))
-    keys = treewalk(frontier, edges, from_col="parent", to_col="child")
+    keys = treewalk(frontier, edges, from_col="parent", to_col="child", dedup_level=False)
     return keys.join(
         F.broadcast(folders.select(F.col("node_id").alias("key"), "display_name")),
         "key",
