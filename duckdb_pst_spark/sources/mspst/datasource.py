@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -101,6 +102,67 @@ MESSAGE_SCHEMA = StructType(
     ]
 )
 
+# subtype blocks appended to MESSAGE_SCHEMA — the reference's
+# schema-inheritance-by-concatenation (schema.hpp:254-260)
+_EXTRAS = {
+    "contacts": [
+        StructField("given_name", StringType()),
+        StructField("surname", StringType()),
+        StructField("email_address_1", StringType()),
+        StructField("company_name", StringType()),
+        StructField("business_phone_number", StringType()),
+        StructField("mobile_phone_number", StringType()),
+        StructField("birthday", TimestampNTZType()),
+        StructField("wedding_anniversary", TimestampNTZType()),
+        StructField("gender", IntegerType()),
+    ],
+    "appointments": [
+        StructField("location", StringType()),
+        StructField("start_time", TimestampNTZType()),
+        StructField("end_time", TimestampNTZType()),
+        StructField("duration", IntegerType()),
+        StructField("all_day_event", BooleanType()),
+        StructField("is_recurring", BooleanType()),
+        StructField("busy_status", IntegerType()),
+    ],
+    "sticky_notes": [
+        StructField("note_color", IntegerType()),
+        StructField("note_width", IntegerType()),
+        StructField("note_height", IntegerType()),
+        StructField("note_x", IntegerType()),
+        StructField("note_y", IntegerType()),
+    ],
+    "tasks": [
+        StructField("task_status", IntegerType()),
+        StructField("is_complete", BooleanType()),
+        StructField("percent_complete", DoubleType()),
+        StructField("start_date", TimestampNTZType()),
+        StructField("due_date", TimestampNTZType()),
+    ],
+    "distribution_lists": [
+        StructField("member_node_ids", ArrayType(LongType())),
+        StructField(
+            "one_off_members",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("display_name", StringType()),
+                        StructField("address_type", StringType()),
+                        StructField("email_address", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ],
+}
+
+
+def table_schema(table: str) -> StructType:
+    if table == "folders":
+        return FOLDER_SCHEMA
+    return StructType(MESSAGE_SCHEMA.fields + _EXTRAS.get(table, []))
+
+
 CLASS_FILTER = {
     "notes": "IPM.Note",
     "contacts": "IPM.Contact",
@@ -121,8 +183,7 @@ class PstDataSource(DataSource):
         return "pst"
 
     def schema(self):
-        table = self.options.get("table", "messages")
-        return FOLDER_SCHEMA if table == "folders" else MESSAGE_SCHEMA
+        return table_schema(self.options.get("table", "messages"))
 
     def reader(self, schema: StructType) -> "PstReader":
         return PstReader(self.options, schema)

@@ -211,7 +211,9 @@ class PstArchive:
         row["has_attachments"] = bool(row["attachments"])
         row["attachment_count"] = len(row["attachments"] or [])
         cls = row["message_class"] or ""
-        if cls.startswith("IPM.Appointment"):
+        if cls.startswith("IPM.Contact"):
+            row.update(self._contact_extras(pc))
+        elif cls.startswith("IPM.Appointment"):
             row.update(self._appointment_extras(pc))
         elif cls.startswith("IPM.StickyNote"):
             row.update(self._sticky_extras(pc))
@@ -278,6 +280,25 @@ class PstArchive:
         return out
 
     # ------------------------------------------------------- typed extras
+
+    def _contact_extras(self, pc) -> dict:
+        """CONTACT_SCHEMA subtype block (schema.hpp:175-260 subset)."""
+        email1 = None
+        for key, pid in self.named.by_lid.items():
+            lid = key if isinstance(key, int) else key[1]
+            if lid == 0x8083:  # PidLidEmail1EmailAddress
+                email1 = pc.get(pid) or email1
+        return {
+            "given_name": pc.get(0x3A06),
+            "surname": pc.get(0x3A11),
+            "email_address_1": email1,
+            "company_name": pc.get(0x3A16),
+            "business_phone_number": pc.get(0x3A08),
+            "mobile_phone_number": pc.get(0x3A1C),
+            "birthday": pc.get(0x3A42),
+            "wedding_anniversary": pc.get(0x3A41),
+            "gender": pc.get(0x3A4D),
+        }
 
     def _appointment_extras(self, pc) -> dict:
         g = PSETID_APPOINTMENT

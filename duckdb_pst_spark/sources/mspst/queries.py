@@ -1,0 +1,157 @@
+"""Registered queries over the BINARY PST reader (SURVEY.md §2.C via the
+real [MS-PST] parser, not the parquet fixtures).
+
+The oracle for these can't re-read PST (DuckDB here has no PST
+extension), so the golden queries pin the Spark result to literal VALUES
+copied from the reference's own expected output
+(/root/reference/test/sql/read_unittest_pst.test) — a hash-check against
+the reference's published truth, which is stronger than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.registry import query
+
+GOLDEN_PST = "/root/reference/test/unittest.pst"
+
+
+def _pst(spark: SparkSession, table: str) -> DataFrame:
+    from duckdb_pst_spark.sources.mspst.datasource import PstDataSource
+
+    # idempotent per-session registration
+    try:
+        spark.dataSource.register(PstDataSource)
+    except Exception:
+        pass
+    return spark.read.format("pst").option("table", table).load(GOLDEN_PST)
+
+
+_FOLDER_VALUES = """
+    (290, 290, CAST(NULL AS VARCHAR), '<empty>', 3, 0, 0),
+    (32802, 290, NULL, 'Top of Outlook data file', 13, 0, 0),
+    (32834, 290, NULL, 'Search Root', 0, 0, 0),
+    (32866, 32802, NULL, 'Deleted Items', 0, 0, 0),
+    (32898, 32802, NULL, 'Inbox', 0, 4, 0),
+    (32930, 32802, NULL, 'Outbox', 0, 0, 0),
+    (32962, 32802, NULL, 'Sent Items', 0, 0, 0),
+    (32994, 32802, 'IPF.Appointment', 'Calendar', 0, 1, 0),
+    (33026, 32802, 'IPF.Contact', 'Contacts', 0, 3, 0),
+    (33058, 32802, 'IPF.Journal', 'Journal', 0, 0, 0),
+    (33090, 32802, 'IPF.StickyNote', 'Notes', 0, 2, 0),
+    (33122, 32802, 'IPF.Task', 'Tasks', 0, 1, 0),
+    (33154, 32802, 'IPF.Note', 'Drafts', 0, 1, 0),
+    (33186, 32802, 'IPF.Note.OutlookHomepage', 'RSS Feeds', 0, 0, 0),
+    (33218, 32802, 'IPF.Configuration', 'Conversation Action Settings', 0, 0, 0),
+    (33250, 32802, 'IPF.Configuration', 'Quick Step Settings', 0, 0, 0)
+"""
+
+
+@query(
+    "q_pstbin_folders",
+    oracle=f"""
+    SELECT CAST(node_id AS BIGINT) AS node_id,
+           CAST(parent_node_id AS BIGINT) AS parent_node_id,
+           container_class, display_name,
+           CAST(subfolder_count AS BIGINT) AS subfolder_count,
+           CAST(message_count AS BIGINT) AS message_count,
+           CAST(unread_message_count AS BIGINT) AS unread_message_count
+    FROM (VALUES {_FOLDER_VALUES})
+      t(node_id, parent_node_id, container_class, display_name,
+        subfolder_count, message_count, unread_message_count)
+    """,
+    tags=("pst-binary", "scan"),
+)
+def q_pstbin_folders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-reader folder table hash-pinned to the reference's golden
+    16-row output (read_unittest_pst.test:19-37)."""
+    f = _pst(spark, "folders")
+    return f.select(
+        "node_id",
+        "parent_node_id",
+        "container_class",
+        F.when(F.col("display_name") == "", "<empty>")
+        .otherwise(F.col("display_name"))
+        .alias("display_name"),
+        "subfolder_count",
+        "message_count",
+        "unread_message_count",
+    )
+
+
+@query(
+    "q_pstbin_class_counts",
+    oracle="""
+    SELECT message_class, CAST(c AS BIGINT) AS c FROM (VALUES
+      ('IPM.Note', 5), ('IPM.Contact', 2), ('IPM.StickyNote', 2),
+      ('IPM.Appointment', 1), ('IPM.DistList', 1), ('IPM.Task', 1)
+    ) t(message_class, c)
+    """,
+    tags=("pst-binary", "agg"),
+)
+def q_pstbin_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-reader class histogram pinned to the golden mix
+    (read_unittest_pst.test:39-93, README.md:25-37)."""
+    m = _pst(spark, "messages")
+    return m.groupBy("message_class").agg(F.count(F.lit(1)).alias("c"))
+
+
+@query(
+    "q_pstbin_sticky_geometry",
+    oracle="""
+    SELECT CAST(node_id AS BIGINT) AS node_id,
+           CAST(note_color AS INT) AS note_color,
+           CAST(note_width AS INT) AS note_width,
+           CAST(note_height AS INT) AS note_height,
+           CAST(note_x AS INT) AS note_x, CAST(note_y AS INT) AS note_y
+    FROM (VALUES (2097444, 3, 2051, 1565, 80, 80),
+                 (2097476, 0, 2051, 1565, 81, 81)) t(node_id, note_color,
+      note_width, note_height, note_x, note_y)
+    """,
+    tags=("pst-binary", "typed"),
+)
+def q_pstbin_sticky_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-property sticky geometry pinned to golden
+    (read_unittest_pst.test:96-102)."""
+    s = _pst(spark, "sticky_notes")
+    return s.select("node_id", "note_color", "note_width", "note_height", "note_x", "note_y")
+
+
+@query(
+    "q_pstbin_appointment",
+    oracle="""
+    SELECT CAST(2097316 AS BIGINT) AS node_id,
+           TIMESTAMP '2025-12-25 05:00:00' AS start_time,
+           TIMESTAMP '2025-12-26 05:00:00' AS end_time,
+           CAST(1440 AS INT) AS duration, TRUE AS all_day_event
+    """,
+    tags=("pst-binary", "typed"),
+)
+def q_pstbin_appointment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Appointment times pinned to golden (read_unittest_pst.test:113-120)."""
+    a = _pst(spark, "appointments")
+    return a.select("node_id", "start_time", "end_time", "duration", "all_day_event")
+
+
+@query(
+    "q_pstbin_dlist_members",
+    oracle="""
+    SELECT 'Cat Support Group' AS list_name, member_name, email_address FROM (VALUES
+      ('Hopper Cat (hopper@intellekt.fyi)', 'hopper@intellekt.fyi'),
+      ('Linus Cat (linus@intellekt.fyi)', 'linus@intellekt.fyi')
+    ) t(member_name, email_address)
+    """,
+    tags=("pst-binary", "nested"),
+)
+def q_pstbin_dlist_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-list one-off members unnested, pinned to golden
+    (read_unittest_pst.test:57-69)."""
+    d = _pst(spark, "distribution_lists")
+    e = d.select(F.col("display_name").alias("list_name"), F.explode("one_off_members").alias("m"))
+    return e.select(
+        "list_name",
+        F.col("m.display_name").alias("member_name"),
+        F.col("m.email_address").alias("email_address"),
+    )

@@ -154,3 +154,20 @@ def test_datasource_spark_integration(spark):
     row = folders.select("pst_name", "record_key").first()
     assert row["pst_name"] == "Outlook Data File"
     assert bytes(row["record_key"]) == GOLD_RECORD_KEY
+
+
+def test_typed_datasource_contacts(spark):
+    """Typed tables append subtype columns (schema composition,
+    schema.hpp:254-260); golden contact names Hopper/Linus
+    (reference README.md:61-69)."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    c = spark.read.format("pst").option("table", "contacts").load(PST)
+    rows = {r.given_name: r for r in c.select("given_name", "surname").collect()}
+    assert set(rows) == {"Hopper", "Linus"}
+    assert all(r.surname == "Cat" for r in rows.values())
+
+    t = spark.read.format("pst").option("table", "tasks").load(PST)
+    row = t.select("due_date", "start_date").first()
+    assert row.due_date == dt.datetime(2025, 12, 25)
