@@ -212,3 +212,73 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
     )
     return paired.filter(F.col("cos_sim") > 0.6)
+
+
+# ----------------------------------------------------------------- IVF ANN
+N_CENTROIDS = 16  # coarse quantizer size; seeds = first candidate vectors
+
+
+@query(
+    "q_knn_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id - {N_QUERIES} AS cid, embedding AS cemb
+      FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_cosine('e.embedding', 'cent.cemb', DIM)} DESC, cent.cid
+               ) AS crn
+        FROM embeddings e CROSS JOIN cent
+      ) a WHERE crn = 1
+    )
+    SELECT qid, cand_id, rn, cos_sim FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+             {duck_cosine('q.embedding', 'c.embedding', DIM)} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {duck_cosine('q.embedding', 'c.embedding', DIM)} DESC, c.vec_id
+             ) AS rn
+      FROM assigned q
+      JOIN assigned c ON c.cid = q.cid AND c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path next to LSH): a deterministic coarse
+    quantizer (seeds = the first {N_CENTROIDS} candidate vectors; no
+    iterative training, so the DuckDB oracle reproduces it exactly)
+    assigns every vector to its nearest centroid; each query then probes
+    ONLY its own inverted list (nprobe=1). The assignment is a broadcast
+    cross-join against 16 centroids (map-side), and the probe is an
+    equi-join on the centroid id — shuffle ∝ list sizes, never n².
+    At 100 TB: train real centroids offline, store list id as a partition
+    column, and the probe becomes partition pruning."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("cemb"))), F.asc("cid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("cid").alias("bucket")
+    )
+    c = assigned.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("cid").alias("bucket")
+    )
+    return _knn(q, c, TOP_K)

@@ -198,17 +198,49 @@ class PstReader(DataSourceReader):
             options.get("read_attachment_body", "false")
         ).lower() in ("true", "1")
         self.read_limit = options.get("read_limit")
+        # rows per scan partition — reference default 2*2048
+        # (table_function.hpp:29-30)
+        self.options_partition_size = options.get("partition_size", "4096")
         self.schema = schema
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
+        """Bind-time planning (A3/A4, table_function.cpp:191-239): crawl
+        each file's NBT on the driver and bucket message node-ids into
+        partitions of ``partition_size`` (reference default 4096,
+        table_function.hpp:29-30) — one Spark task per bucket, with the
+        node list carried in the partition like the reference's
+        ``PSTInputPartition.nodes``. Folders stay one partition per file
+        (16-ish rows). With ``read_limit``, planning stops once enough
+        nodes are covered (A6: the crawl itself is cut short)."""
         files = sorted(globmod.glob(self.path)) if self.path else []
-        # limit pushdown at planning (A6): with a row cap, one partition
-        # can satisfy it without opening every file
-        return [InputPartition(f) for f in files] or [InputPartition(None)]
+        if not files:
+            return [InputPartition((None, None))]
+        psize = int(self.options_partition_size)
+        limit = int(self.read_limit) if self.read_limit is not None else None
+        out = []
+        planned = 0
+        for f in files:
+            if self.table == "folders":
+                out.append(InputPartition((f, None)))
+                continue
+            from duckdb_pst_spark.sources.mspst.ndb import PstFile, nid_type
+
+            with PstFile(f) as p:
+                nids = sorted(
+                    n for n in p.nbt if nid_type(n) == 0x04  # normal messages
+                )
+            if limit is not None:
+                nids = nids[: max(limit - planned, 0)]
+            planned += len(nids)
+            for i in range(0, len(nids), psize):
+                out.append(InputPartition((f, nids[i : i + psize])))
+            if limit is not None and planned >= limit:
+                break
+        return out or [InputPartition((None, None))]
 
     def read(self, partition):
-        path = partition.value
+        path, nids = partition.value
         if path is None:
             return
         from duckdb_pst_spark.sources.mspst.messaging import PstArchive
@@ -225,9 +257,13 @@ class PstReader(DataSourceReader):
             if self.table == "folders":
                 rows = a.folders()
             else:
-                rows = a.messages(
-                    read_body_size_bytes=self.read_body_size_bytes,
-                    read_attachment_body=self.read_attachment_body,
+                rows = (
+                    a.message_row(
+                        nid,
+                        read_body_size_bytes=self.read_body_size_bytes,
+                        read_attachment_body=self.read_attachment_body,
+                    )
+                    for nid in (nids or [])
                 )
             want = CLASS_FILTER.get(self.table)
             for r in rows:

@@ -171,3 +171,26 @@ def test_typed_datasource_contacts(spark):
     t = spark.read.format("pst").option("table", "tasks").load(PST)
     row = t.select("due_date", "start_date").first()
     assert row.due_date == dt.datetime(2025, 12, 25)
+
+
+def test_node_range_partitioning(spark):
+    """A3/A4 parity: driver-side NBT crawl buckets message nids into
+    partition_size tasks; read_limit cuts the crawl at planning (A6)."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("pst")
+        .option("partition_size", "5")
+        .load(PST)
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(12 / 5)
+    assert df.count() == 12
+
+    lim = (
+        spark.read.format("pst")
+        .option("partition_size", "5")
+        .option("read_limit", "7")
+        .load(PST)
+    )
+    assert lim.rdd.getNumPartitions() == 2 and lim.count() == 7
