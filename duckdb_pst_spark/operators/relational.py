@@ -508,3 +508,85 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ------------------------------------------- beyond-reference relational ops
+# (the reference has none of these — SURVEY.md §2.D — but a user migrating
+# real analytics onto this engine expects them; all pure Spark SQL built-ins)
+
+
+@query(
+    "q_rollup_agg",
+    oracle="""
+    SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "grouping"),
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy: per-nation, per-region
+    subtotal, and grand total in one pass — partial aggregation handles
+    all grouping sets in the same shuffle."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "q_cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping"),
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping sets."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers that have orders."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with no orders — the anti-join
+    shape Catalyst compiles this to."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()

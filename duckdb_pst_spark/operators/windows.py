@@ -139,3 +139,54 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "event_id", "user_id", "ts", F.sum("is_new").over(run_w).alias("session_id")
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT s.user_id, s.event_id, s.ts,
+           p.event_id AS prior_purchase_event, p.ts AS prior_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') s
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id AND s.ts >= p.ts
+    """,
+    tags=("window", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively (DuckDB has ASOF
+    JOIN): each 'view' event picks the most recent prior 'purchase' by
+    the same user. Implemented as the union-merge pattern: tag both
+    sides, sort within user by time, carry the last purchase forward
+    with last_value(ignorenulls) — ONE shuffle on user_id and a single
+    sort, versus a range-join explosion. This is the scale shape: at
+    100 TB the shuffle is on the join key only, and AQE handles user
+    skew."""
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", F.lit(1).alias("is_left")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.lit(0).alias("is_left")
+    )
+    tagged = views.unionByName(buys)
+    # order purchases before views at identical ts (s.ts >= p.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_left",
+        F.last(F.when(F.col("is_left") == 0, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("prior_purchase_event"),
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prior_purchase_ts"),
+    )
+    return carried.filter(F.col("is_left") == 1).select(
+        "user_id", "event_id", "ts", "prior_purchase_event", "prior_purchase_ts"
+    )
