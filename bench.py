@@ -47,8 +47,20 @@ def main() -> None:
 
     spark = get_spark("dps-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: JVM, codegen, parquet footer caches
+    # Warm-up: JVM, whole-stage-codegen JIT, parquet footer caches, and the
+    # broadcast/checkpoint machinery. Each bench query runs once UNTIMED at
+    # the tiny sf0.001 so every plan shape is code-generated and JIT-compiled
+    # before the clock starts — the timed sf0.1 numbers then measure
+    # steady-state engine throughput (what a long-running cluster job sees),
+    # not one-time JVM compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for spec in bench_specs:
+            try:
+                spec.builder(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
     for t in ("lineitem", "orders"):
         from duckdb_pst_spark.tables import table
 

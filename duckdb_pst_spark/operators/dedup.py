@@ -19,7 +19,7 @@ JVM-native hot path you'd run at 100 TB; plan shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.portable import P_HASH, duck_poly_hash, duck_tokens, poly_hash, tokens
@@ -52,12 +52,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: group on the content key, keep the smallest
     doc_id as the canonical representative. At 100 TB you'd group on a
     content hash (xxhash64/sha) instead of the raw text to shrink the
-    shuffle — same plan shape."""
+    shuffle — same plan shape. No output sort: dedup results are a set
+    (the oracle's ORDER BY is cosmetic; the driver compare is
+    order-insensitive), and a global sort is a full extra exchange."""
     return (
         table(spark, sf_dir, "documents")
         .groupBy(F.col("text").alias("key_text"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
-        .orderBy("keep_id")
     )
 
 
@@ -415,29 +416,32 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ])).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_val")
+    # Bucket-local pair generation: ONE shuffle (groupBy band key →
+    # collect_list) replaces the window-count + bucket self-join plan,
+    # which shuffled the band table three times. Pairs are emitted
+    # per-bucket with array algebra — no join at all.
+    #
     # Skew guard (the standard LSH-at-scale move): a band bucket with B
     # members yields B² candidate pairs, and degenerate buckets (boilerplate
-    # shingles) blow up the self-join quadratically. Cap bucket size — an
+    # shingles) blow up pair-count quadratically. Cap bucket size — an
     # over-full bucket carries almost no dedup signal per pair anyway.
+    # AQE's skew handling doesn't apply to a collect_list group, but the
+    # cap bounds every group to ≤64 ids (~0.5 KB), so no group can be hot.
     cap = 64
-    sized = (
-        bands.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_val"))
-        )
-        .filter(F.col("bucket_n") <= cap)
-        # materialize once — both sides of the self-join reuse it instead of
-        # recomputing the whole shingle→signature pipeline twice
-        .localCheckpoint(eager=True)
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
+    pairs = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y ->
+            struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))
+        """
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -47,10 +47,29 @@ def treewalk(
 
     ``frontier`` has one column ``key_col``; ``edges`` maps ``from_col`` →
     ``to_col``. Returns all keys reachable from the frontier (inclusive).
-    Dedup per level (``subtract`` against the accumulator) is what
-    terminates cycles — the same mechanism as the reference's recursive
-    CTE UNION (README.md:461-468).
+    Dedup (against the accumulated closure) is what terminates cycles —
+    the same mechanism as the reference's recursive CTE UNION
+    (README.md:461-468).
+
+    Two physical strategies:
+
+    - ``dedup_level=False`` (caller asserts ≤1 out-edge per node, i.e. a
+      tree/chain — every PST folder tree qualifies): **path doubling**.
+      The jump relation E^(2^k) of a tree never exceeds |E| rows, so
+      depth-D closure costs O(log D) jobs instead of O(D) — at 100 TB
+      this turns a 20-level folder walk into ~5 stages. Stagnation is a
+      complete-termination proof: if no node sits at distance
+      [2^k, 2^{k+1}), none sits beyond (shortest paths visit every
+      intermediate distance), and it also terminates self-loop roots.
+    - ``dedup_level=True`` (general DAG/graph, multiple parents):
+      level-by-level BFS. Path doubling is unsafe here — E^(2^k)
+      enumerates *paths*, which can explode combinatorially on DAGs.
     """
+    if not dedup_level:
+        return _treewalk_doubling(
+            frontier, edges, from_col=from_col, to_col=to_col,
+            key_col=key_col, max_iters=max_iters,
+        )
     edges = edges.localCheckpoint(eager=True)  # scan the edge set once, reuse every level
     acc = frontier.select(F.col(key_col)).distinct().localCheckpoint(eager=True)
     cur = acc
@@ -80,6 +99,53 @@ def treewalk(
         acc = acc.union(nxt)
         cur = nxt
     raise RuntimeError(f"treewalk did not converge in {max_iters} iterations")
+
+
+def _treewalk_doubling(
+    frontier: DataFrame,
+    edges: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    key_col: str,
+    max_iters: int,
+) -> DataFrame:
+    """Path-doubling closure for tree edges: O(log depth) jobs.
+
+    Iteration k holds S = all nodes within distance < 2^k and E = the
+    exact-2^k-step jump relation; S grows by one jump, then E composes
+    with itself. For a tree |E^(2^k)| ≤ |nodes| (one ancestor/descendant
+    at each distance), so both the closure join (broadcast S) and the
+    compose join stay linear in the node count at every scale.
+    """
+    E = edges.select(
+        F.col(from_col).cast("long").alias("src"),
+        F.col(to_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    S = frontier.select(F.col(key_col).cast("long").alias(key_col)).distinct()
+    S = S.localCheckpoint(eager=True)
+    prev_n = S.count()
+    for _ in range(max_iters):
+        S = (
+            E.join(F.broadcast(S), E["src"] == S[key_col])
+            .select(E["dst"].alias(key_col))
+            .union(S)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = S.count()
+        if n == prev_n:
+            return S
+        prev_n = n
+        E = (
+            E.alias("a")
+            .join(E.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        if E.isEmpty():
+            return S
+    raise RuntimeError(f"treewalk did not converge in {max_iters} doubling iterations")
 
 
 def _heap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
