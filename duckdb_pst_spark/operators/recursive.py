@@ -118,10 +118,16 @@ def _treewalk_doubling(
     at each distance), so both the closure join (broadcast S) and the
     compose join stay linear in the node count at every scale.
     """
+    # Above this row count the jump relation stops being broadcast in the
+    # self-compose join (~16 B/row ⇒ ~80 MB) and composes as a shuffle
+    # join instead — the same size-adaptive call AQE makes for joins.
+    bcast_edge_rows = 5_000_000
+
     E = edges.select(
         F.col(from_col).cast("long").alias("src"),
         F.col(to_col).cast("long").alias("dst"),
     ).localCheckpoint(eager=True)
+    n_e = E.count()
     S = frontier.select(F.col(key_col).cast("long").alias(key_col)).distinct()
     S = S.localCheckpoint(eager=True)
     prev_n = S.count()
@@ -137,13 +143,17 @@ def _treewalk_doubling(
         if n == prev_n:
             return S
         prev_n = n
+        rhs = E.alias("b")
+        if n_e <= bcast_edge_rows:
+            rhs = F.broadcast(rhs)
         E = (
             E.alias("a")
-            .join(E.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .join(rhs, F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .localCheckpoint(eager=True)
         )
-        if E.isEmpty():
+        n_e = E.count()
+        if n_e == 0:
             return S
     raise RuntimeError(f"treewalk did not converge in {max_iters} doubling iterations")
 
