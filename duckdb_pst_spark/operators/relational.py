@@ -590,3 +590,145 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.exceptAll(o.distinct()).distinct()
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer row survives; order columns are
+    NULL for customers with no orders. Same shuffle-on-key shape as the
+    inner join — outer-ness changes row emission, not partitioning."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c
+    FULL OUTER JOIN supplier s ON s.s_suppkey = c.c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join on overlapping key ranges — unmatched rows from
+    BOTH sides survive with NULLs. Full outer cannot broadcast either
+    side (every row of both must be emitted), so it is always a shuffle
+    join; key-range overlap decides the NULL fraction, not the plan."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    return c.join(s, c.c_custkey == s.s_suppkey, "full").select("c_custkey", "s_suppkey")
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders. The probe
+    side streams; only the distinct key set of orders is built — at
+    scale this is the cheapest of the join family."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS median_price_c,
+           CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS min_price_c,
+           CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS max_price_c
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). Floor-scaled to cents: the even-count
+    midpoint is a half-cent average, exactly representable in a double,
+    so both engines floor identically. At 100 TB you'd switch to
+    `approx_percentile` (t-digest, mergeable partial aggregation) —
+    exact percentile requires a full sort of every group."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100)
+        .cast("long")
+        .alias("median_price_c"),
+        F.floor(F.min("o_totalprice") * 100).cast("long").alias("min_price_c"),
+        F.floor(F.max("o_totalprice") * 100).cast("long").alias("max_price_c"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS "F",
+           count(*) FILTER (o_orderstatus = 'O') AS "O",
+           count(*) FILTER (o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per order status, counts per priority. Pivot
+    values are declared explicitly — with them the plan is a single
+    group-by with conditional aggregates (one shuffle); without them
+    Spark must first run a distinct scan to discover the columns."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "q_correlated_scalar",
+    oracle="""
+    SELECT o.o_orderkey
+    FROM orders o
+    WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+            * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(FLOOR(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("join", "subquery"),
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders priced above their customer's
+    average — decorrelated the way every engine executes it: one
+    aggregate over the correlation key joined back to the outer table.
+    All-integer comparison (price_c * n > sum_c) so no double division
+    crosses the engine boundary."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_c"),
+    )
+    return (
+        o.join(per_cust.withColumnRenamed("o_custkey", "ck"), F.col("o_custkey") == F.col("ck"))
+        .filter(F.floor(F.col("o_totalprice") * 100).cast("long") * F.col("n_ord") > F.col("sum_c"))
+        .select("o_orderkey")
+    )
