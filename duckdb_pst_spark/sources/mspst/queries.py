@@ -102,21 +102,30 @@ def q_pstbin_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pstbin_sticky_geometry",
     oracle="""
     SELECT CAST(node_id AS BIGINT) AS node_id,
+           CAST(parent_node_id AS BIGINT) AS parent_node_id,
+           message_class, conversation_topic,
            CAST(note_color AS INT) AS note_color,
            CAST(note_width AS INT) AS note_width,
            CAST(note_height AS INT) AS note_height,
            CAST(note_x AS INT) AS note_x, CAST(note_y AS INT) AS note_y
-    FROM (VALUES (2097444, 3, 2051, 1565, 80, 80),
-                 (2097476, 0, 2051, 1565, 81, 81)) t(node_id, note_color,
-      note_width, note_height, note_x, note_y)
+    FROM (VALUES
+      (2097444, 33090, 'IPM.StickyNote',
+       'This UI hasn''t changed since I used Outlook on Win9x. Awesome.',
+       3, 2051, 1565, 80, 80),
+      (2097476, 33090, 'IPM.StickyNote', NULL, 0, 2051, 1565, 81, 81)
+    ) t(node_id, parent_node_id, message_class, conversation_topic,
+        note_color, note_width, note_height, note_x, note_y)
     """,
     tags=("pst-binary", "typed"),
 )
 def q_pstbin_sticky_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Named-property sticky geometry pinned to golden
-    (read_unittest_pst.test:96-102)."""
+    """Sticky-note rows (class, topic, named-property geometry) pinned to
+    golden (read_unittest_pst.test:96-102)."""
     s = _pst(spark, "sticky_notes")
-    return s.select("node_id", "note_color", "note_width", "note_height", "note_x", "note_y")
+    return s.select(
+        "node_id", "parent_node_id", "message_class", "conversation_topic",
+        "note_color", "note_width", "note_height", "note_x", "note_y",
+    )
 
 
 @query(
@@ -155,3 +164,64 @@ def q_pstbin_dlist_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.display_name").alias("member_name"),
         F.col("m.email_address").alias("email_address"),
     )
+
+
+@query(
+    "q_pstbin_task",
+    oracle="""
+    SELECT CAST(2097508 AS BIGINT) AS node_id,
+           CAST(33122 AS BIGINT) AS parent_node_id,
+           'IPM.Task' AS message_class,
+           TIMESTAMP '2025-12-25 00:00:00' AS due_date
+    """,
+    tags=("pst-binary", "typed"),
+)
+def q_pstbin_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task due date pinned to golden (read_unittest_pst.test:104-111)."""
+    t = _pst(spark, "tasks")
+    return t.select("node_id", "parent_node_id", "message_class", "due_date")
+
+
+@query(
+    "q_pstbin_dlist_ids",
+    oracle="""
+    SELECT CAST(2097412 AS BIGINT) AS node_id,
+           CAST(33026 AS BIGINT) AS parent_node_id,
+           'Cat Support Group' AS display_name,
+           [CAST(2097412 AS BIGINT), CAST(2097380 AS BIGINT)] AS member_node_ids
+    """,
+    tags=("pst-binary", "nested"),
+)
+def q_pstbin_dlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-list row with decoded member_node_ids pinned to golden
+    (read_unittest_pst.test:59-64; wrapped-EntryID nid extraction,
+    reference row_serializer.cpp:1164-1204)."""
+    d = _pst(spark, "distribution_lists")
+    return d.select("node_id", "parent_node_id", "display_name", "member_node_ids")
+
+
+@query(
+    "q_pstbin_counts",
+    oracle="""
+    SELECT tbl, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('folders', 16), ('messages', 12), ('notes', 5), ('contacts', 2),
+      ('appointments', 1), ('sticky_notes', 2), ('tasks', 1),
+      ('distribution_lists', 1)
+    ) t(tbl, n)
+    """,
+    tags=("pst-binary", "agg"),
+)
+def q_pstbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table row counts across all 8 table functions, pinned to the
+    reference's own count assertions (read_unittest_pst.test:14-93)."""
+    parts = []
+    for tbl in ("folders", "messages", "notes", "contacts", "appointments",
+                "sticky_notes", "tasks", "distribution_lists"):
+        parts.append(
+            _pst(spark, tbl).select(F.lit(tbl).alias("tbl")).groupBy("tbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
