@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has no randomized testing).
+
+Each property pits a distributed operator against an obviously-correct
+pure-Python model on randomized inputs:
+
+- treewalk (both strategies: path doubling on functional graphs,
+  level-BFS on arbitrary DAGs/graphs) vs a Python BFS;
+- the portable polynomial hash vs direct int arithmetic;
+- MinHash-LSH candidate generation invariants (symmetry, bucket
+  membership) on the bucket-local pair expansion.
+
+Example counts are small because every example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.functions.portable import P_HASH, poly_hash
+from duckdb_pst_spark.operators.recursive import treewalk
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _bfs(edges: dict[int, list[int]], start: int) -> set[int]:
+    seen = {start}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in edges.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return seen
+
+
+def _run_treewalk(spark, edge_pairs, start, dedup_level):
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_pairs] or [(0, 0)], "src long, dst long"
+    )
+    if not edge_pairs:
+        edges = edges.limit(0)
+    frontier = spark.createDataFrame([(int(start),)], "key long")
+    out = treewalk(
+        frontier, edges, from_col="src", to_col="dst", dedup_level=dedup_level
+    )
+    rows = [r.key for r in out.collect()]
+    assert len(rows) == len(set(rows)), "closure must be a set (no dup keys)"
+    return set(rows)
+
+
+@given(
+    succ=st.lists(st.integers(min_value=0, max_value=11), min_size=1, max_size=12),
+    start=st.integers(min_value=0, max_value=11),
+)
+@settings(**_SETTINGS)
+def test_treewalk_doubling_matches_bfs_on_functional_graphs(spark, succ, start):
+    """dedup_level=False (path doubling) on functional graphs — each node
+    has exactly one successor; cycles and self-loops included (the PST
+    root self-loop is the degenerate case)."""
+    n = len(succ)
+    start = start % n
+    edge_pairs = [(i, succ[i] % n) for i in range(n)]
+    model = _bfs({a: [b] for a, b in edge_pairs}, start)
+    got = _run_treewalk(spark, edge_pairs, start, dedup_level=False)
+    assert got == model
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+        ),
+        max_size=20,
+    ),
+    start=st.integers(min_value=0, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_treewalk_bfs_matches_model_on_arbitrary_graphs(spark, edges, start):
+    """dedup_level=True (level BFS) on arbitrary digraphs — multi-parent,
+    cyclic, disconnected, empty."""
+    model: dict[int, list[int]] = {}
+    for a, b in edges:
+        model.setdefault(a, []).append(b)
+    expect = _bfs(model, start)
+    got = _run_treewalk(spark, edges, start, dedup_level=True)
+    assert got == expect
+
+
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+@settings(**_SETTINGS)
+def test_poly_hash_matches_python_model(spark, s):
+    """Spark-side poly_hash == direct Python integer arithmetic."""
+    expect = 0
+    for ch in s:
+        expect = (expect * 31 + ord(ch)) % P_HASH
+    got = spark.createDataFrame([(s,)], "t string").select(
+        poly_hash(F.col("t")).alias("h")
+    ).collect()[0].h
+    assert got == expect
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=8, unique=True)
+)
+@settings(**_SETTINGS)
+def test_bucket_pair_expansion_is_all_unordered_pairs(spark, ids):
+    """The LSH bucket-local pair expression emits exactly the set of
+    unordered pairs {a<b} of the bucket — the same pair set a bucket
+    self-join with a.doc_id < b.doc_id would produce."""
+    df = spark.createDataFrame([(ids,)], "ids array<long>")
+    pairs_expr = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)), y ->
+            struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))
+        """
+    )
+    got = {
+        (r.p.doc_a, r.p.doc_b)
+        for r in df.select(F.explode(pairs_expr).alias("p")).collect()
+    }
+    expect = {(min(a, b), max(a, b)) for i, a in enumerate(ids) for b in ids[i + 1:]}
+    assert got == expect
+    assert all(a < b for a, b in got)
+
+
+@pytest.mark.parametrize("dedup_level", [False, True])
+def test_treewalk_empty_edges(spark, dedup_level):
+    got = _run_treewalk(spark, [], 5, dedup_level=dedup_level)
+    assert got == {5}
