@@ -18,6 +18,7 @@ Maps the reference's scan architecture onto the DataSource API
 from __future__ import annotations
 
 import glob as globmod
+import sys
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
@@ -221,15 +222,27 @@ class PstReader(DataSourceReader):
         out = []
         planned = 0
         for f in files:
-            if self.table == "folders":
-                out.append(InputPartition((f, None)))
-                continue
-            from duckdb_pst_spark.sources.mspst.ndb import PstFile, nid_type
+            try:
+                from duckdb_pst_spark.sources.mspst.ndb import PstFile, nid_type
 
-            with PstFile(f) as p:
-                nids = sorted(
-                    n for n in p.nbt if nid_type(n) == 0x04  # normal messages
-                )
+                if self.table == "folders":
+                    # probe the full NBT crawl so an unreadable/truncated
+                    # file is dropped at plan time, not at task time
+                    with PstFile(f) as p:
+                        for _ in p.nbt:
+                            pass
+                    out.append(InputPartition((f, None)))
+                    continue
+
+                with PstFile(f) as p:
+                    nids = sorted(
+                        n for n in p.nbt if nid_type(n) == 0x04  # normal messages
+                    )
+            except Exception as exc:
+                # A18 error tolerance (table_function.cpp:228-235): a file
+                # that fails planning is logged and skipped, not fatal.
+                print(f"pst: skipping unreadable file {f}: {exc}", file=sys.stderr)
+                continue
             if limit is not None:
                 nids = nids[: max(limit - planned, 0)]
             planned += len(nids)
@@ -245,7 +258,13 @@ class PstReader(DataSourceReader):
             return
         from duckdb_pst_spark.sources.mspst.messaging import PstArchive
 
-        a = PstArchive(path)  # per-task handle (A10)
+        try:
+            a = PstArchive(path)  # per-task handle (A10)
+        except Exception as exc:
+            # A18: a file that passed planning but fails to open at task
+            # time (racing truncation, transient IO) is logged and skipped.
+            print(f"pst: skipping unreadable file {path}: {exc}", file=sys.stderr)
+            return
         try:
             meta = {
                 "pst_path": path,
@@ -257,14 +276,24 @@ class PstReader(DataSourceReader):
             if self.table == "folders":
                 rows = a.folders()
             else:
-                rows = (
-                    a.message_row(
-                        nid,
-                        read_body_size_bytes=self.read_body_size_bytes,
-                        read_attachment_body=self.read_attachment_body,
-                    )
-                    for nid in (nids or [])
-                )
+                rows = []
+                for nid in nids or []:
+                    # A18 error tolerance (row_serializer.cpp:1252-1263):
+                    # a node that fails to parse is logged and skipped;
+                    # the scan keeps going (PERMISSIVE-reader semantics).
+                    try:
+                        rows.append(
+                            a.message_row(
+                                nid,
+                                read_body_size_bytes=self.read_body_size_bytes,
+                                read_attachment_body=self.read_attachment_body,
+                            )
+                        )
+                    except Exception as exc:
+                        print(
+                            f"pst: skipping unparseable node {nid} in {path}: {exc}",
+                            file=sys.stderr,
+                        )
             want = CLASS_FILTER.get(self.table)
             for r in rows:
                 if want is not None and not (r.get("message_class") or "").startswith(want):

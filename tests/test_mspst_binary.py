@@ -194,3 +194,24 @@ def test_node_range_partitioning(spark):
         .load(PST)
     )
     assert lim.rdd.getNumPartitions() == 2 and lim.count() == 7
+
+
+def test_error_tolerance_skips_bad_file(spark, tmp_path):
+    """A18 parity (table_function.cpp:228-235): an unreadable file in the
+    glob is logged and skipped at planning; good files still scan."""
+    import shutil
+
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    shutil.copy(PST, tmp_path / "good.pst")
+    (tmp_path / "corrupt.pst").write_bytes(b"\x00" * 4096)
+    (tmp_path / "truncated.pst").write_bytes(open(PST, "rb").read()[:600])
+
+    df = spark.read.format("pst").load(str(tmp_path / "*.pst"))
+    assert df.count() == 12  # only good.pst contributes
+
+    folders = (
+        spark.read.format("pst").option("table", "folders").load(str(tmp_path / "*.pst"))
+    )
+    assert folders.count() == 16
