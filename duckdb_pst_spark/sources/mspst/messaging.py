@@ -257,9 +257,18 @@ class PstArchive:
         if NID_ATTACHMENT_TABLE not in sub:
             return []
         out = []
-        for snid, (bd, bs) in sub.items():
-            if nid_type(snid) != 0x08:  # attachment PC subnodes
+        # iterate the attachment TABLE's row ids — each row id IS the nid
+        # of an attachment PC subnode (the SDK's attachment iteration; the
+        # nid *type* of those subnodes is not reliable across writers)
+        tbd, tbs = sub[NID_ATTACHMENT_TABLE]
+        try:
+            row_ids = ltp.TableContext(self.pst, tbd, tbs).row_ids()
+        except Exception:
+            row_ids = []
+        for snid in row_ids:
+            if snid not in sub:
                 continue
+            bd, bs = sub[snid]
             pc = ltp.PropertyContext(self.pst, bd, bs)
             method = pc.get(0x3705) or 0
             is_msg = method == 5

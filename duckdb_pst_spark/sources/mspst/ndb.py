@@ -205,7 +205,10 @@ class PstFile:
         if c_level == 0:  # SLENTRY: nid(8) bidData(8) bidSub(8)
             for i in range(c_ent):
                 nid, bd, bs = struct.unpack_from("<QQQ", blk, 8 + 24 * i)
-                out[int(nid)] = (bd, bs)
+                # SLENTRY.nid is NID-sized (4 bytes) padded to 8 in Unicode
+                # files; the upper DWORD is undefined and MUST be ignored
+                # ([MS-PST] §2.2.2.8.3.3.1.1)
+                out[int(nid) & 0xFFFFFFFF] = (bd, bs)
         else:  # SIENTRY: nid(8) bid(8) → nested SLBLOCKs
             for i in range(c_ent):
                 _nid, b = struct.unpack_from("<QQ", blk, 8 + 16 * i)

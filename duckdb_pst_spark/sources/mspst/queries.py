@@ -18,7 +18,7 @@ from duckdb_pst_spark.registry import query
 GOLDEN_PST = "/root/reference/test/unittest.pst"
 
 
-def _pst(spark: SparkSession, table: str) -> DataFrame:
+def _pst(spark: SparkSession, table: str, **options) -> DataFrame:
     from duckdb_pst_spark.sources.mspst.datasource import PstDataSource
 
     # idempotent per-session registration
@@ -26,7 +26,10 @@ def _pst(spark: SparkSession, table: str) -> DataFrame:
         spark.dataSource.register(PstDataSource)
     except Exception:
         pass
-    return spark.read.format("pst").option("table", table).load(GOLDEN_PST)
+    r = spark.read.format("pst").option("table", table)
+    for k, v in options.items():
+        r = r.option(k, str(v).lower() if isinstance(v, bool) else str(v))
+    return r.load(GOLDEN_PST)
 
 
 _FOLDER_VALUES = """
@@ -225,3 +228,57 @@ def q_pstbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_pstbin_body_truncate",
+    oracle="""
+    SELECT CAST(node_id AS BIGINT) AS node_id, CAST(html_chars AS BIGINT) AS html_chars
+    FROM (VALUES (2097188, 50), (2097220, 50), (2097252, 50),
+                 (2097284, 50), (2097316, 50), (2097540, 50)) t(node_id, html_chars)
+    """,
+    tags=("pst-binary", "params"),
+)
+def q_pstbin_body_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 byte math on the real parser: read_body_size_bytes=100 → 50
+    UTF-16 chars, pinned to golden (table_function_parameters.test:19-28)."""
+    m = _pst(spark, "messages", read_body_size_bytes=100)
+    return m.filter(F.col("body_html").isNotNull()).select(
+        "node_id", F.length("body_html").cast("long").alias("html_chars")
+    )
+
+
+@query(
+    "q_pstbin_read_limit",
+    oracle="SELECT CAST(2 AS BIGINT) AS n",
+    tags=("pst-binary", "params"),
+)
+def q_pstbin_read_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 on the real parser: read_limit=2 caps planned rows
+    (table_function_parameters.test:13-17)."""
+    m = _pst(spark, "messages", read_limit=2)
+    return m.agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_pstbin_attachment_gate",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS bytes_when_gated,
+           CAST(1 AS BIGINT) AS bytes_when_read
+    """,
+    tags=("pst-binary", "params"),
+)
+def q_pstbin_attachment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 on the real parser: attachment bytes NULL unless
+    read_attachment_body=true (table_function_parameters.test:30-40,
+    MEDIUM~2.JPG probe; gating row_serializer.cpp:152-161)."""
+    def probe(**kw):
+        m = _pst(spark, "messages", **kw)
+        # try_element_at: NULL on empty arrays, like DuckDB list_first
+        a = m.select(F.try_element_at("attachments", F.lit(1)).alias("a"))
+        return a.filter(
+            (F.col("a.filename") == "MEDIUM~2.JPG") & F.col("a.bytes").isNotNull()
+        ).agg(F.count(F.lit(1)))
+    gated = probe().toDF("n").select(F.col("n").alias("bytes_when_gated"))
+    read = probe(read_attachment_body=True).toDF("n").select(F.col("n").alias("bytes_when_read"))
+    return gated.crossJoin(read)
