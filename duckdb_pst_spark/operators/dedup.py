@@ -372,50 +372,62 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ fast paths
-@query("q_dedup_minhash_fast", tags=("dedup", "fast"), bench=True)
-def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs on the 100 TB hot path: identical plan
-    to q_dedup_minhash but signatures come from ``xxhash64`` (JVM,
-    codegen) instead of the portable polynomial hash. No oracle (DuckDB
-    has no xxhash64) — correctness of the pipeline is proven by the
-    portable twin; this one exists to be fast."""
-    toks_df = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .localCheckpoint(eager=True)
+def _fused_band_keys(text_col: Column) -> Column:
+    """text → array of MINHASH_BANDS (band_idx, band_val) structs in ONE
+    expression chain: tokenize → shifted-zip shingle hashing (multi-arg
+    ``xxhash64``, no concat allocation) → single-pass K-way min fold
+    (struct accumulator) → band keys in the fold's ``finish`` lambda.
+
+    One chain means each upstream value is referenced exactly once, so
+    Catalyst's CollapseProject cannot duplicate work (the CSE hazard
+    documented on ``_with_sigs``) — and there is NO materialization
+    barrier: at 100 TB this streams through the scan with zero
+    executor-memory state, where a localCheckpoint of the tokenized
+    corpus would not survive."""
+    t = tokens(text_col)
+    n = F.size(t)
+    sh1 = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
+    sh2 = F.slice(t, 3, F.greatest(n - 2, F.lit(0)))
+    z1 = F.zip_with(t, sh1, lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    z2 = F.zip_with(
+        z1, sh2, lambda s, c: F.pmod(F.xxhash64(s["w1"], s["w2"], c), F.lit(P_HASH))
     )
-    n = F.size(F.col("toks"))
-    # multi-arg xxhash64 — no string concat allocation per shingle
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.pmod(
-                F.xxhash64(
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                ),
-                F.lit(P_HASH),
-            ),
-        )
-    )
-    sh_df = (
-        toks_df.select("doc_id", sh.alias("sh"))
-        .filter(F.size("sh") >= 1)
-        .localCheckpoint(eager=True)
-    )
-    d = _with_sigs(sh_df)
-    bands = d.select(
-        "doc_id",
-        F.explode(F.array(*[
+    sh = F.array_distinct(F.slice(z2, 1, F.greatest(n - 2, F.lit(0))))
+    init = F.struct(*[F.lit(P_HASH).cast("long").alias(f"m{k}") for k in range(MINHASH_K)])
+
+    def merge(acc, h):
+        return F.struct(*[
+            F.least(acc[f"m{k}"], (F.lit(_A[k]) * h + F.lit(_B[k])) % F.lit(P_HASH)).alias(f"m{k}")
+            for k in range(MINHASH_K)
+        ])
+
+    def finish(acc):
+        return F.array(*[
             F.struct(
                 F.lit(j).alias("band_idx"),
-                ((F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}")) % F.lit(P_HASH)).alias("band_val"),
+                ((acc[f"m{2 * j}"] * 31 + acc[f"m{2 * j + 1}"]) % F.lit(P_HASH)).alias("band_val"),
             )
             for j in range(MINHASH_BANDS)
-        ])).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_val")
+        ])
+
+    return F.aggregate(sh, init, merge, finish)
+
+
+@query("q_dedup_minhash_fast", tags=("dedup", "fast"), bench=True)
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs on the 100 TB hot path: same pair set
+    as q_dedup_minhash's plan shape but signatures come from ``xxhash64``
+    (JVM, codegen) instead of the portable polynomial hash, and the whole
+    per-row stage is one fused expression (``_fused_band_keys``) — no
+    checkpoints, no shuffle until the band groupBy. No oracle (DuckDB has
+    no xxhash64) — correctness of the pipeline is proven by the portable
+    twin; this one exists to be fast and to scale."""
+    bands = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+        .select("doc_id", F.explode(_fused_band_keys(F.col("text"))).alias("b"))
+        .select("doc_id", "b.band_idx", "b.band_val")
+    )
     # Bucket-local pair generation: ONE shuffle (groupBy band key →
     # collect_list) replaces the window-count + bucket self-join plan,
     # which shuffled the band table three times. Pairs are emitted
