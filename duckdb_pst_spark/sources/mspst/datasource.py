@@ -17,7 +17,6 @@ Maps the reference's scan architecture onto the DataSource API
 
 from __future__ import annotations
 
-import glob as globmod
 import sys
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -213,8 +212,12 @@ class PstReader(DataSourceReader):
         node list carried in the partition like the reference's
         ``PSTInputPartition.nodes``. Folders stay one partition per file
         (16-ish rows). With ``read_limit``, planning stops once enough
-        nodes are covered (A6: the crawl itself is cut short)."""
-        files = sorted(globmod.glob(self.path)) if self.path else []
+        nodes are covered (A6: the crawl itself is cut short). Paths may
+        be local globs or remote URLs — http(s) range reads / pyarrow
+        filesystems (A2, duckdb_filesystem.cpp:12-36)."""
+        from duckdb_pst_spark.sources.mspst.fsio import expand_paths
+
+        files = expand_paths(self.path) if self.path else []
         if not files:
             return [InputPartition((None, None))]
         psize = int(self.options_partition_size)

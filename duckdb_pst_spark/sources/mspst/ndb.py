@@ -78,8 +78,10 @@ class PstFile:
     """
 
     def __init__(self, path: str):
+        from duckdb_pst_spark.sources.mspst.fsio import open_pst
+
         self.path = path
-        self._f = open(path, "rb")
+        self._f = open_pst(path)  # local, http(s) ranged, or pyarrow FS (A2)
         hdr = self._f.read(564)
         if hdr[:4] != MAGIC:
             raise PstError(f"{path}: not a PST file (bad magic {hdr[:4]!r})")
