@@ -231,6 +231,32 @@ def q_pstbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pstbin_count_stats",
+    oracle="""
+    SELECT tbl, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('messages', 12), ('folders', 16), ('contacts', 2),
+      ('sticky_notes', 2), ('distribution_lists', 1)
+    ) t(tbl, n)
+    """,
+    tags=("pst-binary", "stats"),
+)
+def q_pstbin_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 stats-only count: every n comes from partition planning (NBT
+    crawl + class probe), no message row parsed — the reference's
+    PSTReadCardinality / COLUMN_DATA_SCAN rewrite
+    (table_function.cpp:325-351, query_optimizations.test:13-17),
+    pinned to the golden per-table counts."""
+    from duckdb_pst_spark.sources.mspst.stats import pst_count
+
+    rows = [
+        (tbl, pst_count(spark, GOLDEN_PST, tbl))
+        for tbl in ("messages", "folders", "contacts", "sticky_notes",
+                    "distribution_lists")
+    ]
+    return spark.createDataFrame(rows, "tbl string, n bigint")
+
+
+@query(
     "q_pstbin_body_truncate",
     oracle="""
     SELECT CAST(node_id AS BIGINT) AS node_id, CAST(html_chars AS BIGINT) AS html_chars

@@ -215,3 +215,31 @@ def test_error_tolerance_skips_bad_file(spark, tmp_path):
         spark.read.format("pst").option("table", "folders").load(str(tmp_path / "*.pst"))
     )
     assert folders.count() == 16
+
+
+def test_stats_count_matches_full_scan(spark):
+    """A8 planning-stats count equals the materialized scan count for
+    every table function (PSTReadCardinality, table_function.cpp:325-351)."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+    from duckdb_pst_spark.sources.mspst.stats import pst_count
+
+    register(spark)
+    for tbl in ("folders", "messages", "notes", "contacts", "appointments",
+                "sticky_notes", "tasks", "distribution_lists"):
+        full = spark.read.format("pst").option("table", tbl).load(PST).count()
+        assert pst_count(spark, PST, tbl) == full, tbl
+
+
+def test_stats_count_multi_file_and_tolerance(spark, tmp_path):
+    """Multi-file glob counts distribute one task per file; unreadable
+    files count 0 (A18) instead of failing the job."""
+    import shutil
+
+    from duckdb_pst_spark.sources.mspst.stats import pst_count
+
+    shutil.copy(PST, tmp_path / "a.pst")
+    shutil.copy(PST, tmp_path / "b.pst")
+    (tmp_path / "corrupt.pst").write_bytes(b"\x00" * 4096)
+    assert pst_count(spark, str(tmp_path / "*.pst")) == 24
+    assert pst_count(spark, str(tmp_path / "*.pst"), "folders") == 32
+    assert pst_count(spark, str(tmp_path / "nothing-*.pst")) == 0
