@@ -117,44 +117,83 @@ def _treewalk_doubling(
     with itself. For a tree |E^(2^k)| ≤ |nodes| (one ancestor/descendant
     at each distance), so both the closure join (broadcast S) and the
     compose join stay linear in the node count at every scale.
+
+    Physical shape: the jump expansion and the self-compose are UNIONED
+    into a single tagged plan and materialized with ONE eager checkpoint
+    per iteration (both joins share the same E scan), plus one
+    counts-by-tag job over the cached result for the two termination
+    tests — ~2 short jobs per doubling instead of 4. Self-loops are
+    stripped up front (a self-loop never adds a reachable node — the
+    reference's root-is-its-own-parent shape, README.md:461-468). Two
+    stopping rules:
+
+    - empty NEW jump level (the level is anti-joined against S in the
+      same plan, so this is exactly UNION-dedup stagnation): with one
+      out-edge per node, distances from the frontier fill a contiguous
+      range, so "nothing new at distance in [2^k, 2^{k+1})" proves
+      nothing lies beyond; on a cycle every jump lands back in S, so
+      cyclic functional graphs terminate here too;
+    - empty composed E → no pair of nodes 2^{k+1} apart anywhere, so
+      every node is already within reach.
+
+    Dedup happens ONCE on the returned plan (overlapping frontier
+    subtrees can emit a key twice) rather than per level — UNION-dedup
+    semantics with a single final shuffle.
     """
     # Above this row count the jump relation stops being broadcast in the
     # self-compose join (~16 B/row ⇒ ~80 MB) and composes as a shuffle
     # join instead — the same size-adaptive call AQE makes for joins.
     bcast_edge_rows = 5_000_000
 
-    E = edges.select(
-        F.col(from_col).cast("long").alias("src"),
-        F.col(to_col).cast("long").alias("dst"),
-    ).localCheckpoint(eager=True)
+    E = (
+        edges.select(
+            F.col(from_col).cast("long").alias("src"),
+            F.col(to_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     n_e = E.count()
-    S = frontier.select(F.col(key_col).cast("long").alias(key_col)).distinct()
-    S = S.localCheckpoint(eager=True)
-    prev_n = S.count()
+    S = (
+        frontier.select(F.col(key_col).cast("long").alias(key_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if n_e == 0:
+        return S
     for _ in range(max_iters):
-        S = (
+        jump = (
             E.join(F.broadcast(S), E["src"] == S[key_col])
             .select(E["dst"].alias(key_col))
-            .union(S)
-            .distinct()
-            .localCheckpoint(eager=True)
+            .join(F.broadcast(S), key_col, "left_anti")
+            .select(
+                F.col(key_col).alias("src"),
+                F.lit(None).cast("long").alias("dst"),
+                F.lit(True).alias("is_s"),
+            )
         )
-        n = S.count()
-        if n == prev_n:
-            return S
-        prev_n = n
         rhs = E.alias("b")
         if n_e <= bcast_edge_rows:
             rhs = F.broadcast(rhs)
-        E = (
+        compose = (
             E.alias("a")
             .join(rhs, F.col("a.dst") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-            .localCheckpoint(eager=True)
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                F.lit(False).alias("is_s"),
+            )
         )
-        n_e = E.count()
+        both = jump.unionByName(compose).localCheckpoint(eager=True)
+        counts = {r["is_s"]: r["count"] for r in both.groupBy("is_s").count().collect()}
+        nxt = both.filter(F.col("is_s")).select(F.col("src").alias(key_col))
+        if counts.get(True, 0) == 0:
+            return S.distinct()
+        S = S.union(nxt)  # shallow union of cached levels — no re-materialization
+        n_e = counts.get(False, 0)
         if n_e == 0:
-            return S
+            return S.distinct()
+        E = both.filter(~F.col("is_s")).select("src", "dst")
     raise RuntimeError(f"treewalk did not converge in {max_iters} doubling iterations")
 
 
