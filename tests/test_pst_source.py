@@ -139,3 +139,37 @@ def test_projection_prunes_scan(spark):
 def test_empty_glob_is_empty_not_error(spark, bad):
     """Unmatched glob → empty result (reference skips bad files, A18)."""
     assert pst.read_pst_messages(spark, bad).count() == 0
+
+
+def test_streaming_pst_ingest(spark, tmp_path):
+    """spark.readStream.format("pst"): each newly arrived archive becomes
+    a microbatch planned/read by the unchanged batch code path."""
+    import shutil
+
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    gold = "/root/reference/test/unittest.pst"
+    shutil.copy(gold, tmp_path / "a.pst")
+    q = (
+        spark.readStream.format("pst")
+        .option("table", "messages")
+        .load(str(tmp_path / "*.pst"))
+        .groupBy("pst_path")
+        .count()
+        .writeStream.format("memory")
+        .queryName("pst_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select sum(count) c from pst_stream").collect()[0].c == 12
+        shutil.copy(gold, tmp_path / "b.pst")  # late-arriving archive
+        q.processAllAvailable()
+        got = spark.sql(
+            "select pst_path, count from pst_stream order by pst_path"
+        ).collect()
+        assert [r["count"] for r in got] == [12, 12]
+    finally:
+        q.stop()
