@@ -230,29 +230,58 @@ class PstReader(DataSourceReader):
             return [InputPartition((None, None))]
         psize = int(self.options_partition_size)
         limit = int(self.read_limit) if self.read_limit is not None else None
-        out = []
-        planned = 0
-        for f in files:
-            try:
-                from duckdb_pst_spark.sources.mspst.ndb import PstFile, nid_type
 
-                if self.table == "folders":
-                    # probe the full NBT crawl so an unreadable/truncated
-                    # file is dropped at plan time, not at task time
-                    with PstFile(f) as p:
+        def plan_one(f):
+            """(file, message nids | None-for-folders), or None when the
+            file is unreadable — A18 error tolerance
+            (table_function.cpp:228-235): logged and skipped, not fatal."""
+            from duckdb_pst_spark.sources.mspst.ndb import PstFile, nid_type
+
+            try:
+                with PstFile(f) as p:
+                    if self.table == "folders":
+                        # probe the full NBT crawl so an unreadable or
+                        # truncated file is dropped at plan time
                         for _ in p.nbt:
                             pass
-                    out.append(InputPartition((f, None)))
-                    continue
-
-                with PstFile(f) as p:
-                    nids = sorted(
-                        n for n in p.nbt if nid_type(n) == 0x04  # normal messages
+                        return (f, None)
+                    return (
+                        f,
+                        sorted(n for n in p.nbt if nid_type(n) == 0x04),
                     )
             except Exception as exc:
-                # A18 error tolerance (table_function.cpp:228-235): a file
-                # that fails planning is logged and skipped, not fatal.
                 print(f"pst: skipping unreadable file {f}: {exc}", file=sys.stderr)
+                return None
+
+        if limit is None and len(files) > 1:
+            # A3 parallel planning (one std::async task per file,
+            # table_function.cpp:214-239): the crawl is a handful of
+            # ranged reads per file, so on object storage it is
+            # IO-latency-bound — a thread pool overlaps the latencies.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(32, len(files))) as ex:
+                planned_files = [r for r in ex.map(plan_one, files) if r is not None]
+        else:
+            # A6: read_limit stops the crawl as soon as enough rows are
+            # planned — serial keeps the early stop exact.
+            planned_files = []
+            seen = 0
+            for f in files:
+                r = plan_one(f)
+                if r is None:
+                    continue
+                planned_files.append(r)
+                if r[1] is not None:
+                    seen += len(r[1])
+                    if limit is not None and seen >= limit:
+                        break
+
+        out = []
+        planned = 0
+        for f, nids in planned_files:
+            if nids is None:
+                out.append(InputPartition((f, None)))
                 continue
             if limit is not None:
                 nids = nids[: max(limit - planned, 0)]

@@ -78,8 +78,11 @@ def pst_count(spark, path: str, table: str = "messages") -> int:
     if len(files) == 1:
         return file_count(files[0], table)
     sc = spark.sparkContext
+    # cap slices so a 100k-file corpus doesn't become 100k tiny tasks;
+    # each task then counts a run of files
+    slices = min(len(files), 4 * sc.defaultParallelism)
     return (
-        sc.parallelize(files, len(files))
+        sc.parallelize(files, slices)
         .map(lambda f: file_count(f, table))
         .sum()
     )
