@@ -416,17 +416,23 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter → fact join → group → top-n.
-    The filtered customer side is small relative to lineitem, so it
-    broadcasts (AQE would also pick this up from runtime stats)."""
+
+    Join order is dimension-first: orders is reduced through the
+    filtered customer side BEFORE lineitem enters, so the widest stream
+    (lineitem ⋈ orders output) is never re-shuffled on a second key —
+    shuffled bytes are O + C + L + O/5 instead of L + O + wide·C. No
+    explicit broadcast: at this SF, AQE converts both reduced sides to
+    broadcast from runtime stats; at 100 TB they exceed the threshold
+    and shuffle — same plan text, right strategy either way."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     rev_c = F.sum(
         F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     ).alias("rev_c")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(rev_c)
         .orderBy(F.desc("rev_c"), F.asc("l_orderkey"))
@@ -453,21 +459,31 @@ def q_join_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 6-table join. Dimension chain (region→nation) is
-    broadcast; the lineitem⋈orders backbone is the only real shuffle and
-    AQE re-plans it from runtime stats at scale."""
+    """TPC-H Q5-shaped 6-table join, dimension-first.
+
+    The region→nation chain broadcasts into customer, the ASIA-only
+    customer side reduces orders, and only then does lineitem join —
+    the widest stream is shuffled once on one key and never again. At
+    this SF, AQE broadcast-converts the reduced orders side from
+    runtime stats; at 100 TB it shuffles — same code. supplier stays an
+    explicit broadcast (bounded dimension at every scale)."""
     r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     n = F.broadcast(table(spark, sf_dir, "nation"))
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
+    cn = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
-        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    oc = o.join(cn, o.o_custkey == cn.c_custkey).select(
+        "o_orderkey", "n_nationkey", "n_name"
+    )
+    return (
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == oc.n_nationkey))
         .groupBy("n_name")
         .agg(
             F.sum(
