@@ -402,13 +402,19 @@ def _fused_band_keys(text_col: Column) -> Column:
         ])
 
     def finish(acc):
-        return F.array(*[
+        full = F.array(*[
             F.struct(
                 F.lit(j).alias("band_idx"),
                 ((acc[f"m{2 * j}"] * 31 + acc[f"m{2 * j + 1}"]) % F.lit(P_HASH)).alias("band_val"),
             )
             for j in range(MINHASH_BANDS)
         ])
+        # shingle-less doc (under 3 tokens): the fold never ran, so m0 is
+        # still the init sentinel — emit NO band keys rather than the
+        # degenerate all-init signature (which would bucket every short
+        # doc together). Lets callers explode() without pre-filtering on
+        # size(tokens(...)), which would tokenize each document twice.
+        return F.when(acc["m0"] == F.lit(P_HASH).cast("long"), F.slice(full, 1, 0)).otherwise(full)
 
     return F.aggregate(sh, init, merge, finish)
 
@@ -424,7 +430,8 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; this one exists to be fast and to scale."""
     bands = (
         table(spark, sf_dir, "documents")
-        .filter(F.size(tokens(F.col("text"))) >= 3)
+        # no size(tokens(...)) pre-filter — that would tokenize twice;
+        # shingle-less docs yield an empty band array and explode() drops them
         .select("doc_id", F.explode(_fused_band_keys(F.col("text"))).alias("b"))
         .select("doc_id", "b.band_idx", "b.band_val")
     )
