@@ -59,6 +59,43 @@ def streaming_window_counts(
 
 
 @query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — ``dropDuplicates`` over an unbounded
+    stream, the continuous form of the training-pipeline content-hash
+    dedup (state keyed by the dedup key, new keys emitted in append
+    mode). Only the key columns are selected so the surviving-row choice
+    cannot make the result nondeterministic. In a real continuous run
+    the key includes an event-time column under ``withWatermark`` so
+    state is droppable; bounded replay (AvailableNow) needs no watermark."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
+    schema = spark.read.parquet(staging).schema
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(sink)
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+@query(
     "q_stream_window_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, COUNT(*) AS cnt
