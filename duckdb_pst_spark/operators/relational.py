@@ -200,6 +200,42 @@ def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_late_materialization",
+    oracle="""
+    SELECT d.doc_id, d.n_chars, d.lang, d.source, length(d.text) AS text_len
+    FROM documents d
+    JOIN (SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5) k
+      ON d.doc_id = k.doc_id
+    """,
+    tags=("scan", "topn"),
+)
+def q_late_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parity: the reference rewrites order/limit-then-project into a
+    top-n over virtual row-ids hash-joined back to a re-scan
+    (late_materialization=true, pst_extension.cpp:26-34; HASH_JOIN plan
+    asserted in query_optimizations.test:49-53). Spark emulation of the
+    same physical idea: the top-n heap runs over a 2-column pruned scan
+    (doc_id, n_chars — 16 bytes/row), and the wide columns (text is
+    ~KB/row) are fetched by broadcast-joining the 5 winning keys back
+    against a second pruned scan. At 100 TB this sorts 16-byte pairs
+    instead of KB-wide rows."""
+    d = table(spark, sf_dir, "documents")
+    keys = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(keys), "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+@query(
     "q_distinct",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),
