@@ -784,3 +784,150 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.floor(F.col("o_totalprice") * 100).cast("long") * F.col("n_ord") > F.col("sum_c"))
         .select("o_orderkey")
     )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_returnflag, l_linestatus HAVING count(*) >= 100
+    """,
+    tags=("agg", "filter"),
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation predicate. Catalyst places the filter
+    after the final hash aggregate, so it runs on group states (one per
+    key), never on rows; same single-shuffle plan as a plain groupBy."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 100)
+    )
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    tags=("subquery", "join"),
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (SELECT ...) — Catalyst decorrelates to a left-semi hash join
+    on the subquery key, the same rewrite every engine applies; at scale
+    the semi join build side is the filtered orders keys only."""
+    import uuid as _uuid
+
+    cv = f"insub_c_{_uuid.uuid4().hex[:8]}"
+    ov = f"insub_o_{_uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name FROM {cv}
+        WHERE c_custkey IN (SELECT o_custkey FROM {ov} WHERE o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS c,
+           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube shorthands) with
+    grouping() indicator columns — compiles to the same single-shuffle
+    expand + hash aggregate as rollup/cube; each input row is expanded
+    once per set, partial-aggregated map-side."""
+    import uuid as _uuid
+
+    lv = f"gsets_l_{_uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS c,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+        FROM {lv}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — DuckDB string_agg(... ORDER BY) ≡
+    Spark 4 listagg(...) WITHIN GROUP (ORDER BY ...). The in-group sort
+    happens inside the aggregate buffer; deterministic output needs the
+    explicit WITHIN GROUP order on both engines."""
+    import uuid as _uuid
+
+    nv = f"sagg_n_{_uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "nation").createOrReplaceTempView(nv)
+    return spark.sql(
+        f"""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        FROM {nv} GROUP BY n_regionkey
+        """
+    )
+
+
+@query(
+    "q_sql_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substring(o_orderpriority, 1, 3)) AS pri3,
+           concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR)) AS status_year,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+           mod(o_orderkey, 7) AS k7,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           trim(o_orderpriority) AS pri_trim
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    tags=("functions",),
+)
+def q_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity pack: string (upper/substring/concat/
+    length/trim), date (year/month/date_trunc), conditional (coalesce/
+    nullif), arithmetic (mod) — every expression is JVM codegen, chosen
+    for bit-identical semantics across Spark and DuckDB (date-only
+    values, integer math, no float formatting)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.concat_ws("-", "o_orderstatus", F.year("o_orderdate").cast("string")).alias(
+            "status_year"
+        ),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        (F.col("o_orderkey") % 7).alias("k7"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.trim("o_orderpriority").alias("pri_trim"),
+    )

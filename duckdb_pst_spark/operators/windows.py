@@ -190,3 +190,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("is_left") == 1).select(
         "user_id", "event_id", "ts", "prior_purchase_event", "prior_purchase_ts"
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS spend_30d_c
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time — trailing 30-day spend per customer.
+    A RANGE frame bounds by ORDER-BY *value* distance, not row count, so
+    ties and gaps are handled identically on both engines. One shuffle
+    on the partition key; frame evaluation is a per-partition sorted
+    sweep (state = one sliding aggregate per partition)."""
+    import uuid as _uuid
+
+    ov = f"wrange_o_{_uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    return spark.sql(
+        f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ) AS spend_30d_c
+        FROM {ov}
+        """
+    )
