@@ -931,3 +931,30 @@ def q_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.trim("o_orderpriority").alias("pri_trim"),
     )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events ``props`` column —
+    get_json_object ≡ DuckDB json_extract_string. The extraction is a
+    per-row JVM expression (Jackson under codegen), aggregated with the
+    usual single partial-agg shuffle; at scale prefer from_json with an
+    explicit schema once the shape is fixed, which vectorizes better
+    than repeated path probes."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -224,3 +224,35 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {ov}
         """
     )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (the QUALIFY rn = 1 idiom) — how a pipeline
+    keeps the newest version of each document/record. One shuffle on the
+    partition key; row_number + filter prunes inside the sorted
+    partition, so only one row per key survives the exchange stage.
+    Deterministic via the orderkey tiebreak."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
