@@ -243,3 +243,50 @@ def test_stats_count_multi_file_and_tolerance(spark, tmp_path):
     assert pst_count(spark, str(tmp_path / "*.pst")) == 24
     assert pst_count(spark, str(tmp_path / "*.pst"), "folders") == 32
     assert pst_count(spark, str(tmp_path / "nothing-*.pst")) == 0
+
+
+def test_file_uri_scheme_reads_like_local(spark):
+    """file:// URLs route through fsio and match the plain-path read."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    local = spark.read.format("pst").load(PST).select("node_id").collect()
+    uri = spark.read.format("pst").load(f"file://{PST}").select("node_id").collect()
+    assert sorted(r.node_id for r in uri) == sorted(r.node_id for r in local)
+
+
+def test_corruption_fuzz_never_crashes(tmp_path):
+    """A18 fuzz: random single-byte corruptions of the fixture either
+    parse (possibly with skipped nodes) or raise cleanly — the reader
+    must never hang or kill the interpreter (reference behavior:
+    per-file and per-node failures are logged and skipped,
+    table_function.cpp:228-235, row_serializer.cpp:1252-1263)."""
+    import random
+
+    from duckdb_pst_spark.sources.mspst.messaging import PstArchive
+
+    gold = open(PST, "rb").read()
+    rng = random.Random(42)
+    for trial in range(24):
+        data = bytearray(gold)
+        # corrupt 1-4 bytes anywhere past the magic
+        for _ in range(rng.randint(1, 4)):
+            data[rng.randrange(8, len(data))] ^= 1 << rng.randrange(8)
+        p = tmp_path / f"fuzz_{trial}.pst"
+        p.write_bytes(bytes(data))
+        try:
+            a = PstArchive(str(p))
+        except Exception:
+            continue  # clean failure at open is acceptable
+        try:
+            for nid in a.message_nids()[:20]:
+                try:
+                    a.message_row(nid)
+                except Exception:
+                    pass  # per-node failure is the A18 contract
+            for _ in a.folders():
+                pass
+        except Exception:
+            pass  # clean failure mid-iteration is acceptable too
+        finally:
+            a.close()
