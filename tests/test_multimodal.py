@@ -122,3 +122,28 @@ def test_decode_prunes_payloadless_columns(spark, media):
     df = ops.decode_image(ops.of_kind(media, "image"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "kind" in plan.split("PushedFilters:", 1)[1].splitlines()[0]
+
+
+def test_pst_attachment_media_bridge(spark):
+    """Mail → multimodal: attachments from the golden archive land in
+    the kernels' (media_id, bytes, meta) shape; the real JPEG payload
+    round-trips, and the container-format decode stub gates cleanly."""
+    from duckdb_pst_spark.multimodal.ops import decode_image
+    from duckdb_pst_spark.multimodal.pst_bridge import pst_attachments
+
+    media = pst_attachments(spark, "/root/reference/test/unittest.pst")
+    rows = media.collect()
+    assert rows, "fixture has at least one by-value attachment"
+    ids = [r.media_id for r in rows]
+    assert len(ids) == len(set(ids))  # stable distinct media ids
+    jpg = [r for r in rows if (r.filename or "").upper().endswith(("JPG", "JPEG"))]
+    # PR_ATTACH_SIZE counts payload + MAPI property overhead, so the
+    # raw payload is non-empty and bounded by it
+    assert jpg and all(0 < len(r.bytes) <= r.size for r in jpg)
+    assert all(r.meta["format"] for r in rows)
+    # container decode is stubbed without codec libs: the Arrow kernel
+    # must fail with the explicit gate, not garbage output
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec library|raw-rgb8"):
+        decode_image(media).collect()
