@@ -122,7 +122,16 @@ class PstFile:
             raise PstError(f"short page read at {ib}")
         return page
 
-    def _walk_btree(self, ib: int, ptype: int, out: list[tuple]) -> None:
+    def _walk_btree(
+        self, ib: int, ptype: int, out: list[tuple], _seen: set[int] | None = None
+    ) -> None:
+        # corruption guard: a crafted/corrupt page graph must fail fast
+        # with PstError (A18 skips the file), not recurse unboundedly —
+        # a real BTPAGE tree never revisits a page
+        seen = _seen if _seen is not None else set()
+        if ib in seen:
+            raise PstError(f"btree page cycle at ib {ib:#x}")
+        seen.add(ib)
         page = self._read_page(ib)
         c_ent, c_ent_max, cb_ent, c_level = struct.unpack_from("<BBBB", page, 488)
         trailer_ptype = page[496]
@@ -132,7 +141,7 @@ class PstFile:
             off = i * cb_ent
             if c_level > 0:  # BTENTRY → recurse
                 _key, bid, child_ib = struct.unpack_from("<QQQ", page, off)
-                self._walk_btree(child_ib, ptype, out)
+                self._walk_btree(child_ib, ptype, out, seen)
             elif ptype == PTYPE_BBT:
                 bid, ib_blk, cb, cref = struct.unpack_from("<QQHH", page, off)
                 out.append(BbtEntry(bid, ib_blk, cb, cref))
@@ -175,9 +184,11 @@ class PstFile:
             data = self._decode(data)
         return data
 
-    def read_data(self, bid: int) -> list[bytes]:
+    def read_data(self, bid: int, _depth: int = 0) -> list[bytes]:
         """Data-tree expansion: external bid → [payload]; internal bid →
         XBLOCK/XXBLOCK fan-out, in order ([MS-PST] §2.2.2.8.3.2)."""
+        if _depth > 3:  # spec tree is XXBLOCK→XBLOCK→data: depth ≤ 2;
+            raise PstError(f"data tree too deep at bid {bid:#x}")  # cycle guard
         if bid == 0:
             return []
         if not self._bid_internal(bid):
@@ -192,12 +203,14 @@ class PstFile:
             if c_level == 1:
                 out.append(self._read_block(b))
             else:  # XXBLOCK → XBLOCKs
-                out.extend(self.read_data(b))
+                out.extend(self.read_data(b, _depth + 1))
         return out
 
-    def read_subnodes(self, bid_sub: int) -> dict[int, tuple[int, int]]:
+    def read_subnodes(self, bid_sub: int, _depth: int = 0) -> dict[int, tuple[int, int]]:
         """Subnode tree → {nid: (bidData, bidSub)} ([MS-PST] §2.2.2.8.3.3)."""
         out: dict[int, tuple[int, int]] = {}
+        if _depth > 2:  # spec: SIBLOCK→SLBLOCK, 2 levels; cycle guard
+            raise PstError(f"subnode tree too deep at bid {bid_sub:#x}")
         if bid_sub == 0:
             return out
         blk = self._read_block(bid_sub)
@@ -214,7 +227,7 @@ class PstFile:
         else:  # SIENTRY: nid(8) bid(8) → nested SLBLOCKs
             for i in range(c_ent):
                 _nid, b = struct.unpack_from("<QQ", blk, 8 + 16 * i)
-                out.update(self.read_subnodes(b))
+                out.update(self.read_subnodes(b, _depth + 1))
         return out
 
     def node_bytes(self, nid: int) -> bytes:
