@@ -57,9 +57,11 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @query decorators run."""
     from duckdb_pst_spark.operators import (  # noqa: F401
         dedup,
+        join_strategies,
         recursive,
         relational,
         similarity,
+        sketches,
         text,
         windows,
     )

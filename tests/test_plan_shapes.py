@@ -108,3 +108,30 @@ def test_no_python_udfs_in_core_relational(spark, sf_dir, name):
     ArrowEvalPython stages (UDFs are the slow path)."""
     plan = pi.executed_plan(SPECS[name].builder(spark, sf_dir))
     assert "EvalPython" not in plan, plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """q_range_join's bin bucketing must restore an equi-key: the plan
+    may contain no nested-loop/cartesian join (the default physical
+    strategy for a pure range predicate), only a hash join on `bin`."""
+    df = SPECS["q_range_join"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert pi.broadcast_join_count(df) >= 1, plan
+
+
+def test_skew_join_salted_takes_shuffle_path(spark, sf_dir):
+    """q_skew_join_salted forces the shuffled-hash path so the salted
+    key shape is exercised (a broadcast would make salt a no-op)."""
+    df = SPECS["q_skew_join_salted"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_kmv_topk_is_take_ordered(spark, sf_dir):
+    """The KMV sketch's k smallest hashes come from TakeOrdered
+    (per-partition heaps + driver merge of #partitions·k values), never
+    a global sort."""
+    df = SPECS["q_kmv_distinct"].builder(spark, sf_dir)
+    assert pi.has_take_ordered(df), pi.executed_plan(df)
