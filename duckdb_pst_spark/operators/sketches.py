@@ -171,3 +171,79 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_2pct"
         ),
     )
+
+
+MG_CAPACITY = 64
+HH_PHI = 1.0 / 32  # exact binary fraction — bit-identical threshold math
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t, count(*) AS cnt
+    FROM tok, tot
+    GROUP BY t, n
+    HAVING count(*) >= {HH_PHI} * n
+    """,
+    tags=("sketch", "text"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters (tokens with frequency ≥ 1/32 of the stream) via
+    the two-pass sketch-then-verify pattern.
+
+    Pass 1 runs a Misra-Gries summary (capacity 64 ≥ 1/φ) *per
+    partition* inside one Arrow-batched mapInPandas — MG state carries
+    across the partition's record batches, and its guarantee makes the
+    surviving keys a superset of every φ-heavy key no matter how rows
+    are partitioned. Pass 2 exact-counts only those candidates
+    (left-semi against the broadcast candidate set) and applies the
+    exact threshold — so the output is the exact heavy-hitter set,
+    deterministic and oracle-checkable even though pass 1 is a sketch.
+
+    Scale shape: pass 1 shuffles nothing and holds O(1/φ) state per
+    partition; pass 2 shuffles partial counts for ≤ #partitions·64
+    candidate keys instead of the full vocabulary. This is the
+    heavy-hitter plan for vocabularies too large for a plain groupBy
+    (URLs, n-grams, user-ids), where exact counting of every key is the
+    thing that OOMs."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
+            "t"
+        )
+    )
+
+    def misra_gries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["t"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"t": list(counters.keys())})
+
+    candidates = toks.mapInPandas(misra_gries, "t string").distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(total)
+        .filter(F.col("cnt") >= F.lit(HH_PHI) * F.col("n"))
+        .select("t", "cnt")
+    )

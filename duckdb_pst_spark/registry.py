@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         join_strategies,
         recursive,
         relational,
+        sampling,
         similarity,
         sketches,
         text,

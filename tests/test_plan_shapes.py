@@ -135,3 +135,11 @@ def test_kmv_topk_is_take_ordered(spark, sf_dir):
     a global sort."""
     df = SPECS["q_kmv_distinct"].builder(spark, sf_dir)
     assert pi.has_take_ordered(df), pi.executed_plan(df)
+
+
+def test_hash_sample_filter_is_scan_local(spark, sf_dir):
+    """Hash sampling must be a codegen'd filter over the scan — the only
+    shuffle in the query is the final per-source aggregate."""
+    df = SPECS["q_hash_sample"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 1, pi.executed_plan(df)
+    assert "EvalPython" not in pi.executed_plan(df)
