@@ -371,6 +371,110 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- dedup cluster assembly
+def _duck_verified_pairs_cte() -> str:
+    """Oracle CTE chain: minhash sigs → band buckets → candidate pairs →
+    Jaccard-verified pairs (same fragments as q_dedup_minhash's oracle)."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+    )
+    return (
+        _duck_minhash_cte()
+        + f"""
+    , bands AS ({bands_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+              // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD_U}
+    )"""
+    )
+
+
+@query(
+    "q_dedup_cluster",
+    # the closure CTE is recursive, so the whole chain is WITH RECURSIVE
+    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT DISTINCT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.v AS node, r.label AS label
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.label < e.v
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard-verified near-dup pairs —
+    the step that turns pairwise matches into dedup CLUSTERS, from which
+    one canonical document (the min doc_id) is kept and the rest dropped.
+    Without it, transitive near-dups (A~B, B~C, A≁C) survive pairwise
+    dedup.
+
+    Implementation: iterative min-label propagation to fixpoint — each
+    round every node takes the min of its own label and its neighbors'
+    (one join + one groupBy-min per round, lineage cut per round), so
+    rounds = component diameter. Near-dup components are tiny cliques
+    (diameter ~1-2); convergence is detected from the monotone label-sum
+    in the same pass that materializes the round, not a separate compare
+    job. At 100 TB with adversarial chain-shaped components you'd
+    upgrade to large-star/small-star (alternating min-propagations that
+    halve diameter per round); the per-round plan is the same shape.
+    The oracle is the equivalent recursive-CTE closure with the
+    label < node pruning (only labels smaller than the target can ever
+    be a component minimum)."""
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # scan the pair graph once, reuse per round
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(32):
+        msgs = edges.join(labels, edges["u"] == labels["node"]).select(
+            edges["v"].alias("node"), "label"
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease → equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("label") == F.col("node"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
 # ------------------------------------------------------------ fast paths
 def _fused_band_keys(text_col: Column) -> Column:
     """text → array of MINHASH_BANDS (band_idx, band_val) structs in ONE

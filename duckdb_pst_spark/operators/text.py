@@ -200,6 +200,129 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 512  # tokens per training context window
+_PACK_SHARDS = 8  # independent packing streams
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off,
+           shard * 1000000 + COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_PACK_BUDGET} AS pack_id,
+           COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {_PACK_BUDGET} AS pack_off
+    FROM (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ) t
+    """,
+    tags=("text", "pipeline"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are concatenated in
+    doc_id order and chunked into {budget}-token context windows
+    (concat-then-chunk packing). Each doc gets the window it starts in
+    (pack_id) and its offset within it — the index a dataloader needs.
+
+    Scale design: packing is computed per SHARD (doc_id mod S), so the
+    running-sum window is partitioned — S independent streams instead of
+    one global single-partition window, which would serialize the whole
+    corpus through one task. At 100 TB, S scales with the cluster and a
+    shard maps to one dataloader worker's stream."""
+    d = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id", "shard", "n_tokens", start.alias("start_off")
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        (
+            F.col("shard") * 1000000 + F.expr(f"start_off div {_PACK_BUDGET}")
+        ).alias("pack_id"),
+        (F.col("start_off") % _PACK_BUDGET).alias("pack_off"),
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             (tf.tf * 1000000 * n.n_docs) // df.df AS score_u
+      FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_tok, tf, df, score_u
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, tok ASC) AS rn
+      FROM scored
+    ) s
+    WHERE rn = 1
+    """,
+    tags=("text", "pipeline"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by TF-IDF, with exact integer
+    scoring (tf · 10^6 · N div df — same ordering as tf·log(N/df) is NOT
+    guaranteed, but it is a deterministic engine-portable IDF weighting;
+    float log() would differ in the last bit across engines).
+
+    Plan: explode → (doc,term) partial-agg → shuffle on (doc,term);
+    document frequency is a second agg shuffled on term; the tf⋈df join
+    shuffles on term (df is vocabulary-sized — often broadcastable after
+    min-df pruning); final top-1 is a window partitioned by doc. Every
+    shuffle key is high-cardinality — no single hot partition at 100 TB."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.expr("(tf * 1000000 * n_docs) div df").alias("score_u"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_tok"), "tf", "df", "score_u")
+    )
+
+
 @query(
     "q_fingerprint",
     oracle="""
