@@ -300,7 +300,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("toks").alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already has one row per (doc, term), so document frequency is a
+    # plain count over it — no countDistinct expand, and Catalyst's
+    # ReuseExchange serves both aggs from the same shuffle of `toks`.
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "tok")
@@ -320,6 +323,153 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_tok"), "tf", "df", "score_u")
+    )
+
+
+# word-3-gram shingle list (string form — engine-portable, no hashing)
+_DUCK_SHINGLES = """
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+      ) t
+      WHERE len(toks) >= 3
+"""
+
+_SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g) — one row per distinct word-3-gram per document."""
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("g"))
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES})
+    SELECT e.doc_id AS eval_doc_id,
+           COUNT(DISTINCT t.doc_id) AS n_train_docs,
+           COUNT(DISTINCT e.g) AS n_shared_shingles
+    FROM sh e JOIN sh t ON t.g = e.g
+    WHERE e.doc_id % 100 = 0 AND t.doc_id % 100 <> 0
+    GROUP BY e.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which eval-set documents (held-out
+    split, doc_id % 100 = 0 here) share word-3-gram shingles with the
+    training split — the membership test run before training to keep
+    eval data out of the corpus. Reports, per eval doc, how many train
+    docs overlap and how many of its shingles are shared.
+
+    Plan: both sides are the same exploded shingle relation (scanned
+    once, split by predicate), joined on the shingle string. At 100 TB
+    the join key skews on boilerplate shingles — the production guard is
+    dropping shingles whose document frequency exceeds a cap (they carry
+    no membership signal), which also bounds the join's fan-out; AQE
+    skew-join covers the residue. The eval side is tiny (benchmarks are
+    MBs, corpora TBs), so it broadcasts."""
+    sh = _doc_shingles(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = sh.filter(F.col("doc_id") % 100 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    return (
+        F.broadcast(ev)
+        .join(tr, "g")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+            F.countDistinct("g").alias("n_shared_shingles"),
+        )
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct_grams,
+           (CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) * 1000000)
+             // len(grams) AS rep_ratio_u
+    FROM (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+      ) t
+      WHERE len(toks) >= 3
+    ) g
+    """,
+    tags=("text", "pipeline"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word-3-grams that are
+    repeats (1 − distinct/total, scaled integer) — the Gopher-style
+    repetition quality signal used to drop looping/boilerplate docs.
+    Pure per-row array algebra: no shuffle, embarrassingly parallel."""
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+    )
+    d = (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", grams.alias("grams"))
+    )
+    return d.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct_grams"),
+        F.expr(
+            "(CAST(size(grams) - size(array_distinct(grams)) AS BIGINT) * 1000000)"
+            " div size(grams)"
+        ).alias("rep_ratio_u"),
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS n_emails,
+           regexp_replace(text, '[0-9]', '#', 'g') AS redacted
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count digit runs and email-shaped tokens, and
+    emit the digit-redacted text — the shape of a pre-training PII
+    filter (detect → redact in one projection). Regex stays in the JVM
+    (codegen'd) — per-row, no shuffle; at 100 TB this is a map-only
+    stage whose cost is regex throughput, which is why counts use
+    simple character-class patterns, not catastrophic-backtracking
+    lookarounds."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_digit_runs"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)")
+        ).alias("n_emails"),
+        F.regexp_replace("text", "[0-9]", "#").alias("redacted"),
     )
 
 

@@ -31,6 +31,7 @@ EAGER = {
     "q_recursive_descendants": "ITER",
     "q_recursive_ancestors": "ITER",
     "q_pst_folder_tree": "ITER",
+    "q_dedup_cluster": "ITER",
     "q_stream_window_counts": "STREAM",
     "q_stream_stateful_sessions": "STREAM",
 }
