@@ -61,10 +61,17 @@ def main() -> None:
                 spec.builder(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:
                 pass
-    for t in ("lineitem", "orders"):
-        from duckdb_pst_spark.tables import table
+    # Touch every timed input at sf_dir (full column scan, noop sink) so
+    # the FIRST timed query doesn't get billed for cold parquet IO and
+    # footer parsing that later queries then get for free — steady-state
+    # comparability across queries, same rationale as the plan warm-up.
+    from duckdb_pst_spark.tables import TABLES, table
 
-        table(spark, sf_dir, t).limit(1).collect()
+    for t in TABLES:
+        try:
+            table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for spec in bench_specs:
