@@ -143,3 +143,38 @@ def test_hash_sample_filter_is_scan_local(spark, sf_dir):
     df = SPECS["q_hash_sample"].builder(spark, sf_dir)
     assert pi.shuffle_count(df) <= 1, pi.executed_plan(df)
     assert "EvalPython" not in pi.executed_plan(df)
+
+
+def test_map_only_text_ops_no_shuffle(spark, sf_dir):
+    """q_repetition and q_pii_scrub are per-row projections — zero
+    exchanges; corpus-size-independent map stages at any scale."""
+    for name in ("q_repetition", "q_pii_scrub"):
+        df = SPECS[name].builder(spark, sf_dir)
+        assert pi.shuffle_count(df) == 0, (name, pi.executed_plan(df))
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """The eval split (benchmarks are MBs, corpora TBs) must broadcast
+    into the training-side shingle stream — no shuffle of the big side
+    for the join itself."""
+    df = SPECS["q_contamination"].builder(spark, sf_dir)
+    assert pi.broadcast_join_count(df) >= 1, pi.executed_plan(df)
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Sharded packing = one exchange on the shard key; a global (empty
+    partition-by) window would show as an exchange to a single
+    partition."""
+    df = SPECS["q_pack_sequences"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) == 1, pi.executed_plan(df)
+    assert "SinglePartition" not in pi.executed_plan(df)
+
+
+def test_minhash_vec_is_arrow_not_row_python(spark, sf_dir):
+    """The vectorized minhash kernel must run as an Arrow-batched python
+    stage (mapInPandas), never row-at-a-time BatchEvalPython."""
+    df = SPECS["q_dedup_minhash_vec"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
