@@ -958,3 +958,26 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+    """,
+    tags=("relational", "reshape"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT / melt), the inverse of q_pivot: the
+    numeric part measures become (measure, value) rows via the native
+    ``DataFrame.unpivot`` — physically a generator projection (each
+    input row emits one row per measure), no shuffle, no UDF. The
+    oracle states the same relation as the canonical UNION ALL."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")

@@ -256,3 +256,68 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_window_ntiles",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER w AS tile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucket (ntile),
+    percent_rank, cume_dist per order-status partition. All three share
+    ONE window spec → one shuffle + one sort serves all of them.
+    Cross-engine exactness: both engines compute pr=(rank-1)/(n-1) and
+    cd=peers/n as a single IEEE division of exact integers, so the
+    doubles are bit-identical; ntile is made deterministic under
+    o_totalprice ties by the o_orderkey tiebreak."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q_time_bucket",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_value_m
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    tags=("window", "timeseries"),
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket rollup (the hypertable/continuous-aggregate idiom):
+    day buckets × event_type with counts and floor-scaled value sums.
+    The bucket is a DATE extracted from TIMESTAMP_NTZ — pure field
+    extraction, no zone math (Spark's date_trunc would route the NTZ
+    value through the session timezone, shifting bucket edges under a
+    non-UTC session); the aggregate partial-combines map-side
+    and shuffles one row per (day, type) per task. At 100 TB this is
+    the query that motivates partitioning the events lake by day:
+    the groupBy then reads pre-clustered data and the rollup becomes
+    an almost-local aggregation."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("sum_value_m"),
+        )
+    )
