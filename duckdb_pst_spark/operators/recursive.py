@@ -120,9 +120,12 @@ def _treewalk_doubling(
 
     Physical shape: the jump expansion and the self-compose are UNIONED
     into a single tagged plan and materialized with ONE eager checkpoint
-    per iteration (both joins share the same E scan), plus one
-    counts-by-tag job over the cached result for the two termination
-    tests — ~2 short jobs per doubling instead of 4. Self-loops are
+    per iteration (both joins share the same E scan); the two
+    termination tests are take(1) probes over the cached result — no
+    per-iteration shuffle job. The broadcast decision for the compose
+    uses the INITIAL edge count: for a tree, |E^(2^k)| ≤ |nodes| (at
+    most one ancestor at each distance per node), so the jump relation
+    never outgrows the original edge set. Self-loops are
     stripped up front (a self-loop never adds a reachable node — the
     reference's root-is-its-own-parent shape, README.md:461-468). Two
     stopping rules:
@@ -161,6 +164,7 @@ def _treewalk_doubling(
     )
     if n_e == 0:
         return S
+    broadcast_compose = n_e <= bcast_edge_rows  # tree bound: |E^(2^k)| ≤ |E|+1
     for _ in range(max_iters):
         jump = (
             E.join(F.broadcast(S), E["src"] == S[key_col])
@@ -173,7 +177,7 @@ def _treewalk_doubling(
             )
         )
         rhs = E.alias("b")
-        if n_e <= bcast_edge_rows:
+        if broadcast_compose:
             rhs = F.broadcast(rhs)
         compose = (
             E.alias("a")
@@ -185,15 +189,13 @@ def _treewalk_doubling(
             )
         )
         both = jump.unionByName(compose).localCheckpoint(eager=True)
-        counts = {r["is_s"]: r["count"] for r in both.groupBy("is_s").count().collect()}
         nxt = both.filter(F.col("is_s")).select(F.col("src").alias(key_col))
-        if counts.get(True, 0) == 0:
+        if nxt.isEmpty():  # take(1) over the cached result — no shuffle
             return S.distinct()
         S = S.union(nxt)  # shallow union of cached levels — no re-materialization
-        n_e = counts.get(False, 0)
-        if n_e == 0:
-            return S.distinct()
         E = both.filter(~F.col("is_s")).select("src", "dst")
+        if E.isEmpty():
+            return S.distinct()
     raise RuntimeError(f"treewalk did not converge in {max_iters} doubling iterations")
 
 
