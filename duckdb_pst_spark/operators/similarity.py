@@ -282,3 +282,51 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("cid").alias("bucket")
     )
     return _knn(q, c, TOP_K)
+
+
+@query(
+    "q_embedding_quantize",
+    oracle=f"""
+    SELECT vec_id, amax,
+           CASE WHEN amax = 0
+                THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding,
+                       v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / amax) AS BIGINT))
+           END AS codes
+    FROM (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+               (a, x) -> greatest(a, x)) AS amax
+      FROM embeddings
+    ) t
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    vector-store compression step (4x smaller than float32, enough for
+    recall-then-rerank ANN). Per vector: absolute max → scale, then
+    codes = floor(v·127 / amax), zero-vector guarded. All per-row array
+    algebra, no shuffle; the double arithmetic is a single multiply and
+    divide per element in both engines, so results are bit-identical.
+    At 100 TB you'd store (amax, codes) and reconstruct approximate
+    vectors executor-side during rerank — IO drops 4x, which is the
+    actual bottleneck of brute-force scoring at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    amax = F.aggregate(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    d = emb.select("vec_id", "embedding", amax.alias("amax"))
+    codes = F.when(
+        F.col("amax") == 0.0,
+        F.transform(F.col("embedding"), lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 127 / F.col("amax")).cast("long"),
+        )
+    )
+    return d.select("vec_id", "amax", codes.alias("codes"))
