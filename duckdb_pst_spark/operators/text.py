@@ -492,3 +492,97 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", poly_hash(F.col("text")).alias("fp")
     )
+
+
+_CHUNK_LEN = 128
+_CHUNK_OVERLAP = 32
+_CHUNK_STRIDE = _CHUNK_LEN - _CHUNK_OVERLAP
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_pos,
+           substr(text, CAST(s AS BIGINT), {_CHUNK_LEN}) AS chunk,
+           CAST(length(substr(text, CAST(s AS BIGINT), {_CHUNK_LEN})) AS BIGINT)
+             AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1,
+               greatest(1, length(text) - {_CHUNK_OVERLAP}), {_CHUNK_STRIDE})) AS s
+      FROM documents
+    ) t
+    """,
+    tags=("text", "pipeline"),
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each doc becomes overlapping
+    {128}-char windows with a {96}-char stride — the chunker in front of
+    every embedding/RAG/training-token pipeline. (Distinct from
+    q_pack_sequences, which concatenates docs INTO fixed windows; this
+    splits docs into overlapping ones.)
+
+    Scale design: a pure generator projection — sequence() + explode run
+    inside whole-stage codegen, so chunking is a map-only pass with zero
+    shuffle and output partitioning inherited from the scan. Fan-out is
+    bounded (len/stride chunks per doc), so task output stays
+    proportional to input bytes — the plan at 100 TB is identical, just
+    wider."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length("text") - _CHUNK_OVERLAP),
+        F.lit(_CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"(s - 1) div {_CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("start_pos"),
+            F.expr(f"substring(text, s, {_CHUNK_LEN})").alias("chunk"),
+            F.expr(f"length(substring(text, s, {_CHUNK_LEN}))")
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "q_vocab_df",
+    oracle="""
+    SELECT tok, COUNT(*) AS df FROM (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+      ) raw
+    ) per_doc
+    GROUP BY tok
+    ORDER BY df DESC, tok
+    LIMIT 50
+    """,
+    tags=("text", "pipeline"),
+)
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by DOCUMENT frequency (docs containing the
+    token, not occurrences — the denominator of IDF and the standard
+    stopword/vocab-pruning statistic; q_explode_agg is the term-
+    frequency counterpart).
+
+    Scale design: explode → per-task partial distinct on (doc_id, tok)
+    collapses within-doc repeats map-side, one shuffle dedups exactly,
+    then the tok count partial-aggregates again — shuffled rows are
+    distinct (doc, tok) pairs, not token occurrences. Top-50 is a
+    TakeOrdered heap, no global sort."""
+    d = _docs_with_tokens(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(50)
+    )
