@@ -178,3 +178,21 @@ def test_minhash_vec_is_arrow_not_row_python(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_doc_chunk_is_map_only_generator(spark, sf_dir):
+    """q_doc_chunk (sliding-window chunking) must stay a zero-shuffle
+    generator projection: sequence+explode in codegen, output
+    partitioning inherited from the scan, pruned to (doc_id, text)."""
+    df = SPECS["q_doc_chunk"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) == 0, pi.executed_plan(df)
+    schemas = pi.read_schemas(df)
+    assert schemas and "n_chars" not in schemas[0] and "source" not in schemas[0]
+
+
+def test_vocab_df_shape(spark, sf_dir):
+    """q_vocab_df: exactly two shuffles (pair-distinct, token count) and
+    a TakeOrdered heap for the top-50 — never a global sort."""
+    df = SPECS["q_vocab_df"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) == 2, pi.executed_plan(df)
+    assert pi.has_take_ordered(df), pi.executed_plan(df)
