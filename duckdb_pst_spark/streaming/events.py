@@ -128,3 +128,77 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS click_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'view' event joined to the same
+    user's 'click' events arriving within the next hour — the funnel /
+    attribution join, run as an actual two-stream Structured Streaming
+    inner join (append mode, AvailableNow replay).
+
+    Scale design: the join keys on user_id, so both streams shuffle once
+    per micro-batch to co-locate users; per-key state holds only rows
+    inside the hour bound. A continuous run adds ``withWatermark`` on
+    both sides so Spark provably drops state older than the interval
+    (event time here is TIMESTAMP_NTZ from the nanos shim, where Spark
+    can't watermark — bounded replay needs no watermark; a live cluster
+    deployment would ingest event time as TIMESTAMP(LTZ) and watermark
+    both streams). Inner-join output is append-safe: rows emit exactly
+    once when matched, so the bounded replay equals the batch answer."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
+
+    def one_stream(alias_id: str, etype: str, ts_name: str, with_user: str):
+        schema = spark.read.parquet(staging).schema
+        s = spark.readStream.schema(schema).parquet(staging)
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
+        return s.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(alias_id),
+            F.col("user_id").alias(with_user),
+            F.col("ts").alias(ts_name),
+        )
+
+    views = one_stream("view_id", "view", "view_ts", "user_id")
+    clicks = one_stream("click_id", "click", "click_ts", "c_user_id")
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("view_id", "click_id", "user_id")
+
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(sink)
+    result = spark.createDataFrame(result.collect(), result.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
