@@ -330,3 +330,52 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("vec_id", "amax", codes.alias("codes"))
+
+
+from duckdb_pst_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "q_knn_recall",
+    oracle=f"""
+    WITH brute AS ({_REG["q_knn_brute"].oracle}),
+         lsh AS ({_REG["q_knn_lsh"].oracle})
+    SELECT b.qid,
+           CAST(COUNT(l.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.cand_id) * 100 // {TOP_K} AS BIGINT) AS recall_pct
+    FROM brute b
+    LEFT JOIN lsh l ON l.qid = b.qid AND l.cand_id = b.cand_id
+    GROUP BY b.qid
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA: recall@{k} of the LSH path against the exact
+    brute-force baseline, per query — the acceptance metric every
+    approximate index ships with (an IVF/LSH variant that loses recall
+    silently poisons the downstream dedup/retrieval pipeline).
+
+    Scale design: composes the two ANN plans; the comparison itself is a
+    broadcast join of two tiny top-k sets (|Q|·k rows each), so its cost
+    is the two underlying scans — recall evaluation on a 100 TB corpus
+    runs at index-build cost over a sampled query set. Integer recall
+    (hits·100/k) keeps the oracle hash exact."""
+    brute = q_knn_brute(spark, sf_dir).select("qid", "cand_id")
+    lsh = q_knn_lsh(spark, sf_dir).select("qid", "cand_id")
+    hits = (
+        brute.join(lsh, ["qid", "cand_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        brute.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 100 / TOP_K)
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
