@@ -363,14 +363,14 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = q_knn_brute(spark, sf_dir).select("qid", "cand_id")
     lsh = q_knn_lsh(spark, sf_dir).select("qid", "cand_id")
     hits = (
-        brute.join(lsh, ["qid", "cand_id"])
+        brute.join(F.broadcast(lsh), ["qid", "cand_id"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("h"))
     )
     return (
         brute.select("qid")
         .distinct()
-        .join(hits, "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
         .select(
             "qid",
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
