@@ -277,23 +277,66 @@ class PstReader(DataSourceReader):
                     if limit is not None and seen >= limit:
                         break
 
+        # A4 bucketing, with small files PACKED into shared partitions: a
+        # Python DataSource task costs ~tens of ms to launch, so one task
+        # per tiny archive (e.g. 167 fixture files x 12 rows) drowns in
+        # startup overhead. Each partition is a tuple of (file, nids)
+        # entries — flushed when it reaches partition_size rows OR the
+        # per-partition file cap (sized so task count stays ~3x cores for
+        # full parallelism). Big files still split at psize rows exactly
+        # as the reference does; one handle per entry per task (A10).
+        import math
+        import os as _os
+
+        target_tasks = 3 * (_os.cpu_count() or 8)
+        max_files = max(1, math.ceil(len(planned_files) / target_tasks))
         out = []
         planned = 0
+        entries: list = []
+        entry_rows = 0
+
+        def flush():
+            nonlocal entries, entry_rows
+            if entries:
+                out.append(InputPartition(tuple(entries)))
+                entries, entry_rows = [], 0
+
+        EST_FOLDER_ROWS = 16
         for f, nids in planned_files:
-            if nids is None:
-                out.append(InputPartition((f, None)))
+            if nids is None:  # folders: whole file is one entry
+                entries.append((f, None))
+                entry_rows += EST_FOLDER_ROWS
+                if entry_rows >= psize or len(entries) >= max_files:
+                    flush()
                 continue
             if limit is not None:
                 nids = nids[: max(limit - planned, 0)]
             planned += len(nids)
-            for i in range(0, len(nids), psize):
-                out.append(InputPartition((f, nids[i : i + psize])))
+            i = 0
+            while len(nids) - i >= psize:  # full buckets: standalone
+                flush()
+                out.append(InputPartition(((f, nids[i : i + psize]),)))
+                i += psize
+            rest = nids[i:]
+            if rest:
+                entries.append((f, rest))
+                entry_rows += len(rest)
+                if entry_rows >= psize or len(entries) >= max_files:
+                    flush()
             if limit is not None and planned >= limit:
                 break
-        return out or [InputPartition((None, None))]
+        flush()
+        return out or [InputPartition(((None, None),))]
 
     def read(self, partition):
-        path, nids = partition.value
+        # One task reads a pack of (file, nids) entries sequentially —
+        # amortizes the Python-worker launch across small files; each
+        # entry still gets its own archive handle (A10, never shared).
+        for entry in partition.value:
+            yield from self._read_entry(entry)
+
+    def _read_entry(self, entry):
+        path, nids = entry
         if path is None:
             return
         from duckdb_pst_spark.sources.mspst.messaging import PstArchive
@@ -383,8 +426,8 @@ class PstStreamReader(DataSourceStreamReader):
         parts = []
         for f in new:
             per_file = PstReader({**self._options, "path": f}, self._schema)
-            parts.extend(p for p in per_file.partitions() if p.value[0] is not None)
-        return parts or [InputPartition((None, None))]
+            parts.extend(p for p in per_file.partitions() if p.value[0][0] is not None)
+        return parts or [InputPartition(((None, None),))]
 
     def read(self, partition):
         return self._batch.read(partition)

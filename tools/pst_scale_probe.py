@@ -45,6 +45,13 @@ def main() -> None:
         glob = os.path.join(d, "*.pst")
         out: dict[str, float | int] = {"n_files": n_files}
 
+        # Warm-up (same rationale as bench.py): the first Python
+        # DataSource job spins up the executor-side Python worker pool
+        # and pays module imports (~7 s one-time on 32 cores). A
+        # long-running cluster amortizes that to zero; timing it would
+        # measure process startup, not scan throughput.
+        spark.read.format("pst").load(os.path.join(d, "archive_0000.pst")).count()
+
         t0 = time.perf_counter()
         out["rows_stats"] = pst_count(spark, glob)
         out["stats_count_s"] = round(time.perf_counter() - t0, 3)
