@@ -308,3 +308,89 @@ def q_pstbin_attachment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = probe().toDF("n").select(F.col("n").alias("bytes_when_gated"))
     read = probe(read_attachment_body=True).toDF("n").select(F.col("n").alias("bytes_when_read"))
     return gated.crossJoin(read)
+
+
+@query(
+    "q_pstbin_folder_tree",
+    oracle="""
+    SELECT display_name, CAST(node_id AS BIGINT) AS node_id,
+           CAST(parent_node_id AS BIGINT) AS parent_node_id
+    FROM (VALUES
+      ('Top of Outlook data file', 32802, 290),
+      ('Deleted Items', 32866, 32802),
+      ('Calendar', 32994, 32802),
+      ('Sent Items', 32962, 32802),
+      ('Outbox', 32930, 32802),
+      ('Inbox', 32898, 32802),
+      ('Quick Step Settings', 33250, 32802),
+      ('Conversation Action Settings', 33218, 32802),
+      ('RSS Feeds', 33186, 32802),
+      ('Drafts', 33154, 32802),
+      ('Tasks', 33122, 32802),
+      ('Notes', 33090, 32802),
+      ('Journal', 33058, 32802),
+      ('Contacts', 33026, 32802)
+    ) t(display_name, node_id, parent_node_id)
+    """,
+    tags=("pst-binary", "recursive"),
+)
+def q_pstbin_folder_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's flagship recursive CTE — descendants of
+    'Top of Outlook data file' (nid 32802, README.md:406-440) — run over
+    the REAL binary folder table via the path-doubling treewalk, pinned
+    to the README's published 14-row output."""
+    from duckdb_pst_spark.operators.recursive import treewalk
+
+    folders = _pst(spark, "folders")
+    edges = folders.filter(F.col("node_id") != F.col("parent_node_id")).select(
+        F.col("parent_node_id").cast("long").alias("parent"),
+        F.col("node_id").cast("long").alias("child"),
+    )
+    frontier = spark.range(32802, 32803).select(F.col("id").alias("key"))
+    keys = treewalk(frontier, edges, from_col="parent", to_col="child", dedup_level=False)
+    return keys.join(
+        F.broadcast(
+            folders.select(
+                "display_name", F.col("node_id").alias("key"), "parent_node_id"
+            )
+        ),
+        "key",
+    ).select("display_name", F.col("key").alias("node_id"), "parent_node_id")
+
+
+@query(
+    "q_pstbin_parent_tree",
+    oracle="""
+    SELECT display_name, CAST(node_id AS BIGINT) AS node_id,
+           CAST(parent_node_id AS BIGINT) AS parent_node_id
+    FROM (VALUES
+      ('Journal', 33058, 32802),
+      ('Top of Outlook data file', 32802, 290),
+      ('', 290, 290)
+    ) t(display_name, node_id, parent_node_id)
+    """,
+    tags=("pst-binary", "recursive"),
+)
+def q_pstbin_parent_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward traversal to the store root (README.md:448-469) on the
+    real binary folder table. The root is its own parent (self-loop nid
+    290) — the treewalk's dedup/stagnation rule terminates it, exactly
+    like the reference's UNION dedup; output pinned to the README's
+    3-row golden result."""
+    from duckdb_pst_spark.operators.recursive import treewalk
+
+    folders = _pst(spark, "folders")
+    edges = folders.filter(F.col("node_id") != F.col("parent_node_id")).select(
+        F.col("node_id").cast("long").alias("child"),
+        F.col("parent_node_id").cast("long").alias("parent"),
+    )
+    frontier = spark.range(33058, 33059).select(F.col("id").alias("key"))
+    keys = treewalk(frontier, edges, from_col="child", to_col="parent", dedup_level=False)
+    return keys.join(
+        F.broadcast(
+            folders.select(
+                "display_name", F.col("node_id").alias("key"), "parent_node_id"
+            )
+        ),
+        "key",
+    ).select("display_name", F.col("key").alias("node_id"), "parent_node_id")
