@@ -321,3 +321,76 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("sum_value_m"),
         )
     )
+
+
+@query(
+    "q_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS s
+      FROM events WHERE value > 190
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket) AS mn, max(bucket) AS mx FROM daily
+    ), grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+                  FROM bounds) g
+    )
+    SELECT g.event_type, CAST(g.bucket AS DATE) AS bucket,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           last_value(d.s IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_m
+    FROM grid g
+    LEFT JOIN daily d ON d.event_type = g.event_type AND d.bucket = g.bucket
+    """,
+    tags=("window", "timeseries"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill``
+    idiom): high-severity daily rollups re-gridded onto the full
+    per-type day range, counts zero-filled, the value sum carried
+    forward (LOCF — ``last(col, ignorenulls)`` over an ordered window;
+    days before the first observation stay NULL).
+
+    Scale design: the grid is dimensions only — distinct types cross a
+    generated day sequence, both broadcast-small however big the fact
+    table is; the expensive side is the one partial-aggregated rollup
+    shuffle. The LOCF window partitions by series key, so fills
+    parallelize across keys; a 100 TB deployment gap-fills millions of
+    series keys with per-key partitions, never a global sort."""
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 190)
+    daily = e.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s"),
+    )
+    bounds = daily.agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 DAY"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("s", ignorenulls=True).over(w).alias("locf_sum_m"),
+        )
+    )
