@@ -196,3 +196,13 @@ def test_vocab_df_shape(spark, sf_dir):
     df = SPECS["q_vocab_df"].builder(spark, sf_dir)
     assert pi.shuffle_count(df) == 2, pi.executed_plan(df)
     assert pi.has_take_ordered(df), pi.executed_plan(df)
+
+
+def test_gapfill_grid_is_dimension_only(spark, sf_dir):
+    """q_gapfill_locf: the fill grid is built from broadcast-small
+    dimension sides — at least one broadcast join, no sort-merge join,
+    and the severity filter reaches the scan."""
+    df = SPECS["q_gapfill_locf"].builder(spark, sf_dir)
+    assert pi.broadcast_join_count(df) >= 1, pi.executed_plan(df)
+    assert pi.sort_merge_join_count(df) == 0, pi.executed_plan(df)
+    assert any("value" in p for p in pi.pushed_filters(df)), pi.pushed_filters(df)
