@@ -516,6 +516,7 @@ _CHUNK_STRIDE = _CHUNK_LEN - _CHUNK_OVERLAP
     ) t
     """,
     tags=("text", "pipeline"),
+    bench=True,
 )
 def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking: each doc becomes overlapping

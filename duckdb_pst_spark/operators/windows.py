@@ -348,6 +348,7 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN daily d ON d.event_type = g.event_type AND d.bucket = g.bucket
     """,
     tags=("window", "timeseries"),
+    bench=True,
 )
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling (the hypertable ``time_bucket_gapfill``
