@@ -23,7 +23,7 @@ _MEDIA = f"read_parquet('{_DIR}/media.parquet')"
 @query(
     "q_media_stats",
     oracle=f"""
-    SELECT kind, count(*) AS n, sum(octet_length(bytes)) AS total_bytes
+    SELECT kind, count(*) AS n, CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes
     FROM {_MEDIA}
     GROUP BY kind ORDER BY kind
     """,
@@ -61,7 +61,7 @@ def q_media_meta_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ops.of_kind(ops.media_table(spark), "image")
     return m.select(
         "media_id",
-        F.octet_length("bytes").alias("nbytes"),
+        F.octet_length("bytes").cast("long").alias("nbytes"),
         (F.col("meta.width") * F.col("meta.height") * F.col("meta.channels"))
         .cast("int")
         .alias("expect_bytes"),
@@ -119,7 +119,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_doc_join",
     oracle=f"""
     SELECT d.doc_id, d.lang, count(*) AS n_media,
-           sum(octet_length(m.bytes)) AS media_bytes
+           CAST(sum(octet_length(m.bytes)) AS BIGINT) AS media_bytes
     FROM {_MEDIA} m
     JOIN documents d ON d.doc_id = m.doc_id
     GROUP BY d.doc_id, d.lang

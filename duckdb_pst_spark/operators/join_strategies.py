@@ -40,7 +40,7 @@ SALT_BUCKETS = 8
     )
     SELECT iv.interval_id,
            count(*) AS n_events,
-           SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS sum_value_c
+           CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
     GROUP BY iv.interval_id
     """,
@@ -106,7 +106,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n_events,
-           SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS sum_value_c
+           CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment

@@ -399,9 +399,9 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2025-06-01 00:00:00'
@@ -437,7 +437,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_agg_topn",
     oracle="""
     SELECT l.l_orderkey,
-           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -480,7 +480,7 @@ def q_join_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multi_join",
     oracle="""
     SELECT n.n_name,
-           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS rev_c
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -839,7 +839,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(l_returnflag) AS INT) AS g_flag,
            CAST(grouping(l_linestatus) AS INT) AS g_status,
            CAST(count(*) AS BIGINT) AS c,
-           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -860,7 +860,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
                count(*) AS c,
-               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM {lv}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -937,7 +937,7 @@ def q_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
     """,

@@ -24,7 +24,7 @@ from duckdb_pst_spark.tables import table
 @query(
     "q_hash_sample",
     oracle=f"""
-    SELECT source, count(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    SELECT source, count(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
     FROM documents
     WHERE {duck_poly_hash_long('doc_id')} % 100 < 10
     GROUP BY source

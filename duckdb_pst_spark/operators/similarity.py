@@ -72,7 +72,7 @@ def _knn(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("qid", "cand_id", "rn", "cos_sim")
     )

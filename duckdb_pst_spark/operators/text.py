@@ -97,7 +97,7 @@ def q_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19: length(str) (reference test/sql/table_function_parameters.test:21),
     cross-checked against the precomputed n_chars column."""
     return table(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("text_len"), "n_chars"
+        "doc_id", F.length("text").cast("long").alias("text_len"), "n_chars"
     )
 
 
@@ -124,8 +124,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_with_tokens(spark, sf_dir)
     return d.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
         F.expr("CAST(length(text) AS BIGINT) div size(toks)").alias("chars_per_tok"),
     )
 
@@ -193,8 +193,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_txt"),
-        F.size("toks").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.size("toks").cast("long").alias("n_tokens"),
         uniq_ratio.alias("uniq_ratio_u"),
         F.when((F.size("toks") >= 20) & (uniq_ratio >= 200000), 1).otherwise(0).alias("quality_pass"),
     )
@@ -208,15 +208,15 @@ _PACK_SHARDS = 8  # independent packing streams
     "q_pack_sequences",
     oracle=f"""
     SELECT doc_id, shard, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off,
-           shard * 1000000 + COALESCE(SUM(n_tokens) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+           shard * 1000000 + CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_PACK_BUDGET} AS pack_id,
-           COALESCE(SUM(n_tokens) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // {_PACK_BUDGET} AS pack_id,
+           CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY shard ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {_PACK_BUDGET} AS pack_off
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) % {_PACK_BUDGET} AS pack_off
     FROM (
       SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
              CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
@@ -435,8 +435,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size("grams").alias("n_grams"),
-        F.size(F.array_distinct("grams")).alias("n_distinct_grams"),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct_grams"),
         F.expr(
             "(CAST(size(grams) - size(array_distinct(grams)) AS BIGINT) * 1000000)"
             " div size(grams)"
@@ -465,10 +465,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookarounds."""
     return table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_digit_runs"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").alias("n_digit_runs"),
         F.size(
             F.expr("regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', 0)")
-        ).alias("n_emails"),
+        ).cast("long").alias("n_emails"),
         F.regexp_replace("text", "[0-9]", "#").alias("redacted"),
     )
 

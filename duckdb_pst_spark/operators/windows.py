@@ -42,7 +42,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(*_BY_USER_TIME)
     e = table(spark, sf_dir, "events")
     return (
-        e.select("event_id", "user_id", "ts", F.row_number().over(w).alias("rn"))
+        e.select("event_id", "user_id", "ts", F.row_number().over(w).cast("long").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -68,9 +68,9 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_value_u,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_value_u,
            COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
@@ -99,8 +99,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts, session_id FROM (
       SELECT event_id, user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT event_id, user_id, ts,
                CASE WHEN prev_ts IS NULL
@@ -196,10 +196,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ) AS spend_30d_c
+           ) AS BIGINT) AS spend_30d_c
     FROM orders
     """,
     tags=("window", "frame"),
@@ -282,7 +282,7 @@ def q_window_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("tile"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
@@ -293,7 +293,7 @@ def q_window_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_value_m
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_m
     FROM events
     GROUP BY date_trunc('day', ts), event_type
     """,
@@ -328,7 +328,7 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bucket,
-             COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS s
+             COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS s
       FROM events WHERE value > 190
       GROUP BY 1, 2
     ), bounds AS (

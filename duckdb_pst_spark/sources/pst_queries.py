@@ -155,7 +155,7 @@ def q_pst_body_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_function_parameters.test:19-28 asserts exactly this)."""
     m = pst.read_pst_messages(spark, "fixtures/fix000.pst", read_body_size_bytes=100)
     return m.filter(F.col("body_html").isNotNull()).select(
-        "node_id", F.length("body_html").alias("html_chars")
+        "node_id", F.length("body_html").cast("long").alias("html_chars")
     )
 
 
@@ -220,7 +220,7 @@ def q_pst_dlist_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = pst.read_pst_distribution_lists(spark, "fixtures/fix000.pst")
     e = d.select(
         F.col("display_name").alias("list_name"),
-        F.size("member_node_ids").alias("contact_member_count"),
+        F.size("member_node_ids").cast("long").alias("contact_member_count"),
         F.explode("one_off_members").alias("m"),
     )
     return e.select(

@@ -16,6 +16,7 @@ same trick as a punctuation/flush watermark in other engines.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import uuid
@@ -158,17 +159,24 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet")
     )
     # sentinel flush: one far-future event per user closes open sessions.
-    # The events parquet stores TIMESTAMP(NANOS) which the stream reads as
-    # long (nanosAsLong shim) — sentinels must match that physical type.
+    # Sentinels must match the physical type of `ts` in the parquet —
+    # BIGINT nanos under the nanosAsLong shim for TIMESTAMP(NANOS) data,
+    # a plain timestamp column otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    max_ns = raw.agg(F.max("ts")).collect()[0][0]
+    if dict(raw.dtypes)["ts"] == "bigint":
+        max_ns = raw.agg(F.max("ts")).collect()[0][0]
+        sentinel_ts = F.lit(max_ns + 10 * 3600 * 10**9).cast("long")
+    else:
+        sentinel_ts = F.lit(
+            raw.agg(F.max("ts")).collect()[0][0] + datetime.timedelta(hours=10)
+        ).cast(dict(raw.dtypes)["ts"])
     sentinels = (
         raw.select("user_id")
         .distinct()
         .select(
             F.lit(-1).cast("long").alias("event_id"),
-            F.lit(max_ns + 10 * 3600 * 10**9).cast("long").alias("ts"),
+            sentinel_ts.alias("ts"),
             F.col("user_id"),
             F.lit("__sentinel__").alias("event_type"),
             F.lit(0.0).alias("value"),

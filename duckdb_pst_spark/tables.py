@@ -38,14 +38,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects. Read nanos as BIGINT and rebuild a
-    TIMESTAMP_NTZ via interval arithmetic — timezone-independent, exact
-    to the microsecond (nanos truncate to micros, same as DuckDB)."""
+    """Some testdata generations store ``ts`` as parquet TIMESTAMP(NANOS),
+    which the Spark reader rejects; others as TIMESTAMP(MICROS), which it
+    reads natively. Read with nanosAsLong enabled and rebuild a
+    TIMESTAMP_NTZ only when ``ts`` actually arrives as BIGINT nanos —
+    timezone-independent, exact to the microsecond (same as DuckDB)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
+    ts_field = raw.schema["ts"].dataType
+    if not isinstance(ts_field, T.LongType):
+        return raw
     ts = F.expr(
         "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
         "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"

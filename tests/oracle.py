@@ -49,6 +49,69 @@ def _canon(v):
     return ("s", str(v))
 
 
+def _spark_type_key(dt) -> str:
+    """Flatten a Spark data type to a comparable key."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_type_key(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{_spark_type_key(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    return {
+        "long": "int64", "integer": "int32", "short": "int16", "byte": "int8",
+        "double": "float64", "float": "float32", "string": "string",
+        "boolean": "bool", "binary": "binary", "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    }.get(dt.typeName(), dt.typeName())
+
+
+def _arrow_type_key(at) -> str:
+    """Flatten a pyarrow type to the same comparable key space."""
+    import pyarrow as pa
+
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return f"list<{_arrow_type_key(at.value_type)}>"
+    if pa.types.is_struct(at):
+        inner = ",".join(f"{f.name}:{_arrow_type_key(f.type)}" for f in at)
+        return f"struct<{inner}>"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_large_string(at) or pa.types.is_string(at):
+        return "string"
+    if pa.types.is_large_binary(at) or pa.types.is_binary(at):
+        return "binary"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_float64(at):
+        return "float64"
+    if pa.types.is_float32(at):
+        return "float32"
+    return str(at)
+
+
+def _check_types(name: str, spark_schema, arrow_schema) -> None:
+    """Exact cross-engine type parity per column. The driver hashes the
+    materialized values, so a DuckDB HUGEINT (→ decimal128/float64 via
+    Arrow) or an int-width drift against Spark is a real failure even
+    when the Python values compare equal."""
+    stypes = {f.name: _spark_type_key(f.dataType) for f in spark_schema.fields}
+    dtypes = {arrow_schema.field(i).name: _arrow_type_key(arrow_schema.field(i).type)
+              for i in range(len(arrow_schema))}
+    diffs = {
+        c: (stypes[c], dtypes[c])
+        for c in stypes
+        if c in dtypes and stypes[c] != dtypes[c]
+    }
+    assert not diffs, f"{name}: type mismatch (spark vs duck-arrow): {diffs}"
+
+
 def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -63,14 +126,19 @@ def compare(spark, spec, sf_dir: str, *, max_diff_report: int = 5) -> None:
     scols = sdf.columns
 
     con = duck_connection(sf_dir)
-    cur = con.execute(spec.oracle)
-    dcols = [d[0] for d in cur.description]
-    drows = [tuple(r) for r in cur.fetchall()]
+    # Fetch through Arrow, not fetchall(): the driver materializes the
+    # oracle result through Arrow/pandas, where DuckDB's HUGEINT (the
+    # result type of SUM over integers) becomes decimal128/float64, not
+    # int64 — fetchall() hides that by returning plain Python ints.
+    tbl = con.execute(spec.oracle).fetch_arrow_table()
+    dcols = list(tbl.column_names)
+    drows = [tuple(d.values()) for d in tbl.to_pylist()]
     con.close()
 
     assert sorted(scols) == sorted(dcols), (
         f"{spec.name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
     )
+    _check_types(spec.name, sdf.schema, tbl.schema)
     assert len(srows) == len(drows), (
         f"{spec.name}: row count mismatch spark={len(srows)} duck={len(drows)}"
     )
