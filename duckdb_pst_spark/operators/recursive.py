@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.registry import query
@@ -93,8 +93,11 @@ def treewalk(
             # duplicates within a level only exist when a node has several
             # parents (DAG); tree callers skip this shuffle entirely
             nxt = nxt.distinct()
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # the termination probe rides the checkpoint job as an observed
+        # metric — one job per level
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
             return acc
         acc = acc.union(nxt)
         cur = nxt
@@ -188,13 +191,27 @@ def _treewalk_doubling(
                 F.lit(False).alias("is_s"),
             )
         )
-        both = jump.unionByName(compose).localCheckpoint(eager=True)
-        nxt = both.filter(F.col("is_s")).select(F.col("src").alias(key_col))
-        if nxt.isEmpty():  # take(1) over the cached result — no shuffle
+        # ONE job per iteration: both termination probes ride along the
+        # checkpoint materialization as observed metrics instead of
+        # running as separate count jobs — per-iteration driver overhead
+        # is what dominates shallow walks.
+        obs = Observation()
+        both = (
+            jump.unionByName(compose)
+            .observe(
+                obs,
+                F.count(F.when(F.col("is_s"), 1)).alias("n_new"),
+                F.count(F.when(~F.col("is_s"), 1)).alias("n_e2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        counts = obs.get  # blocks until the checkpoint job reports
+        if counts["n_new"] == 0:
             return S.distinct()
+        nxt = both.filter(F.col("is_s")).select(F.col("src").alias(key_col))
         S = S.union(nxt)  # shallow union of cached levels — no re-materialization
         E = both.filter(~F.col("is_s")).select("src", "dst")
-        if E.isEmpty():
+        if counts["n_e2"] == 0:
             return S.distinct()
     raise RuntimeError(f"treewalk did not converge in {max_iters} doubling iterations")
 
