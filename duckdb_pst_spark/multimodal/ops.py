@@ -191,9 +191,15 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
 
 def media_table(spark, n_media: int | None = None) -> DataFrame:
-    """Load the fixture media table (generating it on first use)."""
+    """Load the fixture media table (generating it on first use).
+
+    Caps the Arrow exchange batch size for this session: with ~MB-sized
+    payload rows the default 10k-row batch would be a multi-GB Arrow
+    allocation per task. Narrow-row Python operators (e.g. the minhash
+    kernel) set their own larger batch size at build time."""
     from duckdb_pst_spark.multimodal import fixtures
 
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     d = fixtures.generate(n_media or fixtures.DEFAULT_N_MEDIA)
     return spark.read.parquet(f"{d}/media.parquet")
 

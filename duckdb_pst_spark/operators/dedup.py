@@ -631,6 +631,9 @@ def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer + numpy. Downstream pair generation is shared
     (``_band_pairs``). No oracle (crc32 isn't in DuckDB's surface);
     the portable twin q_dedup_minhash proves the pipeline's semantics."""
+    # narrow rows: large Arrow batches amortize the Python round-trip
+    # (a media operator in the same session may have lowered the cap)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     bands = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")

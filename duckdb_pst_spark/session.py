@@ -38,9 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary media payloads: cap Arrow batch row count so a batch of
-        # ~MB-sized blobs stays bounded (default 10k rows would be GBs)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Arrow exchange batch size: 8192 narrow rows per batch amortizes
+        # the Python round-trip for mapInPandas kernels; operators moving
+        # ~MB-sized binary payloads (multimodal/ops.py) re-cap this to 256
+        # at build time so a batch stays bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # DSv2 parquet read path: aggregate pushdown (count/min/max from
         # footers — the reference's COLUMN_DATA_SCAN analogue) only exists
