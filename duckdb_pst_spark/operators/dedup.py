@@ -12,9 +12,12 @@ Scale design:
   by simhash value afterwards is one exact-dedup-style shuffle.
 
 Parity design: oracle-checked variants use the portable polynomial hash
-(functions/portable.py) so DuckDB computes identical signatures. The
-``*_fast`` variants (bench-only, no oracle) swap in ``xxhash64`` — the
-JVM-native hot path you'd run at 100 TB; plan shape is identical.
+(functions/portable.py) so DuckDB computes identical signatures — this
+includes the Arrow/numpy kernel (``q_dedup_minhash_vec``), which
+vectorizes the SAME polynomial hash via a modular prefix scan and is
+therefore hash-verified end to end. Only ``q_dedup_minhash_fast``
+(bench-only, no oracle) swaps in ``xxhash64`` — the JVM-native hot path;
+plan shape is identical to the verified twins.
 """
 
 from __future__ import annotations
@@ -581,39 +584,99 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
 
 
 def _minhash_band_kernel(batches):
-    """Arrow-batched minhash kernel: (doc_id, text) → band keys.
+    """Arrow-batched minhash kernel: (doc_id, text) → band keys, computing
+    the SAME portable polynomial shingle hashes as the JVM/oracle twins —
+    so this path is hash-verified against DuckDB, not rows-only.
 
-    Per document: whitespace tokens → distinct crc32 word-3-gram shingle
-    hashes → K permutation minima vectorized in one numpy matrix op →
-    MINHASH_BANDS (band_idx, band_val) rows. crc32 is C-speed and
-    version-stable (unlike Python's salted hash()); the permutation
-    arithmetic matches the portable twin's (a·h + b) mod P form."""
+    Vectorization: the char fold h = fold((acc*31 + code) % P) composes
+    over concatenation — h(s‖t) = (h(s)·31^len(t) + h(t)) mod P — so with
+    P prime the whole document is hashed ONCE as a modular prefix scan
+    (F_k = 31^k · Σ code_j·31^{-j} mod P, all numpy), and every word-
+    3-gram shingle hash is then a segment difference
+    (F_b − F_a·31^{b−a}) mod P extracted by fancy indexing. No per-
+    shingle Python loop; the K permutation minima are one matrix op.
+    int64 never overflows: values < P ≈ 1e9, so products < 1e18 and the
+    prefix sum over a ≤1e6-char doc stays < 1e15."""
     import numpy as np
     import pandas as pd
-    import zlib
 
+    P = P_HASH
     A = np.array(_A, dtype=np.int64)[:, None]
     B = np.array(_B, dtype=np.int64)[:, None]
+    inv31 = pow(31, P - 2, P)  # Fermat inverse — P is prime
+    # modular power tables, grown geometrically (sequential recurrence is
+    # a one-time Python loop per growth, then shared by every doc)
+    tbl: dict[str, list] = {"p": [1], "ip": [1]}
+
+    def powers(n: int):
+        p, ip = tbl["p"], tbl["ip"]
+        if len(p) <= n:
+            target = max(n + 1, 2 * len(p))  # grow geometrically
+            while len(p) < target:
+                p.append(p[-1] * 31 % P)
+                ip.append(ip[-1] * inv31 % P)
+            tbl["pa"] = np.array(p, dtype=np.int64)
+            tbl["ia"] = np.array(ip, dtype=np.int64)
+        return tbl["pa"], tbl["ia"]
+
     for pdf in batches:
         od, oi, ov = [], [], []
         for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
             toks = [t for t in text.split(" ") if t]
-            if len(toks) < 3:
+            nt = len(toks)
+            if nt < 3:
                 continue
-            sh = {
-                zlib.crc32(("%s %s %s" % (toks[i], toks[i + 1], toks[i + 2])).encode())
-                for i in range(len(toks) - 2)
-            }
-            h = np.fromiter(sh, dtype=np.int64, count=len(sh))
-            sigs = ((A * h + B) % P_HASH).min(axis=1)
+            joined = " ".join(toks)
+            L = len(joined)
+            p31, _ip31 = powers(L)
+            try:
+                buf = np.frombuffer(joined.encode("ascii"), np.uint8).astype(np.int64)
+            except UnicodeEncodeError:
+                # non-ASCII: match the engines' per-character code points
+                buf = np.fromiter(map(ord, joined), np.int64, count=L)
+            g = buf % P * _ip31[1 : L + 1] % P
+            G = np.cumsum(g)  # < L·P — safe in int64 for docs to ~9e9 chars/P
+            F = np.empty(L + 1, dtype=np.int64)
+            F[0] = 0
+            F[1:] = p31[1 : L + 1] * (G % P) % P
+            tl = np.fromiter(map(len, toks), np.int64, count=nt)
+            off = np.empty(nt, dtype=np.int64)
+            off[0] = 0
+            np.cumsum(tl[:-1] + 1, out=off[1:])
+            a = off[: nt - 2]
+            b = off[2:] + tl[2:]
+            sh = np.unique((F[b] - F[a] * p31[b - a]) % P)
+            sigs = ((A * sh + B) % P).min(axis=1)
             for j in range(MINHASH_BANDS):
                 od.append(doc_id)
                 oi.append(j)
-                ov.append(int((sigs[2 * j] * 31 + sigs[2 * j + 1]) % P_HASH))
+                ov.append(int((sigs[2 * j] * 31 + sigs[2 * j + 1]) % P))
         yield pd.DataFrame({"doc_id": od, "band_idx": oi, "band_val": ov})
 
 
-@query("q_dedup_minhash_vec", tags=("dedup", "fast"), bench=True)
+_VEC_ORACLE = (
+    _duck_minhash_cte()
+    + f"""
+    , bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    kept AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND 64
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN kept k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+    JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+     AND a.doc_id < b.doc_id
+    """
+)
+
+
+@query("q_dedup_minhash_vec", oracle=_VEC_ORACLE, tags=("dedup", "fast"), bench=True)
 def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with the signature stage as an
     Arrow-batched ``mapInPandas`` kernel — the second of the two 100 TB
@@ -624,13 +687,15 @@ def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     — they sit outside whole-stage codegen and allocate per element — so
     a compute-bound shingle+minhash stage pays ~200µs/doc in the JVM
     form. The Arrow kernel amortizes the Python boundary over whole
-    columnar batches and vectorizes all K permutations as one numpy
-    matrix op: measured 2× faster end-to-end at sf0.1 (0.9 s vs 1.9 s).
-    Both scale the same way — per-row map stage, one groupBy shuffle —
-    the kernel just trades JVM expression interpretation for Arrow
-    transfer + numpy. Downstream pair generation is shared
-    (``_band_pairs``). No oracle (crc32 isn't in DuckDB's surface);
-    the portable twin q_dedup_minhash proves the pipeline's semantics."""
+    columnar batches and vectorizes the signature math in numpy (the
+    modular prefix scan documented on ``_minhash_band_kernel``). Both
+    scale the same way — per-row map stage, one groupBy shuffle — the
+    kernel just trades JVM expression interpretation for Arrow transfer
+    + numpy. Downstream pair generation is shared (``_band_pairs``).
+    The kernel computes the SAME portable polynomial hashes as
+    q_dedup_minhash, so this path is fully oracle-checked (signature →
+    band → capped-bucket candidate pairs) — the cap shows up in the
+    oracle as the HAVING count BETWEEN 2 AND 64 bucket filter."""
     # narrow rows: large Arrow batches amortize the Python round-trip
     # (a media operator in the same session may have lowered the cap)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
