@@ -379,3 +379,75 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_pct"),
         )
     )
+
+
+# ------------------------------------------------------------ BLAS path
+def _gemm_topk_kernel(bq, k: int):
+    """Factory for the Arrow-batched GEMM top-k kernel.
+
+    Each batch of candidate vectors becomes one float64 matrix; cosine
+    against ALL queries is a single BLAS matmul (queries pre-normalized
+    once, broadcast); per-batch top-k per query via argpartition. The
+    kernel emits ≤ |Q|·k rows per batch — the full pairwise score matrix
+    never materializes off the BLAS registers."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids, Qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Qn @ Cn.T  # (|Q|, batch)
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(qids, kk)
+            rows_c = ids[part.ravel()]
+            rows_s = np.take_along_axis(S, part, axis=1).ravel()
+            yield pd.DataFrame({"qid": rows_q, "cand_id": rows_c, "cos_sim": rows_s})
+
+    return kernel
+
+
+@query("q_knn_gemm", tags=("similarity", "fast"), bench=True)
+def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k on the 100 TB hot path: the query set
+    (bounded, |Q|={n} vectors) is collected once and broadcast as a
+    pre-normalized numpy matrix; candidates stream through an
+    Arrow-batched ``mapInPandas`` kernel that scores a whole batch with
+    ONE BLAS matmul and pre-trims to its local top-k — so the shuffle
+    that finalizes ranks carries only |Q|·k rows per input partition,
+    never the |Q|·|C| score matrix. This is the shape a 100 TB
+    embedding sweep takes: scan-local GEMM, trivially partitionable,
+    no cross-partition traffic until the (tiny) rank merge.
+
+    Rows-only twin of the oracle-checked ``q_knn_brute`` (GEMM sums in a
+    different order than the portable left-fold, so doubles differ in
+    the last bits); ``tests/test_knn_gemm.py`` asserts the top-k PAIR
+    SET matches the exact baseline.""".format(n=N_QUERIES)
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    partial = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(_gemm_topk_kernel(bq, TOP_K), "qid long, cand_id long, cos_sim double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id", "rn", "cos_sim")
+    )
