@@ -139,3 +139,41 @@ def test_bucket_pair_expansion_is_all_unordered_pairs(spark, ids):
 def test_treewalk_empty_edges(spark, dedup_level):
     got = _run_treewalk(spark, [], 5, dedup_level=dedup_level)
     assert got == {5}
+
+
+# --------------------------------------------------- minhash kernel math
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=1000), min_size=1, max_size=12
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_scan_shingle_hashes_match_direct_fold(toks):
+    """The Arrow kernel's modular prefix-scan (segment-difference) shingle
+    hashes must equal the direct (acc*31 + ord) % P character fold the
+    JVM/oracle twins compute — pure math check, no Spark. Includes
+    non-ASCII codepoints to exercise the ord() fallback path."""
+    import pandas as pd
+
+    from duckdb_pst_spark.operators.dedup import _minhash_band_kernel, _A, _B, MINHASH_BANDS
+
+    def ph(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P_HASH
+        return h
+
+    sh = sorted({ph(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)})
+    sigs = [min((_A[k] * h + _B[k]) % P_HASH for h in sh) for k in range(len(_A))]
+    expect = {
+        (j, (sigs[2 * j] * 31 + sigs[2 * j + 1]) % P_HASH) for j in range(MINHASH_BANDS)
+    }
+
+    pdf = pd.DataFrame({"doc_id": [7], "text": [" ".join(toks)]})
+    out = pd.concat(list(_minhash_band_kernel(iter([pdf]))))
+    got = {(int(r.band_idx), int(r.band_val)) for r in out.itertuples()}
+    assert got == expect
