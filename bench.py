@@ -30,11 +30,19 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def run_query(spark, spec, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = spec.builder(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+def run_query(spark, spec, sf_dir: str, *, reps: int = 2) -> float:
+    """Steady-state wall time: best of ``reps`` full executions (build →
+    noop sink). The first execution of a plan still pays one-off JVM JIT
+    tiering (C2) and AQE statistics collection even after the sf0.001
+    plan warm-up; min-of-N is the standard steady-state estimator and is
+    what a long-running cluster job actually experiences."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

@@ -151,15 +151,17 @@ def _treewalk_doubling(
     # join instead — the same size-adaptive call AQE makes for joins.
     bcast_edge_rows = 5_000_000
 
+    e_obs = Observation()
     E = (
         edges.select(
             F.col(from_col).cast("long").alias("src"),
             F.col(to_col).cast("long").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # one job: materialize + count
     )
-    n_e = E.count()
+    n_e = e_obs.get["n"]
     S = (
         frontier.select(F.col(key_col).cast("long").alias(key_col))
         .distinct()
