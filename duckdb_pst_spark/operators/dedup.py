@@ -559,15 +559,33 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _band_pairs(bands: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_val) → distinct candidate pairs, bucket-local.
 
-    ONE shuffle (groupBy band key → collect_list); pairs are emitted with
-    array algebra inside each bucket — no self-join. Bucket size capped at
-    64 (see q_dedup_minhash_fast: an over-full boilerplate bucket carries
-    ~no dedup signal per pair and would blow up quadratically)."""
+    Pairs are emitted with array algebra inside each bucket — no
+    self-join. Bucket size capped at 64 (see q_dedup_minhash_fast: an
+    over-full boilerplate bucket carries ~no dedup signal per pair and
+    would blow up quadratically).
+
+    The cap is enforced BEFORE the collect: bucket sizes are counted
+    first (map-side-combinable, tiny rows) and over-full buckets dropped
+    with a join on the band key, so a degenerate bucket never
+    materializes as a giant collected array. On a dup-heavy corpus
+    (measured on a 100×-replicated sf0.1: every bucket ≥100 members)
+    cap-after-collect still shuffles and builds every oversized group —
+    the two-pass shape is what survives adversarial data. The band table
+    is checkpointed so the upstream signature stage (the expensive part)
+    runs once, not once per pass; at cluster scale this is a
+    persist(MEMORY_AND_DISK)."""
     cap = 64
-    buckets = (
+    bands = bands.localCheckpoint(eager=True)
+    kept_keys = (
         bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= cap))
+        .select("band_idx", "band_val")
+    )
+    buckets = (
+        bands.join(kept_keys, ["band_idx", "band_val"])
+        .groupBy("band_idx", "band_val")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
     pairs = F.expr(
         """
