@@ -1,0 +1,210 @@
+"""End-to-end pre-training corpus pipeline — the flagship composition.
+
+Every stage is an operator that exists (and is oracle-checked) on its
+own elsewhere in this package; this query chains them the way a real
+100 TB data pipeline does, as ONE lazy DataFrame program:
+
+  documents
+    → quality gate        (length + token-count floors; text.py metrics)
+    → language gate       (stopword-density en detector; q_lang_stopword)
+    → eval-set holdout    (doc_id % 100 = 0 held out; q_contamination's split)
+    → decontamination     (drop train docs sharing any word-3-gram
+                           shingle with the eval split)
+    → exact dedup         (keep min doc_id per identical text; q_dedup_exact)
+    → near dedup          (drop the larger id of every Jaccard-verified
+                           MinHash-LSH pair; q_dedup_minhash)
+    → corpus stats        (per source × lang doc/token counts)
+
+Scale shape: the gates are scan-local codegen'd filters (they fuse into
+one stage); decontamination broadcasts the tiny eval shingle set; exact
+dedup is one hash shuffle on the content key; near-dedup reuses the LSH
+pair pipeline (its only shuffle is the band bucket join); the final
+rollup partial-aggregates map-side. Nothing in the chain materializes
+the corpus more than the dedup stages' own checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.functions.portable import poly_hash, tokens
+from duckdb_pst_spark.operators.dedup import (
+    JACCARD_THRESHOLD_U,
+    _band_pairs,
+    _duck_minhash_cte,
+    _minhash_band_kernel,
+    _shingle_hashes,
+)
+from duckdb_pst_spark.operators.dedup import MINHASH_BANDS, P_HASH, _A, _B
+from duckdb_pst_spark.operators.text import _EN_STOPWORDS
+from duckdb_pst_spark.registry import query
+from duckdb_pst_spark.tables import table
+
+MIN_CHARS = 100
+MIN_TOKENS = 20
+EN_RATIO_U = 100_000  # ≥10% stopword density → English
+
+
+def _pipeline_oracle() -> str:
+    shingles = (
+        "unnest(list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g"
+    )
+    # capped-bucket candidate pairs + Jaccard verify, spliced into our WITH
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+    )
+    verified = _duck_minhash_cte().strip()
+    assert verified.startswith("WITH ")
+    verified = ", " + verified[len("WITH ") :] + f"""
+    , bands AS ({bands_union}),
+    kept AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN kept k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+      JOIN bands b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+              // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD_U}
+    )"""
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, source, lang, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM toked
+      WHERE length(text) >= {MIN_CHARS} AND len(toks) >= {MIN_TOKENS}
+        AND (CAST(len(list_filter(toks, t -> t IN {_EN_STOPWORDS!r})) AS BIGINT)
+             * 1000000) // len(toks) >= {EN_RATIO_U}
+    ),
+    train AS (SELECT * FROM gated WHERE doc_id % 100 <> 0),
+    eval_sh AS (
+      SELECT doc_id, {shingles} FROM toked
+      WHERE doc_id % 100 = 0 AND len(toks) >= 3
+    ),
+    train_sh AS (
+      SELECT doc_id, {shingles} FROM train WHERE len(toks) >= 3
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM train_sh t JOIN eval_sh e ON e.g = t.g
+    ),
+    clean AS (
+      SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    exact AS (
+      SELECT * FROM clean
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+    ){verified},
+    near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM verified)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+    FROM exact
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+    GROUP BY source, lang
+    """
+
+
+@query(
+    "q_pipeline_pretrain",
+    oracle=_pipeline_oracle(),
+    tags=("pipeline", "flagship"),
+    bench=True,
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training corpus pipeline as one DataFrame program
+    (see module docstring for the stage chain and scale shape). The
+    near-dup drop rule is deterministic: for every Jaccard-verified LSH
+    pair (a, b) with a < b, b is dropped — the canonical survivor is the
+    smallest doc_id of each near-dup cluster reachable pairwise."""
+    d = table(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    en_hits = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    gated = d.filter(
+        (F.length("text") >= MIN_CHARS)
+        & (F.size("toks") >= MIN_TOKENS)
+        & ((en_hits * 1_000_000).cast("long") / F.size("toks") >= EN_RATIO_U)
+    )
+    train = gated.filter(F.col("doc_id") % 100 != 0)
+
+    def shingle_rows(df: DataFrame) -> DataFrame:
+        grams = F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+            )
+        )
+        return (
+            df.filter(F.size("toks") >= 3)
+            .select("doc_id", F.explode(grams).alias("g"))
+        )
+
+    eval_sh = shingle_rows(d.filter(F.col("doc_id") % 100 == 0))
+    contaminated = (
+        shingle_rows(train)
+        .join(F.broadcast(eval_sh.select("g").distinct()), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    exact = (
+        clean.withColumn(
+            "_min_id", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    # near-dedup, production shape: fast Arrow-kernel candidates (capped
+    # buckets), then exact Jaccard verification computed ONLY for docs
+    # that appear in a candidate pair — the expensive portable shingle
+    # arrays are built for the (tiny) pair membership, not the corpus.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    bands = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(_minhash_band_kernel, "doc_id long, band_idx int, band_val long")
+    )
+    pairs = _band_pairs(bands)
+    member_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .join(F.broadcast(member_ids), "doc_id", "left_semi")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .localCheckpoint(eager=True)
+        .select("doc_id", _shingle_hashes(F.col("toks"), poly_hash).alias("sh"))
+    )
+    jacc = F.expr(
+        "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+        " div size(array_union(sa_sh, sb_sh))"
+    )
+    near_drop = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa_sh")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb_sh")), "doc_b")
+        .filter(jacc >= JACCARD_THRESHOLD_U)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact.join(near_drop, "doc_id", "left_anti")
+    return survivors.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+    )

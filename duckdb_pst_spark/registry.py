@@ -93,6 +93,7 @@ def load_all() -> dict[str, QuerySpec]:
     from duckdb_pst_spark.operators import (  # noqa: F401
         dedup,
         join_strategies,
+        pipeline,
         recursive,
         relational,
         sampling,

