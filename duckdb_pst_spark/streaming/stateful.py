@@ -155,6 +155,13 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against DuckDB's batch sessionization."""
     staging = str(_CACHE_DIR / f"dps_sessions_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
+    try:
+        return _run_stateful_sessions(spark, sf_dir, staging)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _run_stateful_sessions(spark: SparkSession, sf_dir: str, staging: str) -> DataFrame:
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet")
     )
@@ -203,6 +210,4 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     result = spark.table(sink)
-    result = spark.createDataFrame(result.collect(), result.schema)
-    shutil.rmtree(staging, ignore_errors=True)
-    return result
+    return spark.createDataFrame(result.collect(), result.schema)
