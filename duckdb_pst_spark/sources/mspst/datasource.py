@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import (
+    ShortType,
     ArrayType,
     BinaryType,
     BooleanType,
@@ -109,26 +110,73 @@ MESSAGE_SCHEMA = StructType(
 
 # subtype blocks appended to MESSAGE_SCHEMA — the reference's
 # schema-inheritance-by-concatenation (schema.hpp:254-260)
+# contact block: the reference's 78 columns in schema.hpp:175-260 order,
+# plus email_address_1 (an extension — resolved from the named prop
+# PidLidEmail1EmailAddress, which the reference schema does not expose)
+_CONTACT_STR_COLS_1 = [
+    "display_name_prefix", "given_name", "middle_name", "surname",
+    "generation_suffix", "initials", "nickname", "preferred_by_name",
+    "account_name", "original_display_name", "transmittable_display_name",
+    "mhs_common_name", "government_id_number", "organizational_id_number",
+]
+_CONTACT_STR_COLS_2 = [
+    "spouse_name", "childrens_names",
+]
+_CONTACT_STR_COLS_3 = [
+    "hobbies", "profession", "language", "location", "keyword",
+    "company_name", "title", "department_name", "office_location",
+    "manager_name", "assistant", "customer_id", "primary_telephone",
+    "business_telephone", "business_telephone_2", "home_telephone",
+    "home_telephone_2", "mobile_telephone", "car_telephone",
+    "radio_telephone", "pager_telephone", "callback_number",
+    "other_telephone", "assistant_telephone", "company_main_phone",
+    "ttytdd_phone", "isdn_number", "telex_number", "primary_fax",
+    "business_fax", "home_fax",
+    "business_address_street", "business_address_city",
+    "business_address_state", "business_postal_code",
+    "business_address_country", "business_po_box",
+    "home_address_street", "home_address_city", "home_address_state",
+    "home_address_postal_code", "home_address_country", "home_address_po_box",
+    "other_address_street", "other_address_city", "other_address_state",
+    "other_address_postal_code", "other_address_country", "other_address_po_box",
+    "postal_address", "personal_home_page", "business_home_page",
+    "ftp_site", "computer_network_name",
+]
+_CONTACT_BOOL_COLS = [
+    "mail_permission", "send_rich_info", "conversation_prohibited",
+    "disclose_recipients",
+]
+
 _EXTRAS = {
-    "contacts": [
-        StructField("given_name", StringType()),
-        StructField("surname", StringType()),
-        StructField("email_address_1", StringType()),
-        StructField("company_name", StringType()),
-        StructField("business_phone_number", StringType()),
-        StructField("mobile_phone_number", StringType()),
-        StructField("birthday", TimestampNTZType()),
-        StructField("wedding_anniversary", TimestampNTZType()),
-        StructField("gender", IntegerType()),
-    ],
+    "contacts": (
+        [StructField(c, StringType()) for c in _CONTACT_STR_COLS_1]
+        + [
+            StructField("birthday", TimestampNTZType()),
+            StructField("wedding_anniversary", TimestampNTZType()),
+        ]
+        + [StructField(c, StringType()) for c in _CONTACT_STR_COLS_2]
+        + [StructField("gender", ShortType())]
+        + [StructField(c, StringType()) for c in _CONTACT_STR_COLS_3]
+        + [StructField(c, BooleanType()) for c in _CONTACT_BOOL_COLS]
+        + [StructField("email_address_1", StringType())]
+    ),
+    # APPOINTMENT_CHILDREN order (schema.hpp:263-278)
     "appointments": [
         StructField("location", StringType()),
         StructField("start_time", TimestampNTZType()),
         StructField("end_time", TimestampNTZType()),
         StructField("duration", IntegerType()),
         StructField("all_day_event", BooleanType()),
-        StructField("is_recurring", BooleanType()),
+        StructField("is_meeting", BooleanType()),
+        StructField("organizer_name", StringType()),
+        StructField("required_attendees", StringType()),
+        StructField("optional_attendees", StringType()),
+        StructField("meeting_workspace_url", StringType()),
         StructField("busy_status", IntegerType()),
+        StructField("response_status", IntegerType()),
+        StructField("is_recurring", BooleanType()),
+        StructField("recurrence_pattern", StringType()),
+        StructField("is_private", BooleanType()),
     ],
     "sticky_notes": [
         StructField("note_color", IntegerType()),
@@ -137,12 +185,23 @@ _EXTRAS = {
         StructField("note_x", IntegerType()),
         StructField("note_y", IntegerType()),
     ],
+    # TASK_CHILDREN order (schema.hpp:307-330)
     "tasks": [
         StructField("task_status", IntegerType()),
         StructField("is_complete", BooleanType()),
         StructField("percent_complete", DoubleType()),
         StructField("start_date", TimestampNTZType()),
         StructField("due_date", TimestampNTZType()),
+        StructField("date_completed", TimestampNTZType()),
+        StructField("last_update", TimestampNTZType()),
+        StructField("estimated_effort", IntegerType()),
+        StructField("actual_effort", IntegerType()),
+        StructField("task_owner", StringType()),
+        StructField("task_assigner", StringType()),
+        StructField("ownership", IntegerType()),
+        StructField("last_user", StringType()),
+        StructField("is_team_task", BooleanType()),
+        StructField("is_recurring", BooleanType()),
     ],
     "distribution_lists": [
         StructField("member_node_ids", ArrayType(LongType())),

@@ -291,38 +291,59 @@ class PstArchive:
     # ------------------------------------------------------- typed extras
 
     def _contact_extras(self, pc) -> dict:
-        """CONTACT_SCHEMA subtype block (schema.hpp:175-260 subset)."""
+        """Full CONTACT_SCHEMA subtype block (schema.hpp:175-260; property
+        tags are the public [MS-OXPROPS] PidTag values the reference's
+        PR_* constants name, row_serializer.cpp:424-792), plus the
+        email_address_1 extension (named prop PidLidEmail1EmailAddress,
+        which the reference schema does not expose)."""
         email1 = None
         for key, pid in self.named.by_lid.items():
             lid = key if isinstance(key, int) else key[1]
             if lid == 0x8083:  # PidLidEmail1EmailAddress
                 email1 = pc.get(pid) or email1
-        return {
-            "given_name": pc.get(0x3A06),
-            "surname": pc.get(0x3A11),
-            "email_address_1": email1,
-            "company_name": pc.get(0x3A16),
-            "business_phone_number": pc.get(0x3A08),
-            "mobile_phone_number": pc.get(0x3A1C),
-            "birthday": pc.get(0x3A42),
-            "wedding_anniversary": pc.get(0x3A41),
-            "gender": pc.get(0x3A4D),
-        }
+        row = {name: _as_str(pc.get(tag)) for name, tag in _CONTACT_STR_TAGS.items()}
+        row.update(
+            {
+                "birthday": _as_ts(pc.get(0x3A42)),
+                "wedding_anniversary": _as_ts(pc.get(0x3A41)),
+                "gender": _as_int(pc.get(0x3A4D)),
+                "mail_permission": _as_bool(pc.get(0x3A0E)),
+                "send_rich_info": _as_bool(pc.get(0x3A40)),
+                "conversation_prohibited": _as_bool(pc.get(0x3A03)),
+                "disclose_recipients": _as_bool(pc.get(0x3A04)),
+                "email_address_1": _as_str(email1),
+            }
+        )
+        return row
 
     def _appointment_extras(self, pc) -> dict:
+        """Full APPOINTMENT_SCHEMA block (schema.hpp:263-278; PSETID_
+        Appointment PidLid values per [MS-OXPROPS], matching
+        row_serializer.cpp:800-905). is_private is derived from
+        PR_SENSITIVITY >= 2 exactly like the reference
+        (row_serializer.cpp:887-895)."""
         g = PSETID_APPOINTMENT
         # PidLidAppointmentStartWhole/EndWhole, falling back to the common
         # PidTagStartDate/PidTagEndDate pair (same instant for non-recurring)
         start = self._named_get(pc, g, 0x820D) or pc.get(0x0060)
         end = self._named_get(pc, g, 0x820E) or pc.get(0x0061)
+        sensitivity = pc.get(0x0036)
         return {
-            "location": self._named_get(pc, g, 0x8208),
-            "start_time": start,
-            "end_time": end,
-            "duration": self._named_get(pc, g, 0x8213),
-            "all_day_event": self._named_get(pc, g, 0x8215),
-            "is_recurring": self._named_get(pc, g, 0x8223),
-            "busy_status": self._named_get(pc, g, 0x8205),
+            "location": _as_str(self._named_get(pc, g, 0x8208)),
+            "start_time": _as_ts(start),
+            "end_time": _as_ts(end),
+            "duration": _as_int(self._named_get(pc, g, 0x8213)),
+            "all_day_event": _as_bool(self._named_get(pc, g, 0x8215)),
+            "is_meeting": _as_bool(self._named_get(pc, g, 0x8229)),  # PidLidFInvited
+            "organizer_name": _as_str(self._named_get(pc, g, 0x822E)),
+            "required_attendees": _as_str(self._named_get(pc, g, 0x823B)),
+            "optional_attendees": _as_str(self._named_get(pc, g, 0x823C)),
+            "meeting_workspace_url": _as_str(self._named_get(pc, g, 0x8209)),
+            "busy_status": _as_int(self._named_get(pc, g, 0x8205)),
+            "response_status": _as_int(self._named_get(pc, g, 0x8218)),
+            "is_recurring": _as_bool(self._named_get(pc, g, 0x8223)),
+            "recurrence_pattern": _as_str(self._named_get(pc, g, 0x8232)),
+            "is_private": None if sensitivity is None else bool(sensitivity >= 2),
         }
 
     def _sticky_extras(self, pc) -> dict:
@@ -336,13 +357,26 @@ class PstArchive:
         }
 
     def _task_extras(self, pc) -> dict:
+        """Full TASK_SCHEMA block (schema.hpp:307-330; PSETID_Task PidLid
+        values per [MS-OXPROPS], matching row_serializer.cpp:978-1095)."""
         g = PSETID_TASK
+        pct = self._named_get(pc, g, 0x8102)
         return {
-            "task_status": self._named_get(pc, g, 0x8101),
-            "percent_complete": self._named_get(pc, g, 0x8102),
-            "start_date": self._named_get(pc, g, 0x8104),
-            "due_date": self._named_get(pc, g, 0x8105),
-            "is_complete": self._named_get(pc, g, 0x811C),
+            "task_status": _as_int(self._named_get(pc, g, 0x8101)),
+            "is_complete": _as_bool(self._named_get(pc, g, 0x811C)),
+            "percent_complete": None if pct is None else float(pct),
+            "start_date": _as_ts(self._named_get(pc, g, 0x8104)),
+            "due_date": _as_ts(self._named_get(pc, g, 0x8105)),
+            "date_completed": _as_ts(self._named_get(pc, g, 0x810F)),
+            "last_update": _as_ts(self._named_get(pc, g, 0x8115)),
+            "estimated_effort": _as_int(self._named_get(pc, g, 0x8111)),
+            "actual_effort": _as_int(self._named_get(pc, g, 0x8110)),
+            "task_owner": _as_str(self._named_get(pc, g, 0x811F)),
+            "task_assigner": _as_str(self._named_get(pc, g, 0x8121)),
+            "ownership": _as_int(self._named_get(pc, g, 0x8129)),
+            "last_user": _as_str(self._named_get(pc, g, 0x8122)),
+            "is_team_task": _as_bool(self._named_get(pc, g, 0x8103)),
+            "is_recurring": _as_bool(self._named_get(pc, g, 0x8126)),
         }
 
     def _dlist_extras(self, pc) -> dict:
@@ -401,3 +435,104 @@ def _parse_one_off(blob: bytes) -> dict | None:
     except Exception:
         pass
     return None
+
+
+# Contact string-column → public [MS-OXPROPS] PidTag id, in the
+# reference's CONTACT_CHILDREN order (schema.hpp:175-260). Timestamps,
+# gender, and booleans are handled separately in _contact_extras.
+_CONTACT_STR_TAGS = {
+    "display_name_prefix": 0x3A45,
+    "given_name": 0x3A06,
+    "middle_name": 0x3A44,
+    "surname": 0x3A11,
+    "generation_suffix": 0x3A05,
+    "initials": 0x3A0A,
+    "nickname": 0x3A4F,
+    "preferred_by_name": 0x3A47,
+    "account_name": 0x3A00,
+    "original_display_name": 0x3A13,
+    "transmittable_display_name": 0x3A20,
+    "mhs_common_name": 0x3A0F,
+    "government_id_number": 0x3A07,
+    "organizational_id_number": 0x3A10,
+    "spouse_name": 0x3A48,
+    "childrens_names": 0x3A58,  # PT_MV string — non-string decode → NULL
+    "hobbies": 0x3A43,
+    "profession": 0x3A46,
+    "language": 0x3A0C,
+    "location": 0x3A0D,
+    "keyword": 0x3A0B,
+    "company_name": 0x3A16,
+    "title": 0x3A17,
+    "department_name": 0x3A18,
+    "office_location": 0x3A19,
+    "manager_name": 0x3A4E,
+    "assistant": 0x3A30,
+    "customer_id": 0x3A4A,
+    "primary_telephone": 0x3A1A,
+    "business_telephone": 0x3A08,
+    "business_telephone_2": 0x3A1B,
+    "home_telephone": 0x3A09,
+    "home_telephone_2": 0x3A2F,
+    "mobile_telephone": 0x3A1C,
+    "car_telephone": 0x3A1E,
+    "radio_telephone": 0x3A1D,
+    "pager_telephone": 0x3A21,
+    "callback_number": 0x3A02,
+    "other_telephone": 0x3A1F,
+    "assistant_telephone": 0x3A2E,
+    "company_main_phone": 0x3A57,
+    "ttytdd_phone": 0x3A4B,
+    "isdn_number": 0x3A2D,
+    "telex_number": 0x3A2C,
+    "primary_fax": 0x3A23,
+    "business_fax": 0x3A24,
+    "home_fax": 0x3A25,
+    "business_address_street": 0x3A29,
+    "business_address_city": 0x3A27,
+    "business_address_state": 0x3A28,
+    "business_postal_code": 0x3A2A,
+    "business_address_country": 0x3A26,
+    "business_po_box": 0x3A2B,
+    "home_address_street": 0x3A5D,
+    "home_address_city": 0x3A59,
+    "home_address_state": 0x3A5C,
+    "home_address_postal_code": 0x3A5B,
+    "home_address_country": 0x3A5A,
+    "home_address_po_box": 0x3A5E,
+    "other_address_street": 0x3A63,
+    "other_address_city": 0x3A5F,
+    "other_address_state": 0x3A62,
+    "other_address_postal_code": 0x3A61,
+    "other_address_country": 0x3A60,
+    "other_address_po_box": 0x3A64,
+    "postal_address": 0x3A15,
+    "personal_home_page": 0x3A50,
+    "business_home_page": 0x3A51,
+    "ftp_site": 0x3A4C,
+    "computer_network_name": 0x3A49,
+}
+
+
+def _as_str(v) -> str | None:
+    return v if isinstance(v, str) else None
+
+
+def _as_int(v) -> int | None:
+    if isinstance(v, bool) or not isinstance(v, int):
+        return None
+    return v
+
+
+def _as_bool(v) -> bool | None:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return bool(v)
+    return None
+
+
+def _as_ts(v):
+    import datetime as _dt
+
+    return v if isinstance(v, _dt.datetime) else None

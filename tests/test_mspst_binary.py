@@ -100,6 +100,13 @@ def test_appointment_golden(archive):
     assert a["end_time"] == dt.datetime(2025, 12, 26, 5, 0, 0)
     assert a["duration"] == 1440
     assert a["all_day_event"] is True
+    # widened APPOINTMENT_CHILDREN block (schema.hpp:263-278)
+    assert a["is_recurring"] is True
+    assert a["recurrence_pattern"] == "every December 25"
+    assert a["busy_status"] == 0
+    assert a["response_status"] == 0
+    assert a["is_meeting"] is False
+    assert a["is_private"] is False  # sensitivity 0 → not private
 
 
 def test_task_golden(archive):
@@ -107,6 +114,14 @@ def test_task_golden(archive):
     t = [m for m in archive.messages() if m["message_class"] == "IPM.Task"][0]
     assert t["node_id"] == 2097508 and t["parent_node_id"] == 33122
     assert t["due_date"] == dt.datetime(2025, 12, 25, 0, 0, 0)
+    # widened TASK_CHILDREN block (schema.hpp:307-330)
+    assert t["task_status"] == 1
+    assert t["percent_complete"] == 0.8
+    assert t["is_complete"] is False
+    assert t["task_owner"] == "Unknown"
+    assert t["estimated_effort"] == 0 and t["actual_effort"] == 0
+    assert t["ownership"] == 0
+    assert t["is_team_task"] is False and t["is_recurring"] is False
 
 
 def test_dlist_golden(archive):
@@ -164,9 +179,16 @@ def test_typed_datasource_contacts(spark):
 
     register(spark)
     c = spark.read.format("pst").option("table", "contacts").load(PST)
-    rows = {r.given_name: r for r in c.select("given_name", "surname").collect()}
+    # full reference CONTACT_SCHEMA (77 subtype cols, schema.hpp:175-260)
+    # + the email_address_1 extension = 27 + 78 columns
+    assert len(c.columns) == 105
+    for col in ("display_name_prefix", "spouse_name", "business_telephone",
+                "home_address_city", "postal_address", "disclose_recipients"):
+        assert col in c.columns, col
+    rows = {r.given_name: r for r in c.collect()}
     assert set(rows) == {"Hopper", "Linus"}
     assert all(r.surname == "Cat" for r in rows.values())
+    assert rows["Hopper"].email_address_1 == "hopper@intellekt.fyi"
 
     t = spark.read.format("pst").option("table", "tasks").load(PST)
     row = t.select("due_date", "start_date").first()
