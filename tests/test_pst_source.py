@@ -173,3 +173,46 @@ def test_streaming_pst_ingest(spark, tmp_path):
         assert [r["count"] for r in got] == [12, 12]
     finally:
         q.stop()
+
+
+def test_streaming_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Kill the stream, add an archive, restart with the SAME checkpoint:
+    already-ingested archives must not re-emit (offset log resume) and
+    the new archive's rows appear exactly once."""
+    import shutil
+
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    gold = "/root/reference/test/unittest.pst"
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(gold, land / "a.pst")
+
+    def run_once():
+        q = (
+            spark.readStream.format("pst")
+            .option("table", "messages")
+            .load(str(land / "*.pst"))
+            .select("pst_path", "node_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 12
+    shutil.copy(gold, land / "b.pst")
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 24  # 12 old (not re-emitted) + 12 new
+    by_file = {}
+    for r in rows:
+        by_file[r.pst_path] = by_file.get(r.pst_path, 0) + 1
+    assert sorted(by_file.values()) == [12, 12]
