@@ -112,7 +112,12 @@ def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.parquet.aggregatePushdown the count is answered from parquet
     footer statistics without reading row data — the Spark analogue of the
     reference's stats-based COLUMN_DATA_SCAN rewrite
-    (src/table_function.cpp:325-351)."""
+    (src/table_function.cpp:325-351). The two knobs that enable the
+    stats path (aggregate pushdown + the DSv2 parquet scan it requires)
+    are set here so the capability holds in ANY host session, not just
+    the tuned session factory."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
     return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
 
 
