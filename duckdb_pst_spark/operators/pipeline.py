@@ -36,7 +36,7 @@ from duckdb_pst_spark.operators.dedup import (
     _minhash_band_kernel,
     _shingle_hashes,
 )
-from duckdb_pst_spark.operators.dedup import MINHASH_BANDS, P_HASH, _A, _B
+from duckdb_pst_spark.operators.dedup import MINHASH_BANDS, P_HASH
 from duckdb_pst_spark.operators.text import _EN_STOPWORDS
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table

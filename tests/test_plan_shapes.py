@@ -219,3 +219,48 @@ def test_gapfill_grid_is_dimension_only(spark, sf_dir):
     assert pi.broadcast_join_count(df) >= 1, pi.executed_plan(df)
     assert pi.sort_merge_join_count(df) == 0, pi.executed_plan(df)
     assert any("value" in p for p in pi.pushed_filters(df)), pi.pushed_filters(df)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew story must be real: a join where half the fact
+    rows share one key gets its oversized partition SPLIT by AQE's
+    skew-join handling (skew=true in the final SMJ), not serialized
+    through one task. Thresholds are lowered so the ~MB-scale test data
+    crosses AQE's skew detection bars."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # The payload must SURVIVE column pruning into the shuffle and be
+        # incompressible, or the "skewed" partition is just 300k copies
+        # of one 8-byte key that compress to nothing and never cross the
+        # detection threshold (AQE measures compressed shuffle sizes).
+        fact = spark.range(600_000).select(
+            F.when(F.col("id") < 300_000, F.lit(7)).otherwise(F.col("id") % 997).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+        j = fact.join(dim, "k").select(
+            F.max("payload").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        j.collect()  # execute THIS Dataset so its AQE plan is final
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
