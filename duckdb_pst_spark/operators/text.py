@@ -587,3 +587,106 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ------------------------------------------- BPE-ish regex tokenization
+# GPT-2-style pretokenizer, restricted to ASCII classes so the pattern
+# means the same thing in Java regex (Spark) and RE2 (DuckDB):
+# contractions | optional-space+letters | optional-space+digits |
+# optional-space+other-punct run.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+_BPE_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query(
+    "q_text_tokens_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}'))) AS n_distinct_bpe,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (the GPT-2
+    pattern shape) next to the whitespace count — the dataloader-budget
+    estimate a training pipeline actually wants (whitespace undercounts
+    punctuation-heavy text). Map-only regex in the JVM; the ASCII-only
+    character classes keep Java-regex and RE2 semantics identical for
+    the oracle."""
+    toks = F.expr(f"regexp_extract_all(text, \"{_BPE_PAT}\", 0)")
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+# --------------------------------------------- n-gram language heuristic
+# marker character-n-grams per language; occurrence counts are computed
+# portably as (len(text) - len(replace(text, m, ''))) / len(m)
+_LANG_MARKERS = {
+    "en": [" th", "the", "ing", " an"],
+    "de": ["der", "ein", "sch", " un"],
+    "fr": [" le", " de", "ent", "que"],
+    "es": [" la", "ión", "os ", " el"],
+}
+
+
+def _occ(col_sql: str, m: str) -> str:
+    esc = m.replace("'", "''")
+    return f"(length({col_sql}) - length(replace({col_sql}, '{esc}', ''))) / {len(m)}"
+
+
+@query(
+    "q_lang_ngram",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN octet_length(encode(text)) - length(text) > length(text) / 2 THEN 'zh'
+             WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+             WHEN s_fr >= s_es THEN 'fr'
+             ELSE 'es'
+           END AS lang_guess
+    FROM (
+      SELECT doc_id, lang, text,
+             {" + ".join(_occ("text", m) for m in _LANG_MARKERS["en"])} AS s_en,
+             {" + ".join(_occ("text", m) for m in _LANG_MARKERS["de"])} AS s_de,
+             {" + ".join(_occ("text", m) for m in _LANG_MARKERS["fr"])} AS s_fr,
+             {" + ".join(_occ("text", m) for m in _LANG_MARKERS["es"])} AS s_es
+      FROM documents
+    ) t
+    """,
+    tags=("text", "pipeline"),
+)
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-n-gram markers (the classic n-gram
+    profile heuristic, cheap enough for 100 TB): per-language marker
+    trigram occurrence counts via portable length/replace arithmetic, a
+    byte-vs-char-length signal for CJK, deterministic argmax with a
+    fixed tiebreak order. Map-only — no shuffle, no UDF; the stopword
+    detector (q_lang_stopword) is the English-centric sibling."""
+    d = table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m)))) / len(m)
+            for m in markers
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    zh = (F.octet_length("text") - F.length("text")) > (F.length("text") / 2)
+    guess = (
+        F.when(zh, "zh")
+        .when(scores["en"] >= F.greatest(scores["de"], scores["fr"], scores["es"]), "en")
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
