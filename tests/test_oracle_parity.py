@@ -35,3 +35,18 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY.md §2's operator inventory and the registry must stay 1:1 —
+    the declared surface IS the checked surface."""
+    import os
+    import re
+
+    survey = open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")).read()
+    declared = set(re.findall(r"`(q_[a-z0-9_]+)`", survey))
+    registered = set(SPECS)
+    assert declared == registered, {
+        "declared_not_registered": sorted(declared - registered),
+        "registered_not_declared": sorted(registered - declared),
+    }
