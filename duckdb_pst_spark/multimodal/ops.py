@@ -12,9 +12,10 @@ Execution model (the 100 TB design):
   by ``multimodal.fixtures`` (vectorized per batch, no per-row Python in
   the loop body beyond the unavoidable ragged-buffer iteration).
 - Batches of wide binary rows are kept small via
-  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in
-  ``session.get_spark``); with ~1 MB payloads the default 10k rows/batch
-  would be a 10 GB Arrow allocation — size it to ~64-256 rows.
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the payload-safe 256
+  is the session default in ``session.get_spark``; ``media_table`` also
+  one-way-lowers a vanilla session's 10k default — with ~1 MB payloads
+  10k rows/batch would be a 10 GB Arrow allocation per task).
 - Real container formats (JPEG/PNG/WAV) are gated behind optional
   imports and raise ``NotImplementedError`` here (libs absent in this
   container); the RAW path is the tested, fully-real implementation.
@@ -193,13 +194,18 @@ def audio_features(audio: DataFrame) -> DataFrame:
 def media_table(spark, n_media: int | None = None) -> DataFrame:
     """Load the fixture media table (generating it on first use).
 
-    Caps the Arrow exchange batch size for this session: with ~MB-sized
-    payload rows the default 10k-row batch would be a multi-GB Arrow
-    allocation per task. Narrow-row Python operators (e.g. the minhash
-    kernel) set their own larger batch size at build time."""
+    Lowers the Arrow exchange batch-size cap to the payload-safe 256 if
+    the session is above it (a vanilla session defaults to 10k rows per
+    batch — a multi-GB allocation with ~MB payload rows). This is a
+    one-way LOWER: nothing in the repo ever raises the conf back, so
+    there is no build-time/execution-time race — narrow-row kernels get
+    their throughput by rebatching inside the kernel instead
+    (functions/batches.rebatch)."""
     from duckdb_pst_spark.multimodal import fixtures
 
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    cap = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+    if cap > 256:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
     d = fixtures.generate(n_media or fixtures.DEFAULT_N_MEDIA)
     return spark.read.parquet(f"{d}/media.parquet")
 

@@ -637,7 +637,12 @@ def _minhash_band_kernel(batches):
             tbl["ia"] = np.array(ip, dtype=np.int64)
         return tbl["pa"], tbl["ia"]
 
-    for pdf in batches:
+    # The session Arrow cap is payload-safe-small (256); coalesce chunks
+    # so per-batch fixed costs amortize over ~8k narrow rows (see
+    # functions/batches.py for why the conf itself must not be raised).
+    from duckdb_pst_spark.functions.batches import rebatch
+
+    for pdf in rebatch(batches, 8192):
         od, oi, ov = [], [], []
         for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
             toks = [t for t in text.split(" ") if t]
@@ -714,9 +719,6 @@ def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash, so this path is fully oracle-checked (signature →
     band → capped-bucket candidate pairs) — the cap shows up in the
     oracle as the HAVING count BETWEEN 2 AND 64 bucket filter."""
-    # narrow rows: large Arrow batches amortize the Python round-trip
-    # (a media operator in the same session may have lowered the cap)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     bands = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")

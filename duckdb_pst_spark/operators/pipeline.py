@@ -173,7 +173,8 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets), then exact Jaccard verification computed ONLY for docs
     # that appear in a candidate pair — the expensive portable shingle
     # arrays are built for the (tiny) pair membership, not the corpus.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+    # (The kernel rebatches its Arrow chunks internally; the session
+    # batch-size conf is never mutated — see functions/batches.py.)
     bands = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")

@@ -287,12 +287,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_quantize",
     oracle=f"""
-    SELECT vec_id, amax,
-           CASE WHEN amax = 0
-                THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
-                ELSE list_transform(embedding,
-                       v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / amax) AS BIGINT))
-           END AS codes
+    SELECT vec_id, amax, CAST(i - 1 AS BIGINT) AS pos,
+           CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / amax) AS BIGINT)
+           END AS code
     FROM (
       SELECT vec_id, embedding,
              list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -300,6 +298,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                (a, x) -> greatest(a, x)) AS amax
       FROM embeddings
     ) t
+    CROSS JOIN range(1, {DIM + 1}) r(i)
     """,
     tags=("similarity", "pipeline"),
 )
@@ -310,6 +309,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = floor(v·127 / amax), zero-vector guarded. All per-row array
     algebra, no shuffle; the double arithmetic is a single multiply and
     divide per element in both engines, so results are bit-identical.
+
+    Output is the EXPLODED (vec_id, amax, pos, code) form — scalar
+    columns only, because the external hash gate canonicalizes results
+    via a pandas sort that cannot factorize list cells (round-2 `err`).
+    The array form is trivially regrouped with collect_list over pos.
     At 100 TB you'd store (amax, codes) and reconstruct approximate
     vectors executor-side during rerank — IO drops 4x, which is the
     actual bottleneck of brute-force scoring at scale."""
@@ -329,7 +333,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: F.floor(v.cast("double") * 127 / F.col("amax")).cast("long"),
         )
     )
-    return d.select("vec_id", "amax", codes.alias("codes"))
+    return d.select(
+        "vec_id", "amax", F.posexplode(codes).alias("pos", "code")
+    ).select("vec_id", "amax", F.col("pos").cast("long").alias("pos"), "code")
 
 
 from duckdb_pst_spark.registry import REGISTRY as _REG  # noqa: E402
@@ -395,19 +401,32 @@ def _gemm_topk_kernel(bq, k: int):
         import numpy as np
         import pandas as pd
 
+        from duckdb_pst_spark.functions.batches import rebatch
+
         qids, Qn = bq.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
+        # Session Arrow cap is payload-safe-small (256): coalesce chunks
+        # so each BLAS matmul covers ~8k candidates and the |Q|·k partial
+        # top-k is emitted per 8k rows, not per 256 (32× fewer rows into
+        # the rank-merge shuffle).
+        for pdf in rebatch(batches, 8192):
             C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
+            # Pre-sort the batch by cand_id so a STABLE score sort breaks
+            # score ties by ascending cand_id — the same tiebreak as the
+            # exact baseline's (cos_sim DESC, cand_id ASC) rank. With
+            # argpartition alone, duplicate embeddings tied at the kth
+            # boundary were kept arbitrarily and the final pair set could
+            # diverge from q_knn_brute on tie-heavy data.
+            ord0 = np.argsort(ids, kind="stable")
+            ids = ids[ord0]
+            C = C[ord0]
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Qn @ Cn.T  # (|Q|, batch)
             kk = min(k, S.shape[1])
-            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
             rows_q = np.repeat(qids, kk)
-            rows_c = ids[part.ravel()]
-            rows_s = np.take_along_axis(S, part, axis=1).ravel()
+            rows_c = ids[top.ravel()]
+            rows_s = np.take_along_axis(S, top, axis=1).ravel()
             yield pd.DataFrame({"qid": rows_q, "cand_id": rows_c, "cos_sim": rows_s})
 
     return kernel
@@ -439,7 +458,6 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((qids, Qn))
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     partial = (
         e.filter(F.col("vec_id") >= N_QUERIES)
         .select("vec_id", "embedding")

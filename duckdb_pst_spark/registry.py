@@ -57,34 +57,46 @@ def query(
 # (round 1 recorded exactly the first 50 in registration order). To get
 # every declared query hash-verified across rounds, load_all() serves the
 # registry re-ordered: names listed here come first (in this order), the
-# rest follow in registration order. Round 2 window = the six queries
-# whose round-1 hashes mismatched (HUGEINT/Arrow issue, now fixed) plus
-# the oracle-bearing families round 1 never reached.
+# rest follow in registration order.
+#
+# Round 3 window = every query never yet inside a driver window (the
+# flagship pipeline, the binary-PST and golden-PST families, streaming,
+# GEMM ANN, BPE/ngram text), the round-1 ERR pair q_dedup_minhash_fast /
+# q_dedup_minhash_vec (fixed in r2, never re-proven), the round-2 ERR
+# q_embedding_quantize (output reshaped to scalar columns this round) —
+# 37 must-prove slots — plus 13 canaries from already-green families
+# this round's diff touches (heavy-hitters MG rewrite, kernel rebatching
+# in dedup/gemm, multimodal codec work) and the float-heavy flagships,
+# so a regression in previously-verified code stays visible to the
+# external gate (ADVICE r2).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-1 hash mismatches, re-proven first
-    "q_tpch_q1", "q_join_agg_topn", "q_multi_join", "q_grouping_sets",
-    "q_range_join", "q_skew_join_salted",
-    # relational tail never checked in round 1
-    "q_json_extract", "q_unpivot", "q_explode", "q_explode_agg",
-    "q_list_first", "q_length",
-    # sampling
-    "q_hash_sample", "q_stratified_sample",
-    # similarity / ANN
-    "q_embedding_norm", "q_knn_brute", "q_knn_lsh", "q_knn_ivf",
-    "q_dedup_embedding", "q_embedding_quantize", "q_knn_recall",
-    # sketches
-    "q_kmv_distinct", "q_hll_distinct", "q_approx_quantile", "q_heavy_hitters",
-    # text analysis
-    "q_text_tokens", "q_lang_stopword", "q_quality_score", "q_pack_sequences",
-    "q_tfidf", "q_contamination", "q_repetition", "q_pii_scrub",
-    "q_fingerprint", "q_doc_chunk", "q_vocab_df",
-    # windows / time-series
-    "q_window_rank", "q_window_lag", "q_window_running", "q_sessionize",
-    "q_asof_join", "q_window_range_frame", "q_latest_per_key",
-    "q_window_ntiles", "q_time_bucket", "q_gapfill_locf",
-    # multimodal (oracle-bearing)
-    "q_media_stats", "q_media_meta_consistent", "q_video_frame_sample",
+    # flagship chain + the two stale-ERR minhash hot paths
+    "q_pipeline_pretrain", "q_dedup_minhash_vec", "q_dedup_minhash_fast",
+    # round-2 ERR, output shape fixed this round
+    "q_embedding_quantize",
+    # never-windowed: ANN hot path, text, multimodal
+    "q_knn_gemm", "q_text_tokens_bpe", "q_lang_ngram",
+    "q_image_decode", "q_audio_features", "q_media_doc_join",
+    # never-windowed: binary PST reader surface (14)
+    "q_pstbin_folders", "q_pstbin_class_counts", "q_pstbin_sticky_geometry",
+    "q_pstbin_appointment", "q_pstbin_dlist_members", "q_pstbin_task",
+    "q_pstbin_dlist_ids", "q_pstbin_counts", "q_pstbin_count_stats",
+    "q_pstbin_body_truncate", "q_pstbin_read_limit",
+    "q_pstbin_attachment_gate", "q_pstbin_folder_tree", "q_pstbin_parent_tree",
+    # never-windowed: golden-PST bridge surface (9)
+    "q_pst_folders_scan", "q_pst_class_counts", "q_pst_folder_tree",
+    "q_pst_recipients_explode", "q_pst_body_truncate", "q_pst_read_limit",
+    "q_pst_attachment_gate", "q_pst_dlist_members", "q_pst_folder_invariants",
+    # never-windowed: streaming (4)
+    "q_stream_dedup", "q_stream_window_counts", "q_stream_stream_join",
+    "q_stream_stateful_sessions",
+    # canaries: families touched by this round's diff
+    "q_heavy_hitters", "q_knn_brute", "q_dedup_exact", "q_minhash_sig",
+    "q_dedup_minhash", "q_dedup_cluster", "q_media_stats",
     "q_image_resize_bytes",
+    # canaries: float-heavy flagships from the round-1/2 windows
+    "q_tpch_q1", "q_join_agg_topn", "q_multi_join", "q_agg_stats",
+    "q_percentile",
 )
 
 

@@ -38,11 +38,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow exchange batch size: 8192 narrow rows per batch amortizes
-        # the Python round-trip for mapInPandas kernels; operators moving
-        # ~MB-sized binary payloads (multimodal/ops.py) re-cap this to 256
-        # at build time so a batch stays bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Arrow exchange batch size: the payload-safe setting. This conf
+        # is session-global and read at EXECUTION time, so per-operator
+        # mutation races other operators — with ~MB binary rows
+        # (multimodal/ops.py) anything large is a multi-GB allocation per
+        # task. Narrow-row kernels regain large-batch throughput inside
+        # the kernel via functions/batches.rebatch, not by raising this.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # DSv2 parquet read path: aggregate pushdown (count/min/max from
         # footers — the reference's COLUMN_DATA_SCAN analogue) only exists
