@@ -162,6 +162,42 @@ def sample_frames(videos: DataFrame, every_k: int = 1) -> DataFrame:
     return src.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+PROBE_SCHEMA = (
+    "media_id long, format string, width int, height int, channels int, "
+    "sample_rate int, bits int, n_samples long"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-only container probe over real JPEG/PNG/WAV/GIF/BMP bytes —
+    no codec library needed (multimodal/container.py parses the public
+    header structures directly). This is the routing/filtering step of a
+    real media pipeline (drop tiny images, bucket by aspect ratio, split
+    audio by sample rate) and runs on actual attachment payloads from
+    the PST bridge; pixel/sample decode stays behind the codec gate."""
+    src = media.select("media_id", "bytes")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from duckdb_pst_spark.multimodal.container import probe_bytes
+
+        cols = [
+            "media_id", "format", "width", "height", "channels",
+            "sample_rate", "bits", "n_samples",
+        ]
+        for b in it:
+            out = []
+            for mid, raw in zip(b["media_id"], b["bytes"]):
+                p = probe_bytes(bytes(raw))
+                out.append((mid, p["format"], p["width"], p["height"],
+                            p["channels"], p["sample_rate"], p["bits"],
+                            p["n_samples"]))
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(batches, schema=PROBE_SCHEMA)
+
+
 AUDIO_SCHEMA = "media_id long, duration_s double, rms double, peak int"
 
 

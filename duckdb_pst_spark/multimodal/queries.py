@@ -116,6 +116,34 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_probe_real",
+    oracle="""
+    SELECT 'MEDIUM~2.JPG' AS filename, 'jpeg' AS format,
+           CAST(200 AS INT) AS width, CAST(150 AS INT) AS height,
+           CAST(3 AS INT) AS channels, CAST(11960 AS BIGINT) AS nbytes
+    """,
+    tags=("multimodal", "pst-binary", "udf"),
+)
+def q_media_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container bytes end-to-end: the golden archive's actual JPEG
+    attachment flows PST reader → attachment explode (A14 gate open) →
+    pure-Python header probe (multimodal/container.py, ITU T.81 SOFn
+    scan — no codec library), pinned to the image's true 200x150x3
+    geometry. This is the decode-adjacent half of the multimodal story
+    that works on real payloads today; pixel decode remains behind the
+    optional-codec gate."""
+    from duckdb_pst_spark.multimodal.pst_bridge import pst_attachments
+
+    att = pst_attachments(spark, "/root/reference/test/unittest.pst")
+    probed = ops.probe_media(att)
+    return (
+        att.select("media_id", "filename", F.octet_length("bytes").cast("long").alias("nbytes"))
+        .join(probed, "media_id")
+        .select("filename", "format", "width", "height", "channels", "nbytes")
+    )
+
+
+@query(
     "q_media_doc_join",
     oracle=f"""
     SELECT d.doc_id, d.lang, count(*) AS n_media,

@@ -220,21 +220,25 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def misra_gries(batches):
+        # Vectorized MG: each Arrow batch is histogrammed with
+        # value_counts() (C speed), then the batch histogram is merged
+        # into the running summary with the mergeable-summaries MG merge
+        # (Agarwal et al., PODS'12): add counts, and if more than
+        # `capacity` keys survive, subtract the (capacity+1)-th largest
+        # count from every key and drop the non-positives. Total
+        # decrement mass stays ≤ n_partition/(capacity+1), so every key
+        # with partition frequency above that bound survives — the same
+        # superset guarantee as the per-token update, at ~vocab-per-batch
+        # Python iterations instead of one per token (~100× fewer).
+        from duckdb_pst_spark.functions.batches import rebatch
+
         counters: dict[str, int] = {}
-        for pdf in batches:
-            for t in pdf["t"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < MG_CAPACITY:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+        for pdf in rebatch(batches, 8192):
+            for t, c in pdf["t"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > MG_CAPACITY:
+                m = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+                counters = {k: v - m for k, v in counters.items() if v > m}
         yield pd.DataFrame({"t": list(counters.keys())})
 
     candidates = toks.mapInPandas(misra_gries, "t string").distinct()

@@ -74,9 +74,11 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_pipeline_pretrain", "q_dedup_minhash_vec", "q_dedup_minhash_fast",
     # round-2 ERR, output shape fixed this round
     "q_embedding_quantize",
-    # never-windowed: ANN hot path, text, multimodal
+    # never-windowed: ANN hot path, text, multimodal (probe_real is new
+    # this round: real JPEG header decode over the golden archive)
     "q_knn_gemm", "q_text_tokens_bpe", "q_lang_ngram",
     "q_image_decode", "q_audio_features", "q_media_doc_join",
+    "q_media_probe_real",
     # never-windowed: binary PST reader surface (14)
     "q_pstbin_folders", "q_pstbin_class_counts", "q_pstbin_sticky_geometry",
     "q_pstbin_appointment", "q_pstbin_dlist_members", "q_pstbin_task",
@@ -96,7 +98,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_image_resize_bytes",
     # canaries: float-heavy flagships from the round-1/2 windows
     "q_tpch_q1", "q_join_agg_topn", "q_multi_join", "q_agg_stats",
-    "q_percentile",
 )
 
 

@@ -240,14 +240,35 @@ CLASS_FILTER = {
 class PstDataSource(DataSource):
     """format("pst") — options: table (folders|messages|notes|contacts|
     appointments|sticky_notes|tasks|distribution_lists),
-    read_body_size_bytes, read_attachment_body, read_limit."""
+    read_body_size_bytes, read_attachment_body, read_limit, columns.
+
+    ``columns`` (comma-separated) is the A7 projection pushdown: the
+    Python DataSource API has no column-pruning hook (Catalyst prunes
+    ABOVE the Python reader), so without it the reader would decode
+    every schema column and hand Catalyst data it throws away. With
+    ``columns``, the scan schema is the requested subset and the binary
+    reader never fetches unprojected bodies/recipients/attachments from
+    the file — the reference's behavior (row_serializer.cpp:1214-1216
+    serializes only projected columns)."""
 
     @classmethod
     def name(cls) -> str:
         return "pst"
 
     def schema(self):
-        return table_schema(self.options.get("table", "messages"))
+        full = table_schema(self.options.get("table", "messages"))
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        unknown = [c for c in want if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"pst: unknown columns {unknown} for table "
+                f"{self.options.get('table', 'messages')!r}"
+            )
+        return StructType([by_name[c] for c in want])
 
     def reader(self, schema: StructType) -> "PstReader":
         return PstReader(self.options, schema)
@@ -270,6 +291,10 @@ class PstReader(DataSourceReader):
         self.options_partition_size = options.get("partition_size", "4096")
         self.schema = schema
         self.fields = [f.name for f in schema.fields]
+        # A7: with a `columns` projection the schema IS the subset —
+        # thread it into the row decode so unprojected columns are never
+        # fetched from the file. None = full-schema scan, decode all.
+        self.columns = frozenset(self.fields) if options.get("columns") else None
 
     def partitions(self):
         """Bind-time planning (A3/A4, table_function.cpp:191-239): crawl
@@ -429,6 +454,7 @@ class PstReader(DataSourceReader):
                                 nid,
                                 read_body_size_bytes=self.read_body_size_bytes,
                                 read_attachment_body=self.read_attachment_body,
+                                columns=self.columns,
                             )
                         )
                     except Exception as exc:

@@ -40,6 +40,22 @@ ATTACH_METHOD = [
     "OLE",
 ]
 
+# A7 observability: decode-site counters (body/body_html/recipients/
+# attachments/subnode-tree walks), incremented wherever the reader pulls
+# heavy data out of the file. Tests reset this and assert a metadata-only
+# projection leaves every counter at zero — the executable form of the
+# reference's "unprojected columns are never serialized"
+# (row_serializer.cpp:1214-1216).
+DECODE_STATS = {
+    "body": 0,
+    "body_html": 0,
+    "recipients": 0,
+    "attachments": 0,
+    "subnodes": 0,
+}
+
+_ARCHIVE_META_COLS = frozenset({"pst_path", "pst_name", "record_key"})
+
 PSETID_APPOINTMENT = bytes.fromhex("90da d862 0c45 1b10 98da 0008 2b2a 56c2".replace(" ", ""))
 PSETID_TASK = bytes.fromhex("03200608 0000 0000 c000 0000 0000 0046".replace(" ", ""))
 PSETID_NOTE = bytes.fromhex("0e200608 0000 0000 c000 0000 0000 0046".replace(" ", ""))
@@ -170,57 +186,121 @@ class PstArchive:
         *,
         read_body_size_bytes: int = 1_000_000,
         read_attachment_body: bool = False,
+        columns: frozenset[str] | set[str] | None = None,
     ) -> dict:
-        """NOTE_SCHEMA row (schema.hpp:138-171) + typed extras."""
+        """NOTE_SCHEMA row (schema.hpp:138-171) + typed extras.
+
+        ``columns`` is the A7 projection contract: when given, only the
+        named columns (plus ``message_class``, which the A5 class filter
+        and subtype dispatch always need) are DECODED — bodies,
+        recipients, attachments, and subtype extras that nobody asked
+        for are never fetched from the file, matching the reference's
+        rule that unprojected columns are never serialized
+        (row_serializer.cpp:1214-1216, pst_extension.cpp:35). ``None``
+        means decode everything (the unprojected scan).
+        """
+
+        def want(c: str) -> bool:
+            return columns is None or c in columns
+
         e = self.pst.nbt[nid]
         pc = ltp.PropertyContext(self.pst, e.bid_data, e.bid_sub)
-        sub = self.pst.read_subnodes(e.bid_sub)
+        # The subnode tree exists only for recipients/attachments —
+        # a metadata-only projection never walks it.
+        need_attach = (
+            columns is None
+            or not columns.isdisjoint(
+                ("attachments", "has_attachments", "attachment_count")
+            )
+        )
+        if want("recipients") or need_attach:
+            DECODE_STATS["subnodes"] += 1
+            sub = self.pst.read_subnodes(e.bid_sub)
+        else:
+            sub = {}
 
         def trunc(s: str | None) -> str | None:
             if s is None or read_body_size_bytes == 0:
                 return s
             return s[: max(read_body_size_bytes // 2, 1)]
 
-        imp = pc.get(0x0017)
-        pri = pc.get(0x0026)
-        sens = pc.get(0x0036)
-        row = {
-            "node_id": nid,
-            "parent_node_id": e.nid_parent,
-            "subject": _clean_subject(pc.get(0x0037)),
-            "body": trunc(pc.get(0x1000)),
-            "body_html": trunc(_html_str(pc.get(0x1013))),
-            "display_name": pc.get(0x3001),
-            "comment": pc.get(0x3004),
-            "sender_name": pc.get(0x0C1A),
-            "sender_email_address": pc.get(0x0C1F),
-            "recipients": self._recipients(sub),
-            "attachments": self._attachments(sub, read_attachment_body),
-            "importance": IMPORTANCE[imp] if imp is not None and 0 <= imp < 3 else None,
-            "priority": PRIORITY[pri + 1] if pri is not None and -1 <= pri <= 1 else None,
-            "sensitivity": SENSITIVITY[sens] if sens is not None and 0 <= sens < 4 else None,
-            "creation_time": pc.get(0x3007),
-            "last_modified": pc.get(0x3008),
-            "message_delivery_time": pc.get(0x0E06),
-            "message_class": pc.get(0x001A),
-            "message_flags": pc.get(0x0E07),
-            "message_size": pc.get(0x0E08),
-            "conversation_topic": pc.get(0x0070),
-            "internet_message_id": pc.get(0x1035),
-        }
-        row["has_attachments"] = bool(row["attachments"])
-        row["attachment_count"] = len(row["attachments"] or [])
-        cls = row["message_class"] or ""
-        if cls.startswith("IPM.Contact"):
-            row.update(self._contact_extras(pc))
-        elif cls.startswith("IPM.Appointment"):
-            row.update(self._appointment_extras(pc))
-        elif cls.startswith("IPM.StickyNote"):
-            row.update(self._sticky_extras(pc))
-        elif cls.startswith("IPM.Task"):
-            row.update(self._task_extras(pc))
-        elif cls.startswith("IPM.DistList"):
-            row.update(self._dlist_extras(pc))
+        row = {"node_id": nid, "parent_node_id": e.nid_parent,
+               "message_class": pc.get(0x001A)}
+        if want("subject"):
+            row["subject"] = _clean_subject(pc.get(0x0037))
+        if want("body"):
+            DECODE_STATS["body"] += 1
+            row["body"] = trunc(pc.get(0x1000))
+        if want("body_html"):
+            DECODE_STATS["body_html"] += 1
+            row["body_html"] = trunc(_html_str(pc.get(0x1013)))
+        if want("display_name"):
+            row["display_name"] = pc.get(0x3001)
+        if want("comment"):
+            row["comment"] = pc.get(0x3004)
+        if want("sender_name"):
+            row["sender_name"] = pc.get(0x0C1A)
+        if want("sender_email_address"):
+            row["sender_email_address"] = pc.get(0x0C1F)
+        if want("recipients"):
+            DECODE_STATS["recipients"] += 1
+            row["recipients"] = self._recipients(sub)
+        if want("attachments"):
+            DECODE_STATS["attachments"] += 1
+            atts = self._attachments(sub, read_attachment_body)
+            row["attachments"] = atts
+            row["has_attachments"] = bool(atts)
+            row["attachment_count"] = len(atts)
+        elif need_attach:
+            # count-only projection: row ids of the attachment table,
+            # no per-attachment PropertyContext parse
+            n_att = self._attachment_count(sub)
+            row["has_attachments"] = bool(n_att)
+            row["attachment_count"] = n_att
+        if want("importance"):
+            imp = pc.get(0x0017)
+            row["importance"] = (
+                IMPORTANCE[imp] if imp is not None and 0 <= imp < 3 else None
+            )
+        if want("priority"):
+            pri = pc.get(0x0026)
+            row["priority"] = (
+                PRIORITY[pri + 1] if pri is not None and -1 <= pri <= 1 else None
+            )
+        if want("sensitivity"):
+            sens = pc.get(0x0036)
+            row["sensitivity"] = (
+                SENSITIVITY[sens] if sens is not None and 0 <= sens < 4 else None
+            )
+        if want("creation_time"):
+            row["creation_time"] = pc.get(0x3007)
+        if want("last_modified"):
+            row["last_modified"] = pc.get(0x3008)
+        if want("message_delivery_time"):
+            row["message_delivery_time"] = pc.get(0x0E06)
+        if want("message_flags"):
+            row["message_flags"] = pc.get(0x0E07)
+        if want("message_size"):
+            row["message_size"] = pc.get(0x0E08)
+        if want("conversation_topic"):
+            row["conversation_topic"] = pc.get(0x0070)
+        if want("internet_message_id"):
+            row["internet_message_id"] = pc.get(0x1035)
+        # subtype extras: skipped when the projection already has every
+        # requested column (extras do dozens of PC fetches per row);
+        # pst_path/pst_name/record_key are filled by the scan task, not here
+        if columns is None or columns - row.keys() - _ARCHIVE_META_COLS:
+            cls = row["message_class"] or ""
+            if cls.startswith("IPM.Contact"):
+                row.update(self._contact_extras(pc))
+            elif cls.startswith("IPM.Appointment"):
+                row.update(self._appointment_extras(pc))
+            elif cls.startswith("IPM.StickyNote"):
+                row.update(self._sticky_extras(pc))
+            elif cls.startswith("IPM.Task"):
+                row.update(self._task_extras(pc))
+            elif cls.startswith("IPM.DistList"):
+                row.update(self._dlist_extras(pc))
         return row
 
     def messages(self, **kw) -> Iterator[dict]:
@@ -250,6 +330,21 @@ class PstArchive:
                 }
             )
         return out
+
+    def _attachment_count(self, sub: dict) -> int:
+        """Attachment count without parsing any attachment properties —
+        just the attachment TABLE's row ids (for has_attachments /
+        attachment_count projections that exclude ``attachments``)."""
+        from duckdb_pst_spark.sources.mspst.ndb import NID_ATTACHMENT_TABLE
+
+        if NID_ATTACHMENT_TABLE not in sub:
+            return 0
+        tbd, tbs = sub[NID_ATTACHMENT_TABLE]
+        try:
+            row_ids = ltp.TableContext(self.pst, tbd, tbs).row_ids()
+        except Exception:
+            return 0
+        return sum(1 for snid in row_ids if snid in sub)
 
     def _attachments(self, sub: dict, read_body: bool) -> list[dict]:
         from duckdb_pst_spark.sources.mspst.ndb import NID_ATTACHMENT_TABLE

@@ -96,8 +96,10 @@ def q_pstbin_folders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-reader class histogram pinned to the golden mix
-    (read_unittest_pst.test:39-93, README.md:25-37)."""
-    m = _pst(spark, "messages")
+    (read_unittest_pst.test:39-93, README.md:25-37). The `columns`
+    projection (A7) means the scan decodes ONLY message_class — no
+    bodies, no subnode walk."""
+    m = _pst(spark, "messages", columns="message_class")
     return m.groupBy("message_class").agg(F.count(F.lit(1)).alias("c"))
 
 
@@ -123,12 +125,10 @@ def q_pstbin_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_sticky_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sticky-note rows (class, topic, named-property geometry) pinned to
-    golden (read_unittest_pst.test:96-102)."""
-    s = _pst(spark, "sticky_notes")
-    return s.select(
-        "node_id", "parent_node_id", "message_class", "conversation_topic",
-        "note_color", "note_width", "note_height", "note_x", "note_y",
-    )
+    golden (read_unittest_pst.test:96-102); A7-projected scan."""
+    cols = ("node_id,parent_node_id,message_class,conversation_topic,"
+            "note_color,note_width,note_height,note_x,note_y")
+    return _pst(spark, "sticky_notes", columns=cols)
 
 
 @query(
@@ -142,9 +142,12 @@ def q_pstbin_sticky_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pst-binary", "typed"),
 )
 def q_pstbin_appointment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Appointment times pinned to golden (read_unittest_pst.test:113-120)."""
-    a = _pst(spark, "appointments")
-    return a.select("node_id", "start_time", "end_time", "duration", "all_day_event")
+    """Appointment times pinned to golden (read_unittest_pst.test:113-120);
+    A7-projected scan."""
+    return _pst(
+        spark, "appointments",
+        columns="node_id,start_time,end_time,duration,all_day_event",
+    )
 
 
 @query(
@@ -159,8 +162,8 @@ def q_pstbin_appointment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_dlist_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-list one-off members unnested, pinned to golden
-    (read_unittest_pst.test:57-69)."""
-    d = _pst(spark, "distribution_lists")
+    (read_unittest_pst.test:57-69); A7-projected scan."""
+    d = _pst(spark, "distribution_lists", columns="display_name,one_off_members")
     e = d.select(F.col("display_name").alias("list_name"), F.explode("one_off_members").alias("m"))
     return e.select(
         "list_name",
@@ -180,9 +183,11 @@ def q_pstbin_dlist_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pst-binary", "typed"),
 )
 def q_pstbin_task(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Task due date pinned to golden (read_unittest_pst.test:104-111)."""
-    t = _pst(spark, "tasks")
-    return t.select("node_id", "parent_node_id", "message_class", "due_date")
+    """Task due date pinned to golden (read_unittest_pst.test:104-111);
+    A7-projected scan."""
+    return _pst(
+        spark, "tasks", columns="node_id,parent_node_id,message_class,due_date"
+    )
 
 
 @query(
@@ -198,9 +203,11 @@ def q_pstbin_task(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pstbin_dlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-list row with decoded member_node_ids pinned to golden
     (read_unittest_pst.test:59-64; wrapped-EntryID nid extraction,
-    reference row_serializer.cpp:1164-1204)."""
-    d = _pst(spark, "distribution_lists")
-    return d.select("node_id", "parent_node_id", "display_name", "member_node_ids")
+    reference row_serializer.cpp:1164-1204); A7-projected scan."""
+    return _pst(
+        spark, "distribution_lists",
+        columns="node_id,parent_node_id,display_name,member_node_ids",
+    )
 
 
 @query(
@@ -216,12 +223,14 @@ def q_pstbin_dlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table row counts across all 8 table functions, pinned to the
-    reference's own count assertions (read_unittest_pst.test:14-93)."""
+    reference's own count assertions (read_unittest_pst.test:14-93).
+    Each scan is A7-projected to node_id — a count never decodes a body."""
     parts = []
     for tbl in ("folders", "messages", "notes", "contacts", "appointments",
                 "sticky_notes", "tasks", "distribution_lists"):
         parts.append(
-            _pst(spark, tbl).select(F.lit(tbl).alias("tbl")).groupBy("tbl")
+            _pst(spark, tbl, columns="node_id")
+            .select(F.lit(tbl).alias("tbl")).groupBy("tbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
     out = parts[0]
@@ -267,8 +276,9 @@ def q_pstbin_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_body_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 byte math on the real parser: read_body_size_bytes=100 → 50
-    UTF-16 chars, pinned to golden (table_function_parameters.test:19-28)."""
-    m = _pst(spark, "messages", read_body_size_bytes=100)
+    UTF-16 chars, pinned to golden (table_function_parameters.test:19-28).
+    A7-projected: only body_html is decoded (then truncated), nothing else."""
+    m = _pst(spark, "messages", read_body_size_bytes=100, columns="node_id,body_html")
     return m.filter(F.col("body_html").isNotNull()).select(
         "node_id", F.length("body_html").cast("long").alias("html_chars")
     )
@@ -281,8 +291,8 @@ def q_pstbin_body_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pstbin_read_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 on the real parser: read_limit=2 caps planned rows
-    (table_function_parameters.test:13-17)."""
-    m = _pst(spark, "messages", read_limit=2)
+    (table_function_parameters.test:13-17); A7-projected count scan."""
+    m = _pst(spark, "messages", read_limit=2, columns="node_id")
     return m.agg(F.count(F.lit(1)).alias("n"))
 
 

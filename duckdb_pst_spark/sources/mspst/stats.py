@@ -90,6 +90,62 @@ def _driver_pool_count(files: list[str], table: str) -> int:
         return sum(ex.map(partial(file_count, table=table), files, chunksize=chunk))
 
 
+def pst_scan_info(spark, path: str, table: str = "messages", **options):
+    """A20 — EXPLAIN-style scan metadata as a one-row DataFrame.
+
+    The reference surfaces ``Files read`` / ``Partitions read`` /
+    ``Partition size`` inside DuckDB's EXPLAIN via a dynamic-to-string
+    hook (``PSTDynamicToString``, table_function.cpp:367-380). Spark's
+    Python DataSource API has no explain-customization hook (the plan
+    shows only ``BatchScan pst`` + ReadSchema), so the same metadata is
+    a first-class introspection query: it runs the REAL bind-time
+    planner (glob expansion A1, NBT crawl A3, bucket packing A4,
+    read_limit A6) and reports what a scan with these options would do
+    — plus ``rows_planned``, the denominator of the reference's
+    progress percentage (``PSTReadProgress``, table_function.cpp:359-365;
+    live per-task progress itself is delegated to the Spark UI, A19).
+
+    ``columns`` shows in ``projected_columns`` so a user can confirm the
+    A7 projection reached the reader, the equivalent of seeing a pruned
+    ReadSchema on a parquet scan.
+    """
+    from duckdb_pst_spark.sources.mspst.datasource import PstDataSource
+
+    opts = {"path": path, "table": table}
+    for k, v in options.items():
+        opts[k] = str(v).lower() if isinstance(v, bool) else str(v)
+    ds = PstDataSource(opts)
+    reader = ds.reader(ds.schema())
+    parts = reader.partitions()
+    files: set[str] = set()
+    rows = 0
+    n_parts = 0
+    for p in parts:
+        entries = [e for e in p.value if e[0] is not None]
+        if not entries:
+            continue
+        n_parts += 1
+        for f, nids in entries:
+            files.add(f)
+            if nids is not None:
+                rows += len(nids)
+            else:  # folders: NBT-only count, still no row data read
+                rows += file_count(f, "folders")
+    return spark.createDataFrame(
+        [
+            (
+                len(files),
+                n_parts,
+                int(reader.options_partition_size),
+                rows,
+                ",".join(reader.fields),
+            )
+        ],
+        "files_read int, partitions_read int, partition_size int, "
+        "rows_planned bigint, projected_columns string",
+    )
+
+
 def pst_count(spark, path: str, table: str = "messages") -> int:
     """``count(*)`` over a PST glob/URL from planning stats only.
 

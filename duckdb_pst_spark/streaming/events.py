@@ -71,26 +71,23 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot make the result nondeterministic. In a real continuous run
     the key includes an event-time column under ``withWatermark`` so
     state is droppable; bounded replay (AvailableNow) needs no watermark."""
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
     schema = spark.read.parquet(staging).schema
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
+    # parquet-sink finalization: the distinct key set is written by
+    # executors and scanned lazily — the driver never holds the
+    # O(#distinct keys) result (it would not survive a wide key at scale)
+    result = finalize_append(
         spark.readStream.schema(schema)
         .parquet(staging)
         .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
+        .select("user_id", "event_type"),
+        "stream_dedup",
     )
-    q.awaitTermination()
-    result = spark.table(sink)
-    result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
 
@@ -109,23 +106,13 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual Structured Streaming query (AvailableNow trigger, complete
     mode, memory sink) and returned as the finalized batch result.
     Oracle: DuckDB time_bucket — both align windows to the epoch."""
+    from duckdb_pst_spark.streaming.finalize import finalize_complete
+
     # file-stream sources need a directory; stage the single parquet file
     staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
-    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_window_counts(spark, staging)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.table(sink)
-    # materialize before cleanup so the temp dir can go away
-    result = spark.createDataFrame(result.collect(), result.schema)
+    result = finalize_complete(streaming_window_counts(spark, staging), "stream_counts")
     shutil.rmtree(staging, ignore_errors=True)
     return result
 
@@ -189,16 +176,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("view_id", "click_id", "user_id")
 
-    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.table(sink)
-    result = spark.createDataFrame(result.collect(), result.schema)
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
+    result = finalize_append(joined, "stream_join")
     shutil.rmtree(staging, ignore_errors=True)
     return result

@@ -199,15 +199,6 @@ def _run_stateful_sessions(spark: SparkSession, sf_dir: str, staging: str) -> Da
             )
     shutil.rmtree(os.path.join(staging, "zz_sentinel"), ignore_errors=True)
 
-    sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_sessions(spark, staging)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.table(sink)
-    return spark.createDataFrame(result.collect(), result.schema)
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
+    return finalize_append(stateful_sessions(spark, staging), "stateful_sessions")

@@ -218,6 +218,94 @@ def test_node_range_partitioning(spark):
     assert lim.rdd.getNumPartitions() == 2 and lim.count() == 7
 
 
+def _reset_decode_stats():
+    from duckdb_pst_spark.sources.mspst import messaging
+
+    for k in messaging.DECODE_STATS:
+        messaging.DECODE_STATS[k] = 0
+    return messaging.DECODE_STATS
+
+
+def test_projection_pushdown_skips_heavy_decode():
+    """A7 parity (row_serializer.cpp:1214-1216, pst_extension.cpp:35):
+    a `columns` projection must never FETCH unprojected heavy data —
+    bodies, recipients, attachments, even the subnode-tree walk. Driven
+    through the reader in-process so the decode counters are visible."""
+    from duckdb_pst_spark.sources.mspst.datasource import PstDataSource
+
+    ds = PstDataSource({"path": PST, "table": "messages", "columns": "node_id,subject"})
+    schema = ds.schema()
+    assert [f.name for f in schema.fields] == ["node_id", "subject"]
+    reader = ds.reader(schema)
+    stats = _reset_decode_stats()
+    rows = [r for p in reader.partitions() for r in reader.read(p)]
+    assert len(rows) == 12 and all(len(r) == 2 for r in rows)
+    assert stats == {
+        "body": 0, "body_html": 0, "recipients": 0, "attachments": 0, "subnodes": 0,
+    }
+
+    # count-only attachment projection: subnode walk + row-id count, but
+    # no per-attachment property parse
+    ds2 = PstDataSource(
+        {"path": PST, "table": "messages", "columns": "node_id,has_attachments,attachment_count"}
+    )
+    reader2 = ds2.reader(ds2.schema())
+    stats = _reset_decode_stats()
+    rows2 = [r for p in reader2.partitions() for r in reader2.read(p)]
+    assert len(rows2) == 12
+    assert stats["attachments"] == 0 and stats["subnodes"] == 12
+
+    # the unprojected scan still decodes everything
+    ds3 = PstDataSource({"path": PST, "table": "messages"})
+    reader3 = ds3.reader(ds3.schema())
+    stats = _reset_decode_stats()
+    rows3 = [r for p in reader3.partitions() for r in reader3.read(p)]
+    assert len(rows3) == 12
+    assert stats["body"] == 12 and stats["recipients"] == 12 and stats["subnodes"] == 12
+
+
+def test_projection_pushdown_spark_values_match(spark):
+    """A7 end-to-end: the pruned scan returns the same values as the
+    full scan's select, and the class filter (A5) still sees
+    message_class even when it is not projected."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    full = {
+        r.node_id: (r.subject, r.has_attachments, r.attachment_count)
+        for r in spark.read.format("pst")
+        .load(PST)
+        .select("node_id", "subject", "has_attachments", "attachment_count")
+        .collect()
+    }
+    pruned = spark.read.format("pst").option(
+        "columns", "node_id,subject,has_attachments,attachment_count"
+    ).load(PST)
+    assert pruned.columns == ["node_id", "subject", "has_attachments", "attachment_count"]
+    got = {r.node_id: (r.subject, r.has_attachments, r.attachment_count) for r in pruned.collect()}
+    assert got == full
+
+    # A5 + A7 compose: typed table with a projection that excludes
+    # message_class still filters on it
+    notes = spark.read.format("pst").option("table", "notes").option(
+        "columns", "node_id,subject"
+    ).load(PST)
+    assert notes.count() == 5
+
+    # typed subtype columns project too
+    c = spark.read.format("pst").option("table", "contacts").option(
+        "columns", "given_name,surname"
+    ).load(PST)
+    assert sorted((r.given_name, r.surname) for r in c.collect()) == [
+        ("Hopper", "Cat"), ("Linus", "Cat"),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("pst").option("columns", "node_id,nope").load(PST).collect()
+
+
 def test_error_tolerance_skips_bad_file(spark, tmp_path):
     """A18 parity (table_function.cpp:228-235): an unreadable file in the
     glob is logged and skipped at planning; good files still scan."""
@@ -237,6 +325,35 @@ def test_error_tolerance_skips_bad_file(spark, tmp_path):
         spark.read.format("pst").option("table", "folders").load(str(tmp_path / "*.pst"))
     )
     assert folders.count() == 16
+
+
+def test_scan_info_metadata(spark, tmp_path):
+    """A20 parity (PSTDynamicToString, table_function.cpp:367-380): the
+    scan-metadata surface reports files/partitions/partition-size from
+    the real planner, plus planned rows (A19 progress denominator) and
+    the A7 projection."""
+    import shutil
+
+    from duckdb_pst_spark.sources.mspst.stats import pst_scan_info
+
+    shutil.copy(PST, tmp_path / "a.pst")
+    shutil.copy(PST, tmp_path / "b.pst")
+
+    info = pst_scan_info(
+        spark, str(tmp_path / "*.pst"), partition_size="5", columns="node_id,subject"
+    ).first()
+    assert info.files_read == 2
+    # 24 message nids at 5 per bucket: 4 full buckets + packed remainders
+    assert info.partitions_read >= 5
+    assert info.partition_size == 5
+    assert info.rows_planned == 24
+    assert info.projected_columns == "node_id,subject"
+
+    lim = pst_scan_info(spark, PST, read_limit="7").first()
+    assert lim.rows_planned == 7  # A6 cuts planning itself
+
+    folders = pst_scan_info(spark, PST, table="folders").first()
+    assert folders.rows_planned == 16 and folders.files_read == 1
 
 
 def test_stats_count_matches_full_scan(spark):

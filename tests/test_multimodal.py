@@ -147,3 +147,61 @@ def test_pst_attachment_media_bridge(spark):
 
     with _pytest.raises(Exception, match="codec library|raw-rgb8"):
         decode_image(media).collect()
+
+
+def test_container_header_parsers():
+    """Pure-Python header parsers against hand-built minimal containers
+    (public structures: ITU T.81, RFC 2083, RIFF/WAVE)."""
+    import struct
+
+    from duckdb_pst_spark.multimodal import container as C
+
+    # minimal JPEG: SOI, APP0 stub, SOF0 (h=10, w=20, 3 comps), EOI
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 10, 20, 3)
+        + b"\x00\x00\x00"
+        + b"\xff\xd9"
+    )
+    assert C.sniff_format(jpeg) == "jpeg"
+    assert C.jpeg_dimensions(jpeg) == (20, 10, 3)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBB", 64, 48, 8, 6) + b"\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    assert C.sniff_format(png) == "png"
+    assert C.png_dimensions(png) == (64, 48, 4)  # RGBA
+
+    data = b"\x00\x01" * 8000  # 8000 mono 16-bit samples
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert C.sniff_format(wav) == "wav"
+    info = C.wav_info(wav)
+    assert info == {"channels": 1, "sample_rate": 16000, "bits": 16, "n_samples": 8000}
+
+    assert C.sniff_format(b"\x00" * 32) is None
+    assert C.probe_bytes(jpeg)["width"] == 20
+    assert C.probe_bytes(wav)["sample_rate"] == 16000
+
+
+def test_probe_real_pst_jpeg(spark):
+    """Real container bytes end-to-end: the golden archive's actual JPEG
+    attachment probed for its true geometry (200x150x3) with no codec
+    library — the decode-adjacent multimodal path on real payloads."""
+    from duckdb_pst_spark.multimodal.ops import probe_media
+    from duckdb_pst_spark.multimodal.pst_bridge import pst_attachments
+
+    att = pst_attachments(spark, "/root/reference/test/unittest.pst")
+    probed = {r.media_id: r for r in probe_media(att).collect()}
+    jpg = [r for r in att.collect() if (r.filename or "").upper().endswith("JPG")]
+    assert jpg
+    p = probed[jpg[0].media_id]
+    assert (p.format, p.width, p.height, p.channels) == ("jpeg", 200, 150, 3)

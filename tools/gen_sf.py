@@ -27,18 +27,37 @@ DST = (
     else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "sf1")
 )
 
-# table -> columns to offset by i*span (span = 1 + max over all copies' key space)
+# Key DOMAINS: one span per domain, computed from the OWNING dimension's
+# key column — never from a referencing column. (A referencing column's
+# own max underestimates the domain when the dimension has an
+# unreferenced tail: in TPC-H ~1/3 of customers place no orders, so
+# max(o_custkey) < max(c_custkey) and per-column spans would point
+# copy-i orders at the wrong copy's customers.)
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+# table -> {column: key domain}; every referencing column reuses its
+# owner's span so FK relationships survive replication exactly
 OFFSETS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "region": [],
-    "nation": [],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    # events.user_id draws from the customer key domain (q_range_join
+    # joins events.user_id to c_custkey)
+    "events": {"event_id": "event_id", "user_id": "custkey"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+    "region": {},
+    "nation": {},
 }
 
 
@@ -46,19 +65,20 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+    spans = {
+        d: con.execute(f"SELECT max({col}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        for d, (t, col) in DOMAINS.items()
+    }
     for t, keys in OFFSETS.items():
         src = f"{SRC}/{t}.parquet"
         if not keys or FACTOR == 1:
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{DST}/{t}.parquet' (FORMAT parquet)")
             continue
-        spans = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM '{src}'").fetchone()[0] for k in keys
-        }
         cols = [d[0] for d in con.execute(f"SELECT * FROM '{src}' LIMIT 0").description]
         parts = []
         for i in range(FACTOR):
             sel = ", ".join(
-                f"{c} + {i * spans[c]} AS {c}" if c in spans else c for c in cols
+                f"{c} + {i * spans[keys[c]]} AS {c}" if c in keys else c for c in cols
             )
             parts.append(f"SELECT {sel} FROM '{src}'")
         union = " UNION ALL ".join(parts)
