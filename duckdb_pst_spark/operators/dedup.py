@@ -535,8 +535,10 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints, no shuffle until the band groupBy. No oracle (DuckDB has
     no xxhash64) — correctness of the pipeline is proven by the portable
     twin; this one exists to be fast and to scale."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
     bands = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         # no size(tokens(...)) pre-filter — that would tokenize twice;
         # shingle-less docs yield an empty band array and explode() drops them
         .select("doc_id", F.explode(_fused_band_keys(F.col("text"))).alias("b"))
@@ -719,8 +721,10 @@ def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_minhash, so this path is fully oracle-checked (signature →
     band → capped-bucket candidate pairs) — the cap shows up in the
     oracle as the HAVING count BETWEEN 2 AND 64 bucket filter."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
     bands = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select("doc_id", "text")
         .mapInPandas(_minhash_band_kernel, "doc_id long, band_idx int, band_val long")
     )

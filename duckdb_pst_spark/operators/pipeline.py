@@ -130,8 +130,27 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see module docstring for the stage chain and scale shape). The
     near-dup drop rule is deterministic: for every Jaccard-verified LSH
     pair (a, b) with a < b, b is dropped — the canonical survivor is the
-    smallest doc_id of each near-dup cluster reachable pairwise."""
-    d = table(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    smallest doc_id of each near-dup cluster reachable pairwise.
+
+    Tokenization note (measured, sf0.1): the token array feeds four
+    consumers and higher-order expressions are interpreted (outside
+    codegen, no subexpression elimination), so the inlined form
+    re-splits each document per consumer — but re-evaluation is NOT the
+    bottleneck (a let-bound single-eval variant and a checkpointed
+    tokenize-once variant both measured within noise or slower overall;
+    the checkpoint's materialization cost exceeds three re-splits).
+    The stage costs live in the gram explode + broadcast join and the
+    LSH band kernel, both already in their scale shapes.
+
+    The document scan goes through ``partitioning.spread`` (no-op on a
+    well-laid-out lake): every downstream stage here is compute-bound
+    interpreted/kernel work, so a scan that under-delivers partitions
+    (few huge files / giant row groups) would otherwise idle the
+    cluster through the whole chain."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.withColumn("toks", tokens(F.col("text")))
     en_hits = F.size(
         F.filter(F.col("toks"), lambda t: t.isin(*_EN_STOPWORDS))
     ).cast("long")
@@ -176,7 +195,7 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (The kernel rebatches its Arrow chunks internally; the session
     # batch-size conf is never mutated — see functions/batches.py.)
     bands = (
-        table(spark, sf_dir, "documents")
+        docs
         .select("doc_id", "text")
         .mapInPandas(_minhash_band_kernel, "doc_id long, band_idx int, band_val long")
     )
@@ -187,7 +206,7 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = (
-        table(spark, sf_dir, "documents")
+        docs
         .join(F.broadcast(member_ids), "doc_id", "left_semi")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .localCheckpoint(eager=True)

@@ -101,13 +101,16 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     full candidate corpus, ranked per query. The broadcast means the
     candidate scan is the only pass over big data — this is the exact
     baseline an ANN index is validated against."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
     e = table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
         )
     )
-    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+    # the per-pair fold is interpreted compute — guard scan parallelism
+    c = spread(e.filter(F.col("vec_id") >= N_QUERIES)).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     return _knn(q, c, TOP_K)
@@ -457,9 +460,11 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    from duckdb_pst_spark.functions.partitioning import spread
+
     bq = spark.sparkContext.broadcast((qids, Qn))
     partial = (
-        e.filter(F.col("vec_id") >= N_QUERIES)
+        spread(e.filter(F.col("vec_id") >= N_QUERIES))
         .select("vec_id", "embedding")
         .mapInPandas(_gemm_topk_kernel(bq, TOP_K), "qid long, cand_id long, cos_sim double")
     )

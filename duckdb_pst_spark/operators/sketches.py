@@ -191,6 +191,7 @@ HH_PHI = 1.0 / 32  # exact binary fraction — bit-identical threshold math
     HAVING count(*) >= {HH_PHI} * n
     """,
     tags=("sketch", "text"),
+    bench=True,
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """φ-heavy hitters (tokens with frequency ≥ 1/32 of the stream) via
@@ -213,7 +214,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing that OOMs."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
-    toks = table(spark, sf_dir, "documents").select(
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    toks = spread(table(spark, sf_dir, "documents")).select(
         F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))).alias(
             "t"
         )

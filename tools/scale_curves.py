@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Measure the Spark-vs-DuckDB scaling curves in SCALE.md.
+
+For each headline query, run the Spark builder and (where the registry
+carries an oracle) the identical DuckDB SQL over the SAME parquet
+directory, at one or more volumes (1x = the driver's sf0.1, 10x/100x =
+`tools/gen_sf.py` key-consistent replicas). Steady-state min-of-2 after
+one warm run, one long-lived session per engine — the methodology the
+SCALE.md table quotes.
+
+Usage: python tools/scale_curves.py DIR [DIR...] > curves.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+QUERIES = [
+    "q_tpch_q1",
+    "q_join_agg_topn",
+    "q_multi_join",
+    "q_window_rank",
+    "q_recursive_descendants",
+    "q_dedup_exact",
+    "q_text_tokens",
+    "q_doc_chunk",
+    "q_heavy_hitters",
+    "q_dedup_minhash_vec",
+    "q_knn_brute",
+    "q_knn_gemm",
+    "q_pipeline_pretrain",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def time_min2(fn) -> float:
+    fn()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def spark_side(dirs: list[str]) -> dict:
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.session import get_spark
+
+    spark = get_spark("scale-curves")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    out: dict = {}
+    for d in dirs:
+        out[d] = {}
+        for name in QUERIES:
+            b = specs[name].builder
+            try:
+                out[d][name] = time_min2(lambda: b(spark, d).count())
+            except Exception as exc:
+                out[d][name] = f"ERR {type(exc).__name__}"
+            print(f"spark {d} {name}: {out[d][name]}", file=sys.stderr)
+    spark.stop()
+    return out
+
+
+def duck_side(dirs: list[str]) -> dict:
+    import duckdb
+
+    from duckdb_pst_spark.registry import load_all
+
+    specs = load_all()
+    out: dict = {}
+    for d in dirs:
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in TABLES:
+            p = f"{d}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        out[d] = {}
+        for name in QUERIES:
+            sql = specs[name].oracle
+            if not sql:
+                out[d][name] = None  # rows-only query: no SQL twin
+                continue
+            try:
+                out[d][name] = time_min2(
+                    lambda: con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+                )
+            except Exception as exc:
+                out[d][name] = f"ERR {type(exc).__name__}"
+            print(f"duck  {d} {name}: {out[d][name]}", file=sys.stderr)
+        con.close()
+    return out
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    result = {"spark": spark_side(dirs), "duckdb": duck_side(dirs)}
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
