@@ -32,7 +32,27 @@ from pyspark.sql import DataFrame
 _CACHE_DIR = Path(__file__).resolve().parent.parent.parent / ".cache"
 
 
+_STALE_SECONDS = 24 * 3600
+
+
+def _prune_stale() -> None:
+    """Best-effort removal of finalize dirs older than a day — repeated
+    test/driver runs must not accumulate sink directories forever."""
+    import shutil
+    import time
+
+    try:
+        now = time.time()
+        for p in _CACHE_DIR.iterdir():
+            if p.name.endswith(("_out", "_ck")) and p.is_dir():
+                if now - p.stat().st_mtime > _STALE_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _dirs(name: str) -> tuple[str, str]:
+    _prune_stale()
     run = f"{name}_{uuid.uuid4().hex[:8]}"
     out = _CACHE_DIR / f"{run}_out"
     ck = _CACHE_DIR / f"{run}_ck"
