@@ -478,6 +478,127 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_cluster_star",
+    # identical semantics to q_dedup_cluster → identical oracle closure
+    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT DISTINCT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.v AS node, r.label AS label
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.label < e.v
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           CASE WHEN MIN(label) = node THEN 1 ELSE 0 END AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph by ALTERNATING
+    LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the adversarial-graph upgrade that
+    q_dedup_cluster's docstring prescribes for 100 TB.
+
+    Why it scales where plain min-label propagation doesn't: label
+    propagation needs DIAMETER rounds (an adversarial chain of n near-dup
+    docs needs n rounds), while the star operations contract every
+    component toward its minimum so the effective diameter roughly halves
+    per round — O(log d) rounds on any shape. Each round is two
+    groupBy-min + join passes over the edge set:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(N(u) ∪ {u}). High-degree hubs flatten in ONE pass — their
+      whole neighborhood connects straight to the component min, which is
+      also what keeps per-round shuffle volume from skewing: the hot
+      node's edges all leave toward a single key.
+    - small-star(u): every neighbor v ≤ u (and u itself) attaches to m —
+      this pins the small side so alternation provably converges.
+
+    Fixpoint = the edge set stops changing (checked EXACTLY with a
+    count + except-limit probe, not a hashable summary: star rounds can
+    rewire edges without changing cheap aggregates of them). At fixpoint
+    every component is a star centered at its min doc_id; the final
+    groupBy-min reads the answer off the star edges. Output and oracle
+    are identical to q_dedup_cluster — same closure, different engine
+    path, both hash-checked against the recursive-CTE oracle."""
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    comp = star_components(pairs.toDF("u", "v"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.when(F.col("cluster_id") == F.col("node"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
+def star_components(pair_df: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """(u, v) undirected pairs → (node, cluster_id = component min) via
+    alternating large-star/small-star. See q_dedup_cluster_star for the
+    algorithm and scale rationale; exposed separately so synthetic
+    adversarial graphs (chains, hubs) are testable directly."""
+    edges = (
+        pair_df.select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("lo").alias("node"))
+        .union(edges.select(F.col("hi").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select("v", "m")
+        else:
+            out = joined.filter(F.col("v") < F.col("u")).select("v", "m").union(
+                mins.select(F.col("u").alias("v"), "m")
+            )
+        return (
+            out.filter(F.col("v") != F.col("m"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .distinct()
+        )
+
+    prev_count = None
+    for _ in range(max_rounds):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        cnt = new_edges.count()
+        if prev_count == cnt and new_edges.exceptAll(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        prev_count = cnt
+        edges = new_edges
+    # fixpoint: stars centered at the component min → parent = min neighbor
+    parents = (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("p"))
+        .union(edges.select(F.col("lo").alias("node"), F.col("lo").alias("p")))
+        .groupBy("node")
+        .agg(F.min("p").alias("cluster_id"))
+    )
+    return all_nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
+    )
+
+
 # ------------------------------------------------------------ fast paths
 def _fused_band_keys(text_col: Column) -> Column:
     """text → array of MINHASH_BANDS (band_idx, band_val) structs in ONE

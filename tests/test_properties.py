@@ -177,3 +177,61 @@ def test_prefix_scan_shingle_hashes_match_direct_fold(toks):
     out = pd.concat(list(_minhash_band_kernel(iter([pdf]))))
     got = {(int(r.band_idx), int(r.band_val)) for r in out.itertuples()}
     assert got == expect
+
+
+def _model_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference model: node -> component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_star(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    from duckdb_pst_spark.operators.dedup import star_components
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.cluster_id for r in star_components(df).collect()}
+
+
+def test_star_components_adversarial_shapes(spark):
+    """Large-star/small-star CC on the shapes label propagation struggles
+    with: a 64-node chain (diameter 63 — log-round contraction must
+    still finish inside the round cap), a 100-leaf hub, two disjoint
+    components, and a triangle+tail mix."""
+    chain = [(i, i + 1) for i in range(63)]
+    assert _run_star(spark, chain) == _model_components(chain)
+
+    hub = [(50, leaf) for leaf in range(100, 200)]
+    assert _run_star(spark, hub) == _model_components(hub)
+
+    mixed = [(1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (12, 11), (20, 21)]
+    assert _run_star(spark, mixed) == _model_components(mixed)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_star_components_match_union_find_model(spark, edges):
+    """Alternating star CC ≡ union-find on arbitrary small graphs
+    (self-loops dropped, duplicates collapsed, disconnected bits kept)."""
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    assert _run_star(spark, real) == _model_components(real)

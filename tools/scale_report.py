@@ -32,6 +32,7 @@ EAGER = {
     "q_recursive_ancestors": "ITER",
     "q_pst_folder_tree": "ITER",
     "q_dedup_cluster": "ITER",
+    "q_dedup_cluster_star": "ITER",
     "q_stream_window_counts": "STREAM",
     "q_stream_stateful_sessions": "STREAM",
 }
