@@ -248,6 +248,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"t": list(counters.keys())})
 
     candidates = toks.mapInPandas(misra_gries, "t string").distinct()
+    # counting stays TWO separate passes on purpose: a fold-the-total-
+    # into-the-candidate-count variant (left join + NULL catch-all group)
+    # measured ~25% SLOWER at 100x — joining every token costs more than
+    # a dedicated count-only pass, because the semi-join prunes ~99% of
+    # tokens before any aggregation state is touched.
     total = toks.agg(F.count("*").alias("n"))
     return (
         toks.join(F.broadcast(candidates), "t", "left_semi")
