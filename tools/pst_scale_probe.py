@@ -65,6 +65,18 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         out["scan_project_s"] = round(time.perf_counter() - t0, 3)
 
+        # A7 pushdown: same projection via the `columns` scan option —
+        # the reader never decodes bodies/recipients/attachments, vs the
+        # Catalyst-only path above where pruning happens ABOVE the reader
+        t0 = time.perf_counter()
+        df2 = (
+            spark.read.format("pst")
+            .option("columns", "pst_name,subject,message_class")
+            .load(glob)
+        )
+        df2.write.mode("overwrite").format("noop").save()
+        out["scan_project_pushdown_s"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         lim = spark.read.format("pst").option("read_limit", 5).load(glob)
         out["rows_limit"] = lim.count()
