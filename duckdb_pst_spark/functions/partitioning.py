@@ -13,12 +13,16 @@ Python kernels) then runs on 2 of N cores while the rest idle.
 - the input has FEWER partitions than the cluster's parallelism
   (otherwise the scan already feeds every core), AND
 - the input is big enough that each core gets a meaningful slice —
-  judged by parquet FOOTER ROW COUNTS (exact, read without a job), not
-  by Catalyst's ``sizeInBytes``: that estimate is the COMPRESSED file
-  size, and highly repetitive text compresses so well (a replicated
-  corpus measured 80:1) that byte thresholds call a 5M-row
-  compute-bound input "small". Same failure mode as AQE's
-  compressed-size skew detection, documented in SCALE.md.
+  judged by the parquet footers' UNCOMPRESSED byte size (exact, read
+  without a job), not by Catalyst's ``sizeInBytes``: that estimate is
+  the COMPRESSED file size, and highly repetitive text compresses so
+  well (a replicated corpus measured 80:1) that compressed-byte
+  thresholds call a 5M-row compute-bound input "small". Same failure
+  mode as AQE's compressed-size skew detection, documented in
+  SCALE.md. Uncompressed bytes also separate wide text rows (~1 KB
+  each — repartition pays off from ~50k rows) from narrow embedding
+  rows (~0.3 KB — the same row count is NOT worth a shuffle), which a
+  row-count threshold cannot.
 
 Below the row threshold the repartition shuffle plus per-task overhead
 costs more than the single-partition run (measured: the sf0.1 pipeline
@@ -34,14 +38,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: minimum rows per core before a repartition pays for itself ahead of a
-#: compute-bound stage (below this, task/shuffle overhead wins)
-MIN_ROWS_PER_CORE = 2000
+#: minimum UNCOMPRESSED input bytes per core before a repartition pays
+#: for itself ahead of a compute-bound stage (below this, task/shuffle
+#: overhead wins — measured on both wide-text and narrow-vector inputs)
+MIN_BYTES_PER_CORE = 1 << 20
 
 
-def input_row_count(df: DataFrame) -> int | None:
-    """Exact row count from the scan's parquet footers (no Spark job);
-    None when the input isn't local parquet files."""
+def input_uncompressed_bytes(df: DataFrame) -> int | None:
+    """Uncompressed encoded-page size from the scan's parquet footers (no
+    Spark job); None when the input isn't local parquet files.
+
+    Caveat: ``total_byte_size`` counts ENCODED pages, so dictionary
+    encoding still understates logical width on highly repetitive
+    columns (a 100x-replicated corpus measures ~3x small) — but that is
+    an order of magnitude closer to compute volume than the compressed
+    size Catalyst reports (~80x small on the same data), and the
+    threshold has margin for it."""
     try:
         import pyarrow.parquet as pq
 
@@ -54,7 +66,10 @@ def input_row_count(df: DataFrame) -> int | None:
                 f = f[len("file:") :]
                 while f.startswith("//"):
                     f = f[1:]
-            total += pq.ParquetFile(f).metadata.num_rows
+            md = pq.ParquetFile(f).metadata
+            total += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
         return total
     except Exception:
         return None
@@ -62,12 +77,12 @@ def input_row_count(df: DataFrame) -> int | None:
 
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition ``df`` to ``factor`` x defaultParallelism iff the scan
-    under-delivers partitions AND the row volume amortizes the shuffle."""
+    under-delivers partitions AND the data volume amortizes the shuffle."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df
-    rows = input_row_count(df)
-    if rows is None or rows < cores * MIN_ROWS_PER_CORE:
+    nbytes = input_uncompressed_bytes(df)
+    if nbytes is None or nbytes < cores * MIN_BYTES_PER_CORE:
         return df
     return df.repartition(factor * cores)
