@@ -390,6 +390,50 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_knn_recall_ivf",
+    oracle=f"""
+    WITH brute AS ({_REG["q_knn_brute"].oracle}),
+         ivf AS ({_REG["q_knn_ivf"].oracle})
+    SELECT b.qid,
+           CAST(COUNT(i.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.cand_id) * 100 // {TOP_K} AS BIGINT) AS recall_pct
+    FROM brute b
+    LEFT JOIN ivf i ON i.qid = b.qid AND i.cand_id = b.cand_id
+    GROUP BY b.qid
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of the IVF path against the exact brute-force baseline
+    — the twin of q_knn_recall for the second ANN index. IVF's recall
+    failure mode differs from LSH's (a query near a centroid boundary
+    loses its true neighbors to the unprobed adjacent list, where LSH
+    loses near-orthogonal-plane neighbors), so each index ships its own
+    QA metric; watching both is how you pick nprobe/planes on real data.
+    Same scale shape as q_knn_recall: two index scans plus a broadcast
+    join of tiny |Q|·k top-k sets."""
+    brute = q_knn_brute(spark, sf_dir).select("qid", "cand_id")
+    ivf = q_knn_ivf(spark, sf_dir).select("qid", "cand_id")
+    hits = (
+        brute.join(F.broadcast(ivf), ["qid", "cand_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        brute.select("qid")
+        .distinct()
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 100 / TOP_K)
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
+
+
 # ------------------------------------------------------------ BLAS path
 def _gemm_topk_kernel(bq, k: int):
     """Factory for the Arrow-batched GEMM top-k kernel.
