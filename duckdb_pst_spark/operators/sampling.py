@@ -75,3 +75,80 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "q_source_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(src_chars) AS BIGINT) AS total_chars,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per_src
+    ),
+    rates AS (
+      SELECT source, src_chars,
+             least(1000000,
+                   (tot.total_chars * 1000000) // (tot.n_sources * src_chars)
+             ) AS rate_u
+      FROM per_src, tot
+    )
+    SELECT d.source,
+           r.rate_u,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    JOIN rates r ON r.source = d.source
+    WHERE {duck_poly_hash_long('d.doc_id')} % 1000000 < r.rate_u
+    GROUP BY d.source, r.rate_u
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DATA MIXING toward a uniform per-source character
+    budget — the "source weights" step of a pre-training pipeline
+    (up-weight scarce sources, down-sample dominant ones so no single
+    crawl swamps the mix).
+
+    Two phases, both engine-exact: (1) one aggregate computes each
+    source's share of total characters and turns it into an integer
+    keep-rate in parts-per-million — rate = min(1, fair_share /
+    actual_share), so over-represented sources are down-sampled to the
+    uniform budget and under-represented ones keep everything (a real
+    pipeline would add an epochs/up-sampling factor here); (2) the same
+    hash-gate as q_hash_sample applies that rate per row.
+
+    Scale shape: phase 1 is a map-side-combined aggregate producing
+    #sources rows, broadcast back; phase 2 is a scan-local codegen'd
+    filter — the corpus is read once, nothing but the tiny rate table
+    moves. Selection is a pure function of (doc_id, rate table), so the
+    mix is reproducible across engines, partitionings, and reruns, and
+    the oracle hash-checks it exactly (integer ppm rates; no floats)."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("src_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("src_chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            # `div` = exact integer division on longs (matches DuckDB //)
+            F.expr("(total_chars * 1000000) div (n_sources * src_chars)").cast("long"),
+        ).alias("rate_u"),
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        poly_hash_long(F.col("doc_id")) % 1_000_000 < F.col("rate_u")
+    )
+    return kept.groupBy("source", "rate_u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
