@@ -434,6 +434,152 @@ def q_knn_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- iterative k-means
+KM_K = 8  # centroids; seeds = first KM_K vectors (deterministic init)
+KM_ITERS = 2
+KM_SCALE = 1_000_000  # fixed-point scale for portable centroid math
+
+
+def _km_oracle() -> str:
+    """Two unrolled Lloyd iterations in DuckDB SQL, all-integer."""
+    sq = (
+        "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT))"
+    )
+    dist = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> (e.sv[i] - c.cvec[i]) * (e.sv[i] - c.cvec[i])), (x, y) -> x + y)"
+    ).format(d=DIM)
+
+    def assign(cprev: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, sv, cid FROM (
+        SELECT e.vec_id, e.sv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+        FROM pts e CROSS JOIN {cprev} c
+      ) t WHERE rn = 1
+    )"""
+
+    def update(aname: str, cprev: str, name: str) -> str:
+        # per-dim integer-div means, empty clusters keep the old centroid
+        return f"""
+    {name}_sums AS (
+      SELECT cid, i, CAST(SUM(sv[i]) AS BIGINT) // count(*) AS m
+      FROM {aname}, range(1, {DIM + 1}) r(i)
+      GROUP BY cid, i
+    ),
+    {name}_new AS (
+      SELECT cid, list(m ORDER BY i) AS cvec FROM {name}_sums GROUP BY cid
+    ),
+    {name} AS (
+      SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+      FROM {cprev} p LEFT JOIN {name}_new n ON n.cid = p.cid
+    )"""
+
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, {sq} AS sv FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, {sq} AS cvec FROM embeddings WHERE vec_id < {KM_K}
+    ),{assign("c0", "a1")},{update("a1", "c0", "c1")},{assign("c1", "a2")},{update("a2", "c1", "c2")},{assign("c2", "af")}
+    SELECT f.cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(list_reduce(list_transform(any_value(c.cvec), x -> abs(x)),
+                            (x, y) -> x + y) AS BIGINT) AS centroid_l1
+    FROM af f JOIN c2 c ON c.cid = f.cid
+    GROUP BY f.cid
+    """
+
+
+@query(
+    "q_kmeans_iter",
+    oracle=_km_oracle(),
+    tags=("similarity", "iterative", "pipeline"),
+)
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, {it} iterations, ENGINE-EXACT — the iterative-
+    algorithm primitive (centroid training for the IVF index) expressed
+    so a SQL oracle can hash-check it, which iterative ML almost never
+    allows. Everything is fixed-point: embeddings scale to integers
+    (floor(v·1e6)), distances are integer sums of squared diffs (≤64
+    dims · (1e7)² ≈ 6e15, BIGINT-safe), and centroid updates are
+    per-dimension integer-division means — so both engines walk the
+    identical lattice and every centroid bit matches. Ties in the
+    argmin break by centroid id; empty clusters keep their previous
+    centroid.
+
+    Scale shape per iteration: assignment is a broadcast cross-join
+    against K={k} centroids (map-side, the IVF assignment plan), and
+    the update is ONE posexplode + groupBy(cid, dim) partial-aggregated
+    shuffle of K·{d} rows of partial sums — the corpus is scanned once
+    per iteration, centroids live on the driver between iterations
+    (tiny), exactly how distributed k-means runs at 100 TB. The loop is
+    a real driver-side iteration over DataFrame programs, not an
+    unrolled plan.""".format(it=KM_ITERS, k=KM_K, d=DIM)
+    e = table(spark, sf_dir, "embeddings")
+    sv = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * KM_SCALE).cast("long"),
+    )
+    pts = e.select("vec_id", sv.alias("sv"))
+    centroids = (
+        pts.filter(F.col("vec_id") < KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("sv").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", "sv", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "sv", "cid")
+        )
+
+    for _ in range(KM_ITERS):
+        assigned = assign(centroids)
+        sums = (
+            assigned.select("cid", F.posexplode("sv").alias("i", "s"))
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("ssum"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "i", F.expr("ssum div n").cast("long").alias("m"))
+        )
+        new_c = sums.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        centroids = (
+            centroids.alias("p")
+            .join(new_c.alias("n"), "cid", "left")
+            .select("cid", F.coalesce("n.cvec", "p.cvec").alias("cvec"))
+            .localCheckpoint(eager=True)  # cut lineage per iteration
+        )
+
+    final = assign(centroids)
+    l1 = F.aggregate(
+        F.transform(F.col("cvec"), lambda x: F.abs(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .join(F.broadcast(centroids), "cid")
+        .select("cid", "n_members", l1.alias("centroid_l1"))
+    )
+
+
 # ------------------------------------------------------------ BLAS path
 def _gemm_topk_kernel(bq, k: int):
     """Factory for the Arrow-batched GEMM top-k kernel.

@@ -33,6 +33,7 @@ EAGER = {
     "q_pst_folder_tree": "ITER",
     "q_dedup_cluster": "ITER",
     "q_dedup_cluster_star": "ITER",
+    "q_kmeans_iter": "ITER",
     "q_stream_window_counts": "STREAM",
     "q_stream_stateful_sessions": "STREAM",
 }
