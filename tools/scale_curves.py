@@ -33,6 +33,8 @@ QUERIES = [
     "q_doc_chunk",
     "q_heavy_hitters",
     "q_dedup_minhash_vec",
+    "q_dedup_cluster_star",
+    "q_kmeans_iter",
     "q_knn_brute",
     "q_knn_gemm",
     "q_pipeline_pretrain",
