@@ -440,8 +440,10 @@ KM_ITERS = 2
 KM_SCALE = 1_000_000  # fixed-point scale for portable centroid math
 
 
-def _km_oracle() -> str:
-    """Two unrolled Lloyd iterations in DuckDB SQL, all-integer."""
+def _km_cte() -> str:
+    """The shared DuckDB CTE chain: scaled points `pts`, two unrolled
+    Lloyd iterations ending in trained centroids `c2` and the final
+    assignment `af` (vec_id, sv, cid). All-integer — see q_kmeans_iter."""
     sq = (
         "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) "
         f"* {KM_SCALE}) AS BIGINT))"
@@ -484,7 +486,13 @@ def _km_oracle() -> str:
     ),
     c0 AS (
       SELECT vec_id AS cid, {sq} AS cvec FROM embeddings WHERE vec_id < {KM_K}
-    ),{assign("c0", "a1")},{update("a1", "c0", "c1")},{assign("c1", "a2")},{update("a2", "c1", "c2")},{assign("c2", "af")}
+    ),{assign("c0", "a1")},{update("a1", "c0", "c1")},{assign("c1", "a2")},{update("a2", "c1", "c2")},{assign("c2", "af")}"""
+
+
+def _km_oracle() -> str:
+    return (
+        _km_cte()
+        + """
     SELECT f.cid,
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(list_reduce(list_transform(any_value(c.cvec), x -> abs(x)),
@@ -492,6 +500,7 @@ def _km_oracle() -> str:
     FROM af f JOIN c2 c ON c.cid = f.cid
     GROUP BY f.cid
     """
+    )
 
 
 @query(
@@ -519,6 +528,24 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny), exactly how distributed k-means runs at 100 TB. The loop is
     a real driver-side iteration over DataFrame programs, not an
     unrolled plan.""".format(it=KM_ITERS, k=KM_K, d=DIM)
+    final, centroids = _lloyd(spark, sf_dir)
+    l1 = F.aggregate(
+        F.transform(F.col("cvec"), lambda x: F.abs(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .join(F.broadcast(centroids), "cid")
+        .select("cid", "n_members", l1.alias("centroid_l1"))
+    )
+
+
+def _lloyd(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run KM_ITERS Lloyd iterations; return (final assignment
+    (vec_id, sv, cid), trained centroids (cid, cvec)) — the Spark twin
+    of the `af` / `c2` CTEs in `_km_cte`."""
     e = table(spark, sf_dir, "embeddings")
     sv = F.transform(
         F.col("embedding"),
@@ -566,17 +593,65 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # cut lineage per iteration
         )
 
-    final = assign(centroids)
-    l1 = F.aggregate(
-        F.transform(F.col("cvec"), lambda x: F.abs(x)),
+    return assign(centroids), centroids
+
+
+@query(
+    "q_knn_ivf_trained",
+    oracle=_km_cte()
+    + f"""
+    SELECT qid, cand_id, rn FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_reduce(list_transform(range(1, {DIM + 1}),
+                          i -> (q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])),
+                          (x, y) -> x + y),
+                        c.vec_id
+             ) AS rn
+      FROM af q
+      JOIN af c ON c.cid = q.cid AND c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "iterative", "pipeline"),
+)
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN chain — TRAIN (fixed-point Lloyd's, q_kmeans_iter's
+    loop) → INDEX (every vector assigned to its trained centroid's
+    inverted list) → PROBE (each query searches only its own list,
+    nprobe=1, ranked by the same integer squared-L2) — composed as one
+    program and hash-checked end to end, because every stage is on the
+    portable integer lattice. q_knn_ivf is this chain with a
+    no-training quantizer; training moves the centroids to where the
+    data is, which is what makes the inverted lists balanced on skewed
+    real corpora.
+
+    Scale shape: training is per-iteration one corpus scan + a K·dim
+    partial-agg shuffle; the index assignment is the training loop's
+    last broadcast pass; the probe is an equi-join on cid — shuffle ∝
+    list sizes. At 100 TB the lists become partition values and the
+    probe becomes partition pruning (q_knn_ivf's docstring), with
+    centroids retrained offline exactly as here."""
+    final, _cent = _lloyd(spark, sf_dir)
+    q = final.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("q_sv"), "cid"
+    )
+    c = final.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("sv").alias("c_sv"), "cid"
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_sv"), F.col("c_sv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cand_id"))
     return (
-        final.groupBy("cid")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
-        .join(F.broadcast(centroids), "cid")
-        .select("cid", "n_members", l1.alias("centroid_l1"))
+        q.join(c, "cid")
+        .select("qid", "cand_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id", "rn")
     )
 
 

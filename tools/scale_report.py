@@ -34,6 +34,7 @@ EAGER = {
     "q_dedup_cluster": "ITER",
     "q_dedup_cluster_star": "ITER",
     "q_kmeans_iter": "ITER",
+    "q_knn_ivf_trained": "ITER",
     "q_stream_window_counts": "STREAM",
     "q_stream_stateful_sessions": "STREAM",
 }
