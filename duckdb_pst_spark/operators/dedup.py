@@ -850,3 +850,69 @@ def q_dedup_minhash_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_minhash_band_kernel, "doc_id long, band_idx int, band_val long")
     )
     return _band_pairs(bands)
+
+
+# --------------------------------------------- keep-best representative
+@query(
+    "q_dedup_keep_best",
+    oracle=_duck_minhash_cte()
+    + f"""
+    , keyed AS (
+      SELECT s.doc_id,
+             concat_ws('-', {', '.join(f'sig_{k}' for k in range(MINHASH_K))}) AS sig_key,
+             d.n_chars
+      FROM sig s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT sig_key, doc_id AS keep_id, n_chars AS keep_n_chars, grp_cnt
+    FROM (
+      SELECT sig_key, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY sig_key
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY sig_key) AS grp_cnt
+      FROM keyed
+    ) t
+    WHERE rn = 1 AND grp_cnt >= 2
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group representative selection: bucket documents by their
+    FULL MinHash signature (signature equality ⇒ high-Jaccard near-dups),
+    then within each multi-member bucket keep the LONGEST document
+    (tie → smallest doc_id). This is the "which copy do we train on"
+    policy step after dedup detection — production pipelines keep the
+    highest-quality member, not an arbitrary one (q_dedup_exact's MIN
+    keeps the first; this keeps the best).
+
+    Scale design: signatures are per-row array algebra (no shuffle); the
+    group-and-pick is ONE shuffle on the 8-int signature key with a
+    window rank — no pairwise comparisons at all, so cost is O(corpus),
+    not O(candidates²). The window partition is a near-dup bucket (tiny
+    by construction), so no skewed-partition risk; at 100 TB the sig_key
+    shuffles as a 64-byte string (or xxhash64 of it, 8 bytes).
+    """
+    from pyspark.sql import Window
+
+    sig_key = F.concat_ws(
+        "-", *[F.col(f"sig_{k}").cast("string") for k in range(MINHASH_K)]
+    ).alias("sig_key")
+    keyed = (
+        minhash_signatures(spark, sf_dir)
+        .select("doc_id", sig_key)
+        .join(table(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    )
+    w_rank = Window.partitionBy("sig_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_grp = Window.partitionBy("sig_key")
+    return (
+        keyed.select(
+            "sig_key",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_grp).alias("grp_cnt"),
+        )
+        .where((F.col("rn") == 1) & (F.col("grp_cnt") >= 2))
+        .drop("rn")
+    )

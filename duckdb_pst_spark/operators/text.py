@@ -690,3 +690,140 @@ def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+# ------------------------------------------- corpus-quantile quality gate
+@query(
+    "q_quality_gate_quantile",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             (CAST(len(list_distinct(toks)) AS BIGINT) * 1000000) // len(toks) AS score_u
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+      ) t
+    ),
+    thr AS (
+      SELECT CAST(ceil(quantile_cont(score_u, 0.75)) AS BIGINT) AS thr_u FROM s
+    )
+    SELECT s.doc_id, s.score_u, thr.thr_u
+    FROM s, thr
+    WHERE s.score_u >= thr.thr_u
+    """,
+    tags=("text", "pipeline"),
+)
+def q_quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering at a CORPUS-RELATIVE threshold: keep documents
+    whose type-token ratio is at or above the corpus p75 — the "keep the
+    best quartile" gate real pretraining pipelines run when the budget is
+    a fraction of the crawl, where the cut point must come from the data,
+    not a constant. (q_quality_score is the absolute-threshold sibling.)
+
+    Scale design: pass 1 computes ONE scalar — an exact percentile
+    (Spark's `percentile` aggregates per-partition histograms map-side;
+    at 100 TB you'd swap in percentile_approx for a bounded-memory
+    t-digest, same plan shape). Pass 2 re-scans with the scalar
+    broadcast into a codegen'd filter — no shuffle of the corpus itself,
+    so cost is two scans + one 1-row exchange. The threshold is
+    integerized (ceil → BIGINT) so the gate compares integers, never
+    floats — bit-identical across engines and retries.
+    """
+    scored = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000000) div size(toks)").alias(
+            "score_u"
+        ),
+    )
+    thr = scored.agg(
+        F.expr("CAST(ceil(percentile(score_u, 0.75)) AS BIGINT)").alias("thr_u")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .where(F.col("score_u") >= F.col("thr_u"))
+        .select("doc_id", "score_u", "thr_u")
+    )
+
+
+# ---------------------------------------------- repeated-passage removal
+_PASSAGE_W = 16  # words per disjoint passage
+
+
+@query(
+    "q_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
+      FROM documents
+    ),
+    numbered AS (
+      SELECT doc_id, tk,
+             unnest(range(CAST(ceil(len(tk) / {_PASSAGE_W}.0) AS BIGINT))) AS i
+      FROM toks
+    ),
+    pass AS (
+      SELECT doc_id,
+             array_to_string(tk[CAST(i * {_PASSAGE_W} + 1 AS BIGINT)
+                               :CAST(i * {_PASSAGE_W} + {_PASSAGE_W} AS BIGINT)], ' ')
+               AS passage
+      FROM numbered
+    ),
+    dup AS (
+      SELECT passage FROM pass GROUP BY passage HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN d.passage IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_passages,
+           CAST(SUM(CASE WHEN d.passage IS NULL
+                         THEN len(string_split(p.passage, ' ')) ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM pass p LEFT JOIN dup d ON p.passage = d.passage
+    GROUP BY p.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal: split each doc into
+    disjoint {16}-word passages, find passages that occur in MORE THAN
+    ONE distinct document, and report how much of each doc survives with
+    those boilerplate passages dropped — the corpus-level "remove
+    duplicated substrings" step (headers, license blocks, navboxes) that
+    document-level dedup cannot catch.
+
+    Scale design: passage explosion is a codegen'd generator (fan-out
+    len/{16} per doc, proportional to input bytes). The duplicate-passage
+    detection is ONE shuffle keyed on the passage — with map-side partial
+    countDistinct — and the survivors join is keyed the same way, so AQE
+    can reuse/co-locate the exchange. At 100 TB you'd key both sides on
+    xxhash64(passage) instead of the raw string (8-byte shuffle keys,
+    identical plan) and broadcast the dup set when the boilerplate tail
+    is small — it usually is (Zipfian): the dup side is
+    HAVING-count-filtered before it ever reaches the join.
+    """
+    d = _docs_with_tokens(spark, sf_dir)
+    starts = F.expr(
+        f"transform(sequence(0, cast(ceil(size(toks) / {_PASSAGE_W}.0) as int) - 1),"
+        f" i -> array_join(slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}), ' '))"
+    )
+    passages = d.select("doc_id", F.explode(starts).alias("passage"))
+    dup = (
+        passages.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("passage", F.lit(1).alias("isdup"))
+    )
+    kept_tok = F.when(
+        F.col("isdup").isNull(), F.size(F.split(F.col("passage"), " "))
+    ).otherwise(0)
+    return (
+        passages.join(dup, "passage", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.sum(F.when(F.col("isdup").isNull(), 1).otherwise(0)).cast("long").alias(
+                "kept_passages"
+            ),
+            F.sum(kept_tok).cast("long").alias("kept_tokens"),
+        )
+    )
