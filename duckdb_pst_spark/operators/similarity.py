@@ -739,3 +739,122 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cand_id", "rn", "cos_sim")
     )
+
+
+# --------------------------------------------- recall-then-rerank chain
+RERANK_M = 4 * TOP_K  # stage-1 shortlist size per query
+
+
+@query(
+    "q_ann_rerank",
+    oracle=f"""
+    WITH amx AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+               (a, x) -> greatest(a, x)) AS amax
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax = 0
+                  THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127 / amax) AS BIGINT))
+             END AS code
+      FROM amx
+    ),
+    stage1 AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+             q.embedding AS q_emb, c.embedding AS c_emb,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {DIM + 1}), i -> q.code[i] * c.code[i])),
+               (a, x) -> a + x) AS qdot
+      FROM codes q JOIN codes c ON c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    short AS (
+      SELECT qid, cand_id, q_emb, c_emb FROM (
+        SELECT qid, cand_id, q_emb, c_emb,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY qdot DESC, cand_id) AS crn
+        FROM stage1
+      ) t WHERE crn <= {RERANK_M}
+    )
+    SELECT qid, cand_id, rn, cos_sim FROM (
+      SELECT qid, cand_id,
+             {duck_cosine('q_emb', 'c_emb', DIM)} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY {duck_cosine('q_emb', 'c_emb', DIM)} DESC, cand_id) AS rn
+      FROM short
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: INT8-quantized coarse scoring shortlists
+    {4k} candidates per query (integer dot product over the q_embedding_
+    quantize codes — pure int64 arithmetic, bit-portable), then the
+    shortlist is re-ranked with exact float cosine → top-{k}. This is
+    the standard vector-store serving shape: scan the compressed index,
+    touch full-precision vectors only for the shortlist.
+
+    Scale design: stage 1 reads 4x fewer bytes than float scoring (int8
+    codes) and its integer dot never needs the float vectors, so at
+    100 TB the full-precision embeddings are fetched for |Q|·{4k} rows
+    only — the rerank is a broadcast-sized join, not a corpus scan. The
+    per-query shortlist heap is a window rank over the broadcast-join
+    output (one shuffle of |Q|·{4k} carried rows); both stages tiebreak
+    on cand_id so the chain is deterministic end to end.
+    """
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    e = table(spark, sf_dir, "embeddings")
+    amax = F.aggregate(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    code = F.when(
+        F.col("amax") == 0.0,
+        F.transform(F.col("embedding"), lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 127 / F.col("amax")).cast("long"),
+        )
+    )
+    coded = e.select("vec_id", "embedding", amax.alias("amax")).select(
+        "vec_id", "embedding", code.alias("code")
+    )
+    q = F.broadcast(
+        coded.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("code").alias("q_code"),
+        )
+    )
+    c = spread(coded.filter(F.col("vec_id") >= N_QUERIES)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("code").alias("c_code"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_code"), F.col("c_code"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("cand_id"))
+    short = (
+        q.crossJoin(c)
+        .select("qid", "cand_id", "q_emb", "c_emb", qdot.alias("qdot"))
+        .withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= RERANK_M)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        short.select("qid", "cand_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id", "rn", "cos_sim")
+    )
