@@ -149,3 +149,98 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value_c").alias("sum_value_c"),
     )
+
+
+# ------------------------------------------------- bloom-pruned semi-join
+BLOOM_BITS = 1 << 15  # m bits (512 int64 words)
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 3  # k
+
+
+def _bloom_positions(key, j: int):
+    """j-th bloom bit position for a key: pmod(xxhash64(j, key), m)."""
+    return F.pmod(F.xxhash64(F.lit(j), key), F.lit(BLOOM_BITS))
+
+
+@query(
+    "q_bloom_prune",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bloom"),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom runtime filter: the filtered dim
+    keys (BUILDING customers) are folded into a {32}-Kbit / k={3} bloom
+    bitmap, the bitmap is broadcast as a literal, and the fact side
+    (orders) is PRE-FILTERED by a codegen'd bit test before the shuffle
+    semi-join that removes the bloom's false positives. The result is
+    exactly the plain semi-join (bloom has no false negatives) — the
+    oracle runs the plain IN.
+
+    Scale design: this is the shape for a dim that is too big to
+    BROADCAST as rows but whose key set compresses into a few MB of
+    bloom bits — ~80% of fact rows (the non-BUILDING 4/5) never enter
+    the shuffle, so shuffled bytes shrink proportionally while the plan
+    stays a hash semi-join (shuffle_hash hint keeps the test-scale plan
+    honest; Catalyst would broadcast the tiny test dim). The bitmap is
+    built DISTRIBUTED (bit positions → word groupBy → bit_or) and only
+    the 512 finished words are collected — the same build Spark's own
+    InjectRuntimeFilter does for `spark.sql.optimizer.runtime.
+    bloomFilter`; here it is explicit so the pruning is visible,
+    testable, and available to sources Catalyst will not inject into.
+    False-positive rate at the test dim (~300 keys) is ≈1e-4; m is the
+    knob to hold that at bigger dims.
+    """
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # distributed bitmap build: k positions per key -> word -> OR of masks
+    pos = dim.select(
+        F.explode(
+            F.array(*[_bloom_positions(F.col("c_custkey"), j) for j in range(BLOOM_HASHES)])
+        ).alias("pos")
+    )
+    words_df = (
+        pos.selectExpr(
+            "CAST(pos / 64 AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    words = [0] * BLOOM_WORDS
+    for r in words_df.collect():  # <= 512 rows: the runtime-filter build job
+        words[int(r["w"])] = int(r["mask"])
+    bitmap = F.array(*[F.lit(v).cast("long") for v in words])
+
+    o = table(spark, sf_dir, "orders").withColumns(
+        {f"_bp{j}": _bloom_positions(F.col("o_custkey"), j) for j in range(BLOOM_HASHES)}
+    )
+    bloom_hit = None
+    for j in range(BLOOM_HASHES):
+        word = F.element_at(bitmap, (F.col(f"_bp{j}") / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_bp{j} % 64 AS INT))")
+        t = word.bitwiseAND(mask) != 0
+        bloom_hit = t if bloom_hit is None else (bloom_hit & t)
+
+    pruned = o.where(bloom_hit).drop(*[f"_bp{j}" for j in range(BLOOM_HASHES)])
+    exact = pruned.join(
+        dim.hint("shuffle_hash"),
+        pruned.o_custkey == dim.c_custkey,
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(scaled_long(F.col("o_totalprice"))).alias("sum_price_c"),
+    )

@@ -264,3 +264,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prune_filters_fact_before_shuffle(spark, sf_dir):
+    """q_bloom_prune's bitmap test must actually prune: the bloom
+    prefilter alone keeps ~the BUILDING fraction of orders (1/5 of
+    segments) plus a tiny false-positive tail, and never loses a true
+    match (no false negatives by construction). The exact semi-join
+    downstream stays on the shuffle path so the pruning is load-bearing,
+    not cosmetic."""
+    from duckdb_pst_spark.operators.join_strategies import q_bloom_prune
+
+    df = q_bloom_prune(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    total = o.count()
+    exact = (
+        o.join(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        ).count()
+    )
+    kept = sum(r["n_orders"] for r in df.collect())
+    assert kept == exact  # oracle-grade: bloom+semi == plain semi
+    assert exact < total  # the gate actually has something to prune
