@@ -292,3 +292,18 @@ def test_bloom_prune_filters_fact_before_shuffle(spark, sf_dir):
     kept = sum(r["n_orders"] for r in df.collect())
     assert kept == exact  # oracle-grade: bloom+semi == plain semi
     assert exact < total  # the gate actually has something to prune
+
+
+def test_job_progress_reports_task_completion(spark, sf_dir):
+    """A19: JobProgress observes a query's task progress via the public
+    StatusTracker — final snapshot is 100% with a real task denominator,
+    and the scope doesn't leak a job group into later queries."""
+    from duckdb_pst_spark.plans.progress import JobProgress
+
+    with JobProgress(spark) as p:
+        table(spark, sf_dir, "lineitem").repartition(16, "l_orderkey").count()
+    last = p.samples[-1]
+    assert last.total_tasks >= 16, last
+    assert last.completed_tasks == last.total_tasks, last
+    assert p.pct() == 100.0
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
