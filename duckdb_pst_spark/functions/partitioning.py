@@ -40,8 +40,13 @@ from pyspark.sql import DataFrame
 
 #: minimum UNCOMPRESSED input bytes per core before a repartition pays
 #: for itself ahead of a compute-bound stage (below this, task/shuffle
-#: overhead wins — measured on both wide-text and narrow-vector inputs)
-MIN_BYTES_PER_CORE = 1 << 20
+#: overhead wins — measured on both wide-text and narrow-vector inputs).
+#: 256 KiB: at a 10x-replica volume (50k docs, ~8 MB of footer bytes
+#: after dictionary encoding) the 1 MiB setting left the kernels on the
+#: scan's single partition — pipeline 20.3 s vs 10.7 s and minhash-vec
+#: 5.7 s vs 3.6 s once spread fires; at sf0.1 (2.5 MB) both settings
+#: are a no-op, so the small-corpus guard survives the lower bar.
+MIN_BYTES_PER_CORE = 1 << 18
 
 
 def input_uncompressed_bytes(df: DataFrame) -> int | None:
