@@ -747,6 +747,7 @@ RERANK_M = 4 * TOP_K  # stage-1 shortlist size per query
 
 @query(
     "q_ann_rerank",
+    bench=True,
     oracle=f"""
     WITH amx AS (
       SELECT vec_id, embedding,

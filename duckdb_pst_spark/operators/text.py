@@ -751,6 +751,7 @@ _PASSAGE_W = 16  # words per disjoint passage
 
 @query(
     "q_passage_dedup",
+    bench=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
