@@ -395,3 +395,114 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("s", ignorenulls=True).over(w).alias("locf_sum_m"),
         )
     )
+
+
+@query(
+    "q_window_count_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_types
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS is_first
+      FROM events
+    ) t
+    """,
+    tags=("window",),
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — how many distinct event types
+    each user has produced up to each event (breadth-of-engagement /
+    feature-coverage metric). Window aggregates don't take DISTINCT in
+    Spark, and a collect_set-over-window holds the whole set per row; the
+    portable (and cheaper) form is first-occurrence flags (rn=1 over
+    (user, type)) running-summed over (user) — two window passes over
+    the SAME user-hash shuffle, so Spark executes one exchange and two
+    in-memory sorts, state O(1) per row instead of O(|types|).
+
+    Scale: both windows partition by user (and user×type, a refinement
+    of it) — no global ordering anywhere; AQE reuses the single
+    exchange. Deterministic via the event_id tiebreak."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(*_BY_USER_TIME)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*_BY_USER_TIME)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).cast("long").alias("distinct_types"),
+        )
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(value_c) AS BIGINT) AS s,
+             CAST(SUM(value_c * value_c) AS BIGINT) AS q
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_id, v.user_id, v.event_type, v.value_c
+    FROM v JOIN stats st ON st.event_type = v.event_type
+    WHERE CAST(st.n * v.value_c - st.s AS DOUBLE)
+            * CAST(st.n * v.value_c - st.s AS DOUBLE)
+          > 9.0 * CAST(st.n AS DOUBLE)
+            * (CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+               - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)) / CAST(st.n AS DOUBLE)
+    """,
+    tags=("window", "pipeline"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: events whose value sits more
+    than 3σ from their event-type mean — the metric-anomaly gate in a
+    data-quality pipeline. The test |x−μ| > 3σ is evaluated as
+    (n·x−S)² > 9·n·(n·Q−S²)/n on EXACT integer aggregates
+    (S=Σx, Q=Σx² over centi-scaled values, all < 2^53), so the double
+    comparison is computed from identical integers with the identical
+    op sequence on both engines — portable without ever materializing
+    a float mean or stddev (unordered double sums are not reproducible;
+    the integer sums are).
+
+    Scale: one groupBy shuffle for the 5-row stats table, broadcast
+    back onto the stream — the scan-side filter is codegen'd arithmetic.
+    """
+    from duckdb_pst_spark.functions.portable import scaled_long
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", scaled_long(F.col("value")).alias("value_c")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value_c").alias("s"),
+        F.sum(F.col("value_c") * F.col("value_c")).alias("q"),
+    )
+    j = e.join(F.broadcast(stats), "event_type")
+    dev = (F.col("n") * F.col("value_c") - F.col("s")).cast("double")
+    nd = F.col("n").cast("double")
+    var_term = nd * F.col("q").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")
+    return j.where(dev * dev > F.lit(9.0) * nd * var_term / nd).select(
+        "event_id", "user_id", "event_type", "value_c"
+    )
