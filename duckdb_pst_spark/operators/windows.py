@@ -421,13 +421,12 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-coverage metric). Window aggregates don't take DISTINCT in
     Spark, and a collect_set-over-window holds the whole set per row; the
     portable (and cheaper) form is first-occurrence flags (rn=1 over
-    (user, type)) running-summed over (user) — two window passes over
-    the SAME user-hash shuffle, so Spark executes one exchange and two
-    in-memory sorts, state O(1) per row instead of O(|types|).
+    (user, type)) running-summed over (user) — flag state is O(1) per
+    row instead of the O(|types|) set a collect_set frame would hold.
 
-    Scale: both windows partition by user (and user×type, a refinement
-    of it) — no global ordering anywhere; AQE reuses the single
-    exchange. Deterministic via the event_id tiebreak."""
+    Scale: two exchanges ((user,type) then (user)), both keyed by real
+    bounded keys — no global ordering anywhere, and the second shuffle
+    carries only (ids, flag). Deterministic via the event_id tiebreak."""
     e = table(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type").orderBy(*_BY_USER_TIME)
     w_run = (
