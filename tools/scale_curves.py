@@ -38,6 +38,9 @@ QUERIES = [
     "q_knn_brute",
     "q_knn_gemm",
     "q_pipeline_pretrain",
+    "q_passage_dedup",
+    "q_ann_rerank",
+    "q_bloom_prune",
 ]
 
 TABLES = (
