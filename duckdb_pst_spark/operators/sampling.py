@@ -152,3 +152,48 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sum("n_chars").cast("long").alias("chars_kept"),
     )
+
+
+_CAP_PER_SOURCE = 15
+
+
+@query(
+    "q_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {duck_poly_hash_long('doc_id')} % 1000000, doc_id) AS rk
+      FROM documents
+    ) t WHERE rk <= {_CAP_PER_SOURCE}
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most {N} documents per source,
+    chosen in deterministic hash order — the "no domain may dominate the
+    mix" gate every web-scale corpus applies (a handful of boilerplate
+    domains would otherwise contribute most of the tokens). Hash order
+    (not doc_id order) makes the kept subset an unbiased draw that is
+    STABLE across engines, reruns, and re-crawls that append documents
+    with higher ids.
+
+    Scale: one shuffle on `source` + a window rank with early-out (rank
+    needs only the per-source order, and the per-partition sort tops
+    out at the source's doc count). A skew-prone hot source is exactly
+    the thing being capped — but its SORT is still over all its rows, so
+    for web-scale hot domains you'd pre-prune with the same hash
+    predicate (hash % M < threshold per source) before ranking; the
+    cap rank then runs on the survivors. Deterministic: ties broken by
+    doc_id."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        (poly_hash_long(F.col("doc_id")) % 1000000).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= _CAP_PER_SOURCE)
+    )

@@ -89,3 +89,34 @@ def ingest_pst_archive(
         export_parquet(df, dest, partition_by=part)
         out[name] = dest
     return out
+
+
+def export_range_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    range_by: list[str],
+    n_files: int,
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = DEFAULT_COMPRESSION,
+) -> None:
+    """Range-clustered parquet export: ``repartitionByRange`` on the
+    cluster key + ``sortWithinPartitions`` + write. Each output file then
+    owns a DISJOINT key range, so the parquet footer min/max statistics
+    let ANY reader (Spark row-group pruning, DuckDB zone-map skipping, a
+    lakehouse table format's file pruning) skip whole files on a key
+    predicate — single-dimension clustering, the 80% of Z-ordering a
+    pipeline actually uses (time- or id-clustered layouts).
+
+    At 100 TB this is a one-time full shuffle (range partitioner samples
+    the key distribution, so skew spreads evenly) that every subsequent
+    selective scan amortizes; ``sort_within`` additionally orders rows
+    inside each file so row-group and page stats are tight too."""
+    (
+        df.repartitionByRange(n_files, *range_by)
+        .sortWithinPartitions(*(list(range_by) + (sort_within or [])))
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
