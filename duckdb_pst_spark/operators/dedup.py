@@ -25,7 +25,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_pst_spark.functions.portable import P_HASH, duck_poly_hash, duck_tokens, poly_hash, tokens
+from duckdb_pst_spark.functions.portable import (
+    P_HASH,
+    duck_poly_hash,
+    duck_poly_hash_long,
+    duck_tokens,
+    poly_hash,
+    poly_hash_long,
+    tokens,
+)
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -915,4 +923,131 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("rn") == 1) & (F.col("grp_cnt") >= 2))
         .drop("rn")
+    )
+
+
+# ------------------------------------------------- incremental dedup
+# role split: hash(doc_id) % 10 < 7 -> "existing corpus", else "new batch"
+_INCR_MOD, _INCR_CORPUS = 10, 7
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_duck_minhash_cte()
+    + f"""
+    , role AS (
+      SELECT doc_id, text,
+             CASE WHEN {duck_poly_hash_long('doc_id')} % {_INCR_MOD} < {_INCR_CORPUS}
+                  THEN 1 ELSE 0 END AS in_corpus
+      FROM documents
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx,"
+        f" (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+      FROM bands b
+      JOIN role rb ON rb.doc_id = b.doc_id AND rb.in_corpus = 0
+      JOIN bands c ON c.band_idx = b.band_idx AND c.band_val = b.band_val
+      JOIN role rc ON rc.doc_id = c.doc_id AND rc.in_corpus = 1
+    ),
+    near AS (
+      SELECT DISTINCT cand.bid AS doc_id
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.bid
+      JOIN sh sb ON sb.doc_id = cand.cid
+      WHERE (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+              // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD_U}
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM role b JOIN role c ON c.text = b.text AND c.in_corpus = 1
+      WHERE b.in_corpus = 0
+    ),
+    batchmin AS (
+      SELECT text, MIN(doc_id) AS keep_id
+      FROM role WHERE in_corpus = 0 GROUP BY text
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_corpus'
+                WHEN n.doc_id IS NOT NULL THEN 'near_corpus'
+                WHEN b.doc_id != m.keep_id THEN 'batch_dup'
+                ELSE 'kept' END AS status
+    FROM role b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    JOIN batchmin m ON m.text = b.text
+    WHERE b.in_corpus = 0
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) deduplication — the daily-crawl
+    shape: a new batch (30% of docs by a deterministic hash role split)
+    is deduplicated AGAINST the existing corpus (the other 70%) without
+    ever re-deduplicating the corpus itself. Three gates, priority
+    ordered: exact text match against the corpus, MinHash-LSH near-dup
+    against the corpus (band-bucket join restricted to batch×corpus
+    pairs, exact-Jaccard verified), and within-batch exact dup (keep
+    the smallest doc_id). Every batch doc gets a status.
+
+    Scale design: this is why LSH dedup stays O(increment) at 100 TB —
+    the corpus side contributes only its BAND KEYS (8 ints/doc, a
+    persisted index in production) and the candidate join touches
+    batch×corpus pairs that share a band, never corpus×corpus. The
+    exact gate is a hash semi-join on content (hash at scale); all
+    three gates compose as left-joins on the batch, so the batch is
+    scanned once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    in_corpus = poly_hash_long(F.col("doc_id")) % _INCR_MOD < _INCR_CORPUS
+    corpus = docs.filter(in_corpus)
+    batch = docs.filter(~in_corpus)
+
+    exact = (
+        batch.join(corpus.select(F.col("text").alias("t")), F.col("text") == F.col("t"), "left_semi")
+        .select("doc_id", F.lit(1).alias("is_exact"))
+    )
+
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select("doc_id", F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_val"))
+    b_bands = bands.join(batch.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("bid"), "band_idx", "band_val"
+    )
+    c_bands = bands.join(corpus.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("cid"), "band_idx", "band_val"
+    )
+    cand = b_bands.join(c_bands, ["band_idx", "band_val"]).select("bid", "cid").distinct()
+    sh = sigs.select("doc_id", "sh")
+    jacc = F.expr(
+        "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+        " div size(array_union(sa_sh, sb_sh))"
+    )
+    near = (
+        cand.join(sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("sa_sh")), "bid")
+        .join(sh.select(F.col("doc_id").alias("cid"), F.col("sh").alias("sb_sh")), "cid")
+        .where(jacc >= JACCARD_THRESHOLD_U)
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_near"))
+    )
+
+    batchmin = batch.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        batch.select("doc_id", "text")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(batchmin, "text")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), "exact_corpus")
+            .when(F.col("is_near").isNotNull(), "near_corpus")
+            .when(F.col("doc_id") != F.col("keep_id"), "batch_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
     )
