@@ -505,3 +505,123 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(dev * dev > F.lit(9.0) * nd * var_term / nd).select(
         "event_id", "user_id", "event_type", "value_c"
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    tags=("window", "events"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click AFTER the signup → first
+    purchase AFTER that click, per user — conversion analysis where
+    order matters (a purchase before the signup must not count). Each
+    stage is "earliest qualifying event after the previous stage's
+    time", so the result is deterministic (MIN of a value set) without
+    any row-order assumption.
+
+    Scale: three aggregate+join rounds, ALL keyed on user_id — one
+    logical partitioning reused; each round's build side shrinks
+    (funnels only narrow), and stage inputs are type-filtered at the
+    scan. The sessionization-free formulation avoids any per-user
+    event sort: at 100 TB this is 3 skinny hash aggregates, not a
+    window over the raw stream. Event time stays TIMESTAMP_NTZ."""
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", stage.alias("stage"))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) // 7
+                AS BIGINT) AS week_k,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("window", "events"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted as active in each subsequent week offset — the
+    retention triangle every growth dashboard is built on.
+
+    Scale: one aggregate finds each user's cohort day (hash agg on
+    user), one join tags every event with its user's cohort (same key,
+    exchange reusable), and the distinct-count shuffles (cohort, week,
+    user) — partial-distinct map-side first, so shuffled rows are
+    bounded by distinct actives, not events. Day math is calendar
+    arithmetic on NTZ dates — no zone shifts."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    return (
+        e.join(first_day, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.to_date("ts"), F.col("cohort")) / 7)
+            .cast("int")
+            .cast("long")
+            .alias("week_k"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_k")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
