@@ -120,3 +120,37 @@ def export_range_sorted(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    *,
+    target_file_mb: int = 128,
+    mode: str = "overwrite",
+    compression: str = DEFAULT_COMPRESSION,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(uncompressed_bytes / target)`` right-sized files. Streaming
+    sinks and fine-grained ingests leave thousands of KB-scale files;
+    at lake scale every scan then pays one task launch + footer read
+    per file, and the namenode/object-store listing dominates planning.
+    Sizing by the footers' UNCOMPRESSED page bytes (same probe as
+    functions/partitioning.spread) keeps post-compaction files near the
+    target regardless of how well the data compresses. Returns the
+    file count written."""
+    import math
+
+    from duckdb_pst_spark.functions.partitioning import input_uncompressed_bytes
+
+    df = spark.read.parquet(src)
+    nbytes = input_uncompressed_bytes(df) or 0
+    n_files = max(1, math.ceil(nbytes / (target_file_mb << 20)))
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(dest)
+    )
+    return n_files

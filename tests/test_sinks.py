@@ -109,3 +109,21 @@ def test_range_sorted_export_yields_disjoint_file_ranges(spark, sf_dir, tmp_path
 
     # round-trip: nothing lost in the re-layout
     assert spark.read.parquet(dest).count() == src.count()
+
+
+def test_compact_parquet_collapses_small_files(spark, sf_dir, tmp_path):
+    """compact_parquet rewrites a fragmented directory into right-sized
+    files (here: 16 shards of lineitem -> 1 file at the default target)
+    without losing rows."""
+    frag = str(tmp_path / "fragmented")
+    src = table(spark, sf_dir, "lineitem")
+    src.repartition(16).write.parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_small == 16
+
+    dest = str(tmp_path / "compacted")
+    n_files = sinks.compact_parquet(spark, frag, dest)
+    assert n_files == 1
+    written = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(written) == 1
+    assert spark.read.parquet(dest).count() == src.count()
