@@ -41,6 +41,10 @@ QUERIES = [
     "q_passage_dedup",
     "q_ann_rerank",
     "q_bloom_prune",
+    "q_dedup_incremental",
+    "q_events_funnel",
+    "q_retention_cohorts",
+    "q_source_cap",
 ]
 
 TABLES = (
