@@ -125,7 +125,9 @@ def _pipeline_oracle() -> str:
     tags=("pipeline", "flagship"),
     bench=True,
 )
-def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pipeline_pretrain(
+    spark: SparkSession, sf_dir: str, *, observations: dict | None = None
+) -> DataFrame:
     """The full pre-training corpus pipeline as one DataFrame program
     (see module docstring for the stage chain and scale shape). The
     near-dup drop rule is deterministic: for every Jaccard-verified LSH
@@ -149,6 +151,19 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster through the whole chain."""
     from duckdb_pst_spark.functions.partitioning import spread
 
+    def _obs(name: str, df: DataFrame) -> DataFrame:
+        # optional per-stage row counters (Dataset.observe): metrics ride
+        # the SAME action as the query — no extra jobs, no extra scans.
+        # Pass observations={} and read it after an action via
+        # pipeline_stage_counts() (each value is a pyspark Observation).
+        if observations is None:
+            return df
+        from pyspark.sql import Observation
+
+        o = Observation(name)
+        observations[name] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
     docs = spread(table(spark, sf_dir, "documents"))
     d = docs.withColumn("toks", tokens(F.col("text")))
     en_hits = F.size(
@@ -159,7 +174,8 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("toks") >= MIN_TOKENS)
         & ((en_hits * 1_000_000).cast("long") / F.size("toks") >= EN_RATIO_U)
     )
-    train = gated.filter(F.col("doc_id") % 100 != 0)
+    gated = _obs("gated", gated)
+    train = _obs("train_split", gated.filter(F.col("doc_id") % 100 != 0))
 
     def shingle_rows(df: DataFrame) -> DataFrame:
         grams = F.array_distinct(
@@ -180,7 +196,7 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean = _obs("decontaminated", train.join(contaminated, "doc_id", "left_anti"))
     exact = (
         clean.withColumn(
             "_min_id", F.min("doc_id").over(Window.partitionBy("text"))
@@ -223,8 +239,23 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    survivors = exact.join(near_drop, "doc_id", "left_anti")
+    exact = _obs("exact_deduped", exact)
+    survivors = _obs("survivors", exact.join(near_drop, "doc_id", "left_anti"))
     return survivors.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks").cast("long")).alias("total_tokens"),
     )
+
+
+def pipeline_stage_counts(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Run the pipeline once and return {stage: rows_flowing_through} —
+    the per-stage yield report (how many docs each gate kept) every
+    production corpus pipeline logs. Built on ``Dataset.observe``: the
+    counters ride the pipeline's own single execution, so the report
+    costs zero extra jobs and zero extra scans — the 100 TB way to get
+    stage stats (a ``.count()`` per stage would re-run the whole prefix
+    chain per stage)."""
+    observations: dict = {}
+    df = q_pipeline_pretrain(spark, sf_dir, observations=observations)
+    df.collect()
+    return {name: int(o.get["rows"]) for name, o in observations.items()}

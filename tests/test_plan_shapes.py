@@ -307,3 +307,24 @@ def test_job_progress_reports_task_completion(spark, sf_dir):
     assert last.completed_tasks == last.total_tasks, last
     assert p.pct() == 100.0
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
+def test_pipeline_stage_counts_ride_one_execution(spark, sf_dir):
+    """pipeline_stage_counts returns the per-stage yield report via
+    Dataset.observe — counts are monotone non-increasing along the
+    chain and agree with the pipeline's own final output, all from one
+    execution (no per-stage re-runs)."""
+    from duckdb_pst_spark.operators.pipeline import (
+        pipeline_stage_counts,
+        q_pipeline_pretrain,
+    )
+
+    counts = pipeline_stage_counts(spark, sf_dir)
+    order = ["gated", "train_split", "decontaminated", "exact_deduped", "survivors"]
+    assert list(counts) == order
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], counts
+    total = sum(
+        r["n_docs"] for r in q_pipeline_pretrain(spark, sf_dir).collect()
+    )
+    assert counts["survivors"] == total
