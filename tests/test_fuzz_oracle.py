@@ -1,0 +1,276 @@
+"""Randomized-DATA oracle parity (hypothesis).
+
+The driver's correctness gate and `test_oracle_parity.py` prove
+Spark ≡ DuckDB on the FIXED synthetic tables. These properties re-run
+the exact same comparison (`tests.oracle.compare` — row count, column
+names, cross-engine types, order-insensitive canonical values) on
+ADVERSARIAL generated tables the fixed data can't cover:
+
+- tie-heavy timestamps (every window orderBy tiebreak exercised),
+- duplicate / negative / fractional metric values at the centi-scale
+  rounding boundary (q_anomaly_zscore's integer moments),
+- single-event users, one-type users, empty funnel stages,
+- single-doc sources and uniform-source corpora (q_source_mix rate
+  saturation; q_source_cap rank ties),
+- duplicate embedding vectors (k-means argmin ties broken by cid).
+
+Each example builds a throwaway sf-dir (symlinks to sf0.001 for the
+untouched tables + a regenerated parquet for the fuzzed one) so the
+operator under test runs UNMODIFIED through its registered builder and
+oracle SQL. Example counts are small: every example runs Spark jobs.
+
+Plus pure-math properties (no Spark, many examples) for the
+integer-moment z-score identity.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import shutil
+import tempfile
+from fractions import Fraction
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from duckdb_pst_spark.registry import REGISTRY, load_all
+from duckdb_pst_spark.tables import TABLES
+from tests.oracle import compare
+
+load_all()
+
+BASE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _fuzz_dir(writers: dict[str, callable]) -> str:
+    """Throwaway sf-dir: symlink every table from BASE, then overwrite
+    the fuzzed ones. Caller must shutil.rmtree it."""
+    d = tempfile.mkdtemp(prefix="fuzz_sf_")
+    for t in TABLES:
+        os.symlink(os.path.join(BASE, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    for name, write in writers.items():
+        path = os.path.join(d, f"{name}.parquet")
+        os.unlink(path)
+        write(path)
+    return d
+
+
+def _copy_to_parquet(select_sql: str, pdf: pd.DataFrame, path: str) -> None:
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.execute(f"COPY ({select_sql}) TO '{path}' (FORMAT PARQUET)")
+    con.close()
+
+
+def _write_events(rows: list[tuple[int, str, int, float]], path: str) -> None:
+    """rows: (user_id, event_type, ts_offset_seconds, value)."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + datetime.timedelta(seconds=r[2]) for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(event_id AS BIGINT) AS event_id, CAST(ts AS TIMESTAMP) AS ts,"
+        " CAST(user_id AS BIGINT) AS user_id, event_type,"
+        " CAST(value AS DOUBLE) AS value, props FROM pdf",
+        pdf,
+        path,
+    )
+
+
+def _write_documents(rows: list[tuple[str, int]], path: str) -> None:
+    """rows: (source, n_chars>=1)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [f"doc {i} " + "w " * (r[1] % 7) for i, r in enumerate(rows)],
+            "lang": ["en"] * len(rows),
+            "source": [r[0] for r in rows],
+            "n_chars": [r[1] for r in rows],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+        " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+        pdf,
+        path,
+    )
+
+
+def _write_embeddings(vecs: list[list[float]], path: str) -> None:
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": [i % 3 for i in range(len(vecs))],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(embedding AS FLOAT[]) AS embedding,"
+        " CAST(label AS INTEGER) AS label FROM pdf",
+        pdf,
+        path,
+    )
+
+
+def _check(spark, qname: str, writers: dict[str, callable]) -> None:
+    d = _fuzz_dir(writers)
+    try:
+        compare(spark, REGISTRY[qname], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# Values stay inside the documented centi-scale domain (|v| <= 1e4 so
+# Q = sum(v_c^2) stays far below 2^53); the set is duplicate- and
+# sign-heavy to force sigma=0 groups and rounding-boundary floors.
+_VALUES = [-9999.99, -250.0, -0.01, 0.0, 0.005, 1.0, 1.0, 99.99, 9999.99]
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["signup", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=6),  # tie-heavy timestamps
+        st.sampled_from(_VALUES),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_anomaly_zscore(spark, rows):
+    """Integer-moment 3-sigma gate: sigma=0 groups, n=1 groups, negative
+    floors, duplicate values — Spark and DuckDB must agree exactly."""
+    _check(spark, "q_anomaly_zscore", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_window_count_distinct(spark, rows):
+    """First-occurrence flags + running sum == prefix COUNT(DISTINCT)
+    under heavy timestamp ties (event_id tiebreak is load-bearing)."""
+    _check(
+        spark, "q_window_count_distinct", {"events": lambda p: _write_events(rows, p)}
+    )
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_events_funnel(spark, rows):
+    """Ordered funnel: purchases before signups must not count; equal
+    timestamps are strictly 'after' only via > comparison."""
+    _check(spark, "q_events_funnel", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_retention_cohorts(spark, rows):
+    """Cohort x week-offset retention on degenerate cohorts (single user,
+    all users same second)."""
+    _check(spark, "q_retention_cohorts", {"events": lambda p: _write_events(rows, p)})
+
+
+docs_st = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "books", "code"]),
+        st.integers(min_value=1, max_value=5000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_source_mix(spark, rows):
+    """Integer ppm keep-rates: single-source corpora saturate the rate at
+    1e6; tiny sources keep everything; hash gate identical both sides."""
+    _check(spark, "q_source_mix", {"documents": lambda p: _write_documents(rows, p)})
+
+
+@given(rows=docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_source_cap(spark, rows):
+    """Per-source cap in hash order with doc_id tiebreak, sources at /
+    below / above the cap size."""
+    _check(spark, "q_source_cap", {"documents": lambda p: _write_documents(rows, p)})
+
+
+# Duplicate-heavy coordinate set: forces exact distance ties between
+# distinct centroids so the cid-asc argmin tiebreak decides assignments.
+_COORDS = [-1.0, -0.5, 0.0, 0.5, 0.5, 1.0]
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.sampled_from(_COORDS), min_size=64, max_size=64),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_fuzz_kmeans_iter(spark, vecs):
+    """Fixed-point Lloyd iterations: duplicate vectors (argmin ties),
+    fewer points than K, empty clusters keeping stale centroids —
+    engine-exact on the integer lattice."""
+    _check(spark, "q_kmeans_iter", {"embeddings": lambda p: _write_embeddings(vecs, p)})
+
+
+# --------------------------------------------------- pure-math properties
+@given(
+    xs=st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=60),
+    i=st.integers(min_value=0, max_value=59),
+)
+@settings(max_examples=300, deadline=None)
+def test_zscore_integer_moment_identity(xs, i):
+    """(n*x - S)^2 > 9*(n*Q - S^2)  <=>  |x - mean| > 3*stddev_pop, in
+    exact rational arithmetic — the derivation q_anomaly_zscore rests on
+    (its doubles then evaluate the same integers in the same op order on
+    both engines)."""
+    x = xs[i % len(xs)]
+    n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+    integer_verdict = (n * x - s) ** 2 > 9 * (n * q - s * s)
+    mean = Fraction(s, n)
+    var = Fraction(q, n) - mean * mean
+    exact_verdict = (Fraction(x) - mean) ** 2 > 9 * var
+    assert integer_verdict == exact_verdict
+
+
+@given(xs=st.lists(st.integers(min_value=-(10**4), max_value=10**4), min_size=1, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_zscore_double_sequence_stays_exact_in_domain(xs):
+    """Within the documented domain (centi-scaled |v_c| <= 1e6, n <= 60)
+    every intermediate of the implemented double expression is an
+    integer below 2^53, so the double comparison equals the exact
+    integer comparison — the reason the operator never materializes a
+    float mean/stddev."""
+    n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+    for x in xs:
+        dev = float(n * x - s)
+        var_term = float(n) * float(q) - float(s) * float(s)
+        dbl = dev * dev > 9.0 * float(n) * var_term / float(n)
+        exact = (n * x - s) ** 2 > 9 * (n * q - s * s)
+        assert dbl == exact
+        assert abs(n * x - s) < 2**53 and abs(n * q - s * s) < 2**53
+        assert not math.isinf(var_term)
