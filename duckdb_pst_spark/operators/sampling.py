@@ -197,3 +197,53 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= _CAP_PER_SOURCE)
     )
+
+
+_N_TRAIN_SHARDS = 8
+
+
+@query(
+    "q_global_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY h2, doc_id) AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             {duck_poly_hash_long('doc_id')} % {_N_TRAIN_SHARDS} AS shard,
+             {duck_poly_hash_long('doc_id + 1000003')} AS h2
+      FROM documents
+    ) t
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE into training shards — the
+    "shuffle the corpus before training" step every dataloader needs:
+    each document gets a shard (hash-uniform) and a pseudo-random
+    position inside it (a SECOND, decorrelated hash orders the shard, so
+    shard membership doesn't leak into within-shard order). The result
+    is a reproducible permutation: same corpus → same shards, same
+    order, on any engine, any partitioning, any rerun.
+
+    Scale: ONE shuffle keyed by shard + a within-shard sort — never a
+    global ORDER BY (a total sort at 100 TB is a range-partition over
+    the whole corpus; per-shard sorts are embarrassingly parallel and
+    each shard is 1/8 of the corpus). Writing the result is
+    repartition(shard).sortWithinPartitions(h2) → one file per shard,
+    which is exactly how the export sink in sinks.py lays out training
+    data."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h2 = poly_hash_long(F.col("doc_id") + F.lit(1000003))
+    shard = poly_hash_long(F.col("doc_id")) % _N_TRAIN_SHARDS
+    w = Window.partitionBy("shard").orderBy("h2", "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"), h2.alias("h2"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )

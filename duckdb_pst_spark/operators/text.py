@@ -10,7 +10,7 @@ Python UDFs. Ratios are computed with exact integer division
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.portable import poly_hash, tokens
@@ -827,4 +827,257 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum(kept_tok).cast("long").alias("kept_tokens"),
         )
+    )
+
+
+# --------------------------------------------------- corpus length stats
+@query(
+    "q_token_histogram",
+    oracle="""
+    SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(MIN(n_tokens) AS BIGINT) AS shortest,
+           CAST(MAX(n_tokens) AS BIGINT) AS longest
+    FROM (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ) t
+    WHERE n_tokens > 0
+    GROUP BY bucket_log2
+    """,
+    tags=("text", "pipeline"),
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram on log2 buckets — the corpus length
+    profile every packing/curriculum decision starts from (how much of
+    the corpus is short-tail vs long documents). The bucket index is
+    floor(log2(n_tokens)) computed EXACTLY as length(bin(n)) - 1 — pure
+    integer/string ops, no float log2 whose boundary rounding (2^k vs
+    2^k - ulp) could disagree across engines.
+
+    Scale: map-side tokenize + count, one partial-aggregated shuffle of
+    ~60 bucket rows. Empty documents are excluded (no bucket)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    n = F.size("toks").cast("long")
+    return (
+        d.select(n.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .groupBy((F.length(F.bin("n_tokens")) - 1).cast("long").alias("bucket_log2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.min("n_tokens").cast("long").alias("shortest"),
+            F.max("n_tokens").cast("long").alias("longest"),
+        )
+    )
+
+
+# ------------------------------------------------ Gopher-style rule gate
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "q_quality_gopher",
+    oracle=f"""
+    SELECT doc_id, n_words, mean_wlen_u, alpha_ratio_u, stop_hits,
+           r_nwords, r_wlen, r_alpha, r_bullet, r_ellipsis, r_stop,
+           r_nwords * r_wlen * r_alpha * r_bullet * r_ellipsis * r_stop AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             (CAST(wlen AS BIGINT) * 1000000) // len(toks) AS mean_wlen_u,
+             (CAST(n_alpha AS BIGINT) * 1000000) // len(toks) AS alpha_ratio_u,
+             CAST(stop_hits AS BIGINT) AS stop_hits,
+             CAST(CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_nwords,
+             CAST(CASE WHEN 3 * len(toks) <= wlen AND wlen <= 10 * len(toks)
+                  THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+             CAST(CASE WHEN 10 * n_alpha >= 8 * len(toks) THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+             CAST(CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+             CAST(CASE WHEN 10 * n_ellipsis <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+             CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+      FROM (
+        SELECT doc_id, toks,
+               CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS wlen,
+               len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+               len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
+               len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ellipsis,
+               len(lines) AS n_lines,
+               len(list_filter({list(_GOPHER_STOPWORDS)!r}, s -> list_contains(toks, s))) AS stop_hits
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ) raw
+        WHERE len(toks) >= 1
+      ) m
+    ) r
+    """,
+    tags=("text", "pipeline"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality RULE BUNDLE (Rae et al. 2021
+    heuristics, public): word-count bounds, mean word length in [3, 10],
+    >=80% words containing a letter, <=90% bullet-point lines, <=30%
+    ellipsis-terminated lines, >=2 distinct common stopwords. Every rule
+    is an exact integer comparison (cross-multiplied, never a float
+    ratio), so both engines produce identical verdicts; `keep` is the
+    conjunction. Documents with zero tokens are excluded (no verdict).
+
+    Scale: a single map-only projection — tokenize once, every rule is
+    array algebra inside whole-stage codegen; no shuffle, no UDF. The
+    keep-rate at 100 TB is this same scan with the flags feeding a
+    filter instead of a projection."""
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + ")"
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            tokens(F.col("text")).alias("toks"),
+            F.split(F.col("text"), "\n").alias("lines"),
+        )
+        .where(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.expr("CAST(aggregate(toks, 0L, (a, w) -> a + length(w)) AS BIGINT)").alias("wlen"),
+            F.expr("size(filter(toks, w -> regexp_like(w, '[a-zA-Z]')))").alias("n_alpha"),
+            F.expr(
+                "size(filter(lines, l -> startswith(l, '- ') OR startswith(l, '* ')))"
+            ).alias("n_bullet"),
+            F.expr("size(filter(lines, l -> endswith(l, '...')))").alias("n_ellipsis"),
+            F.size("lines").alias("n_lines"),
+            F.expr(f"size(filter({stop_arr}, s -> array_contains(toks, s)))").alias("stop_hits"),
+        )
+    )
+    n = F.size("toks")
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    r_nwords = flag((n >= 5) & (n <= 100000))
+    r_wlen = flag((F.lit(3) * n <= F.col("wlen")) & (F.col("wlen") <= F.lit(10) * n))
+    r_alpha = flag(F.lit(10) * F.col("n_alpha") >= F.lit(8) * n)
+    r_bullet = flag(F.lit(10) * F.col("n_bullet") <= F.lit(9) * F.col("n_lines"))
+    r_ellipsis = flag(F.lit(10) * F.col("n_ellipsis") <= F.lit(3) * F.col("n_lines"))
+    r_stop = flag(F.col("stop_hits") >= 2)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.expr("(CAST(wlen AS BIGINT) * 1000000) div size(toks)").alias("mean_wlen_u"),
+        F.expr("(CAST(n_alpha AS BIGINT) * 1000000) div size(toks)").alias("alpha_ratio_u"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        r_nwords.alias("r_nwords"),
+        r_wlen.alias("r_wlen"),
+        r_alpha.alias("r_alpha"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_stop.alias("r_stop"),
+        (r_nwords * r_wlen * r_alpha * r_bullet * r_ellipsis * r_stop).alias("keep"),
+    )
+
+
+# ------------------------------------------------- winnowing fingerprints
+_WIN_W = 4  # winnowing window: one fingerprint guaranteed per W shingles
+_WIN_SHIFT = 1 << 21  # key = hash * SHIFT + pos; pos < 2^21 tokens per doc
+
+
+def _winnow_key_cte() -> str:
+    sh = "(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    from duckdb_pst_spark.functions.portable import duck_poly_hash, duck_tokens
+
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1), i -> {duck_poly_hash(sh)}) AS hs
+      FROM tk WHERE len(toks) >= 3
+    ),
+    pe AS (
+      SELECT doc_id, unnest(hs) AS h, unnest(range(1, len(hs) + 1)) AS pos
+      FROM shl
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h * {_WIN_SHIFT} + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS m,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+      FROM pe
+    )"""
+
+
+@query(
+    "q_winnowing",
+    oracle=_winnow_key_cte()
+    + f"""
+    SELECT DISTINCT doc_id,
+           CAST(m // {_WIN_SHIFT} AS BIGINT) AS fp_hash,
+           CAST(m % {_WIN_SHIFT} AS BIGINT) AS fp_pos
+    FROM win
+    WHERE pos <= greatest(1, n_h - {_WIN_W - 1})
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): from each document's sequence of
+    word-3-gram hashes, select the minimum of every {w}-hash sliding
+    window; the distinct selected (hash, position) pairs are the
+    fingerprints. Guarantees: any shared run of {w}+2 tokens between two
+    documents yields at least one identical fingerprint — the
+    position-aware complement to MinHash (which sketches global overlap,
+    winnowing localizes it). Ties break deterministically by the
+    SMALLEST position via the packed key hash*2^21+pos, identical in
+    both engines (docs are bounded < 2^21 tokens).
+
+    Scale: shingle hashing is map-side; the only exchange is the window
+    partition on doc_id (bounded partitions — one doc), and fingerprint
+    density is ~2/({w}+1) of shingles, so output shrinks before any
+    downstream join. A 100 TB plagiarism/boilerplate sweep groups the
+    emitted fp_hash — exactly the passage-dedup shuffle shape."""
+    d = table(spark, sf_dir, "documents")
+    toks_df = (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .localCheckpoint(eager=True)  # barrier: stop shingle lambdas re-inlining split
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: poly_hash(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            )
+        ),
+    )
+    pe = toks_df.select("doc_id", F.posexplode(sh).alias("i0", "h"))
+    k = pe.select(
+        "doc_id",
+        (F.col("i0") + 1).alias("pos"),
+        (F.col("h") * F.lit(_WIN_SHIFT) + F.col("i0") + 1).alias("key"),
+    )
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    w_all = Window.partitionBy("doc_id")
+    sel = k.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(w_min).alias("m"),
+        F.count(F.lit(1)).over(w_all).alias("n_h"),
+    )
+    return (
+        sel.where(F.col("pos") <= F.greatest(F.lit(1), F.col("n_h") - (_WIN_W - 1)))
+        .select(
+            "doc_id",
+            F.expr(f"m div {_WIN_SHIFT}").cast("long").alias("fp_hash"),
+            (F.col("m") % _WIN_SHIFT).cast("long").alias("fp_pos"),
+        )
+        .distinct()
     )
