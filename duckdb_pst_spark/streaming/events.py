@@ -181,3 +181,81 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = finalize_append(joined, "stream_join")
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_closed_windows",
+    oracle="""
+    SELECT window_start, event_type, cnt FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ) g, (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w
+      FROM events
+    ) wm
+    WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+    tags=("streaming",),
+)
+def q_stream_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed counts under a 30-minute watermark: emits
+    exactly the windows the final watermark has CLOSED; still-open
+    windows (within the delay of the stream's max event time) are
+    withheld in state — the exactly-once emission contract a downstream
+    consumer of finalized aggregates relies on.
+
+    The oracle encodes Spark's empirically pinned semantics
+    (tests/test_streaming_watermark.py): the late-input filter runs
+    against the watermark each batch was PLANNED with — single-file
+    staging puts all data in batch 0 (planned watermark 0), so nothing
+    can be dropped and counts are complete; the trailing no-data batch
+    then closes windows against the final watermark, which is the
+    millisecond-TRUNCATED max event time minus the delay, inclusive
+    (window_end <= watermark emits).
+
+    Event time is TIMESTAMP_NTZ (Spark cannot watermark it); the bridge
+    to a watermarkable TIMESTAMP is numeric — NTZ -> epoch micros
+    (timestampdiff from the NTZ epoch) -> timestamp_micros — and back,
+    so no session-timezone cast ever touches the data: result identical
+    under any driver timezone, DST irrelevant by construction.
+
+    Scale: identical plan to a continuous deployment — one shuffle per
+    micro-batch keyed (window, type) with map-side partial aggregation,
+    state bounded by the watermark horizon."""
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(staging).schema
+    stream = spark.readStream.schema(schema).parquet(staging)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # nanos-as-long testdata: rebuild microsecond NTZ first (tables._events)
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+            ),
+        )
+    stream = stream.withColumn(
+        "ltz",
+        F.expr(
+            "timestamp_micros(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    ).withWatermark("ltz", "30 minutes")
+    back_to_ntz = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0,"
+        " CAST(unix_micros(w.start) AS DECIMAL(20,0)) / 1000000)"
+    )
+    agg = (
+        stream.groupBy(F.window("ltz", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.expr(back_to_ntz).alias("window_start"), "event_type", "cnt")
+    )
+    result = finalize_append(agg, "stream_closed")
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
