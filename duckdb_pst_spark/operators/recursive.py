@@ -314,3 +314,97 @@ def q_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT key, depth FROM d
         """
     )
+
+
+# ----------------------------------------------------------- PageRank
+_PR_SCALE = 1_000_000  # fixed-point: initial rank per node
+_PR_ITERS = 2
+_PR_OFF = 1_000_000_000  # supplier-node id offset (disjoint from part keys)
+
+
+def _pr_oracle() -> str:
+    """Unrolled integer-Pregel CTEs mirroring the Spark loop bit-for-bit."""
+    def step(prev: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT e.v AS node,
+             CAST(150000 + (85 * SUM(p.pr // deg.d)) // 100 AS BIGINT) AS pr
+      FROM e
+      JOIN {prev} p ON p.node = e.u
+      JOIN deg ON deg.u = e.u
+      GROUP BY e.v
+    )"""
+
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    e AS (
+      SELECT pk AS u, sk + {_PR_OFF} AS v FROM base
+      UNION ALL
+      SELECT sk + {_PR_OFF} AS u, pk AS v FROM base
+    ),
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u
+    ),
+    p0 AS (
+      SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg
+    ),{step("p0", "p1")},{step("p1", "p2")}
+    SELECT node, pr FROM p2
+    """
+
+
+@query(
+    "q_pagerank",
+    oracle=_pr_oracle(),
+    tags=("recursive", "iterative", "graph"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({it} Pregel iterations, damping 0.85) over the
+    part↔supplier bipartite graph from lineitem — the link-quality /
+    influence-propagation primitive a web-corpus pipeline uses to weight
+    documents by site authority. ENGINE-EXACT like q_kmeans_iter:
+    ranks are fixed-point integers, each node's contribution is
+    pr // outdeg (integer division), and the update is
+    150000 + (85 * Σcontrib) // 100 — both engines walk the identical
+    integer lattice, so every rank bit hash-matches. Edges are
+    symmetrized (u→v and v→u), which removes dangling-mass handling:
+    every vertex has in- and out-degree ≥ 1.
+
+    Scale shape per iteration (the canonical distributed PageRank):
+    contributions = one join of the edge list with the rank vector on
+    the SAME key (u) the degree table is keyed by — co-partitioned,
+    shuffle reused across iterations on a real cluster via persisted
+    partitioning — then one groupBy(v) with map-side partial sums.
+    Ranks are materialized per iteration (localCheckpoint here,
+    persist() on a cluster) so the plan stays O(1) per round instead of
+    an exponentially nesting join tree.""".format(it=_PR_ITERS)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = li.select(
+        F.col("l_partkey").alias("u"), (F.col("l_suppkey") + _PR_OFF).alias("v")
+    )
+    rev = li.select(
+        (F.col("l_suppkey") + _PR_OFF).alias("u"), F.col("l_partkey").alias("v")
+    )
+    edges = fwd.union(rev)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # edges ⋈ deg is loop-invariant: compute once, keep partitioned by u
+    ed = edges.join(deg, "u").localCheckpoint(eager=True)
+    pr = deg.select(F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        pr = (
+            ed.join(pr, ed["u"] == pr["node"])
+            .select("v", F.expr("pr div d").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                F.expr(f"CAST({15 * _PR_SCALE // 100} + (85 * s) div 100 AS BIGINT)").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
