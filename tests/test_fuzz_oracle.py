@@ -274,3 +274,127 @@ def test_zscore_double_sequence_stays_exact_in_domain(xs):
         assert dbl == exact
         assert abs(n * x - s) < 2**53 and abs(n * q - s * s) < 2**53
         assert not math.isinf(var_term)
+
+
+# ------------------------------------------------ round-3 text operators
+_WORDS = ["the", "be", "to", "of", "and", "x", "zz", "-", "...", "1", "##",
+          "supercalifragilistic", "a"]
+
+
+def _write_rich_documents(docs: list[list[str]], path: str) -> None:
+    """Documents whose text is a generated word/line soup: bullet lines,
+    ellipsis line-ends, newlines, repeated shingles, single-word docs."""
+    texts = []
+    for i, words in enumerate(docs):
+        # every 4th doc gets line structure (bullets / ellipsis endings)
+        if i % 4 == 0 and len(words) >= 4:
+            mid = len(words) // 2
+            texts.append("- " + " ".join(words[:mid]) + "\n" + " ".join(words[mid:]) + "...")
+        else:
+            texts.append(" ".join(words))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [["web", "books", "code"][i % 3] for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+        " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+        pdf,
+        path,
+    )
+
+
+rich_docs_st = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=24),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_quality_gopher(spark, docs):
+    """Gopher rule bundle on adversarial text: bullet/ellipsis lines,
+    one-word docs, symbol-only tokens, stopword-free docs."""
+    _check(spark, "q_quality_gopher", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_winnowing(spark, docs):
+    """Winnowing fingerprints: docs shorter than one window, docs of one
+    repeated word (all shingle hashes equal — position tiebreak decides
+    every window), shared shingles across docs."""
+    _check(spark, "q_winnowing", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_token_histogram(spark, docs):
+    """log2 bucketing exactly at power-of-two boundaries (1, 2, 4... word
+    docs are common under this strategy)."""
+    _check(spark, "q_token_histogram", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_global_shuffle(spark, docs):
+    """Shard assignment + within-shard order on tiny corpora: empty
+    shards, single-doc shards — positions must stay dense per shard."""
+    _check(spark, "q_global_shuffle", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+# ------------------------------------------------------ pagerank on fuzz
+def _write_lineitem(edges: list[tuple[int, int]], path: str) -> None:
+    """Minimal lineitem: fuzzed (l_partkey, l_suppkey) pairs; the other
+    columns are deterministic fillers with the production schema."""
+    n = len(edges)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_partkey": [e[0] for e in edges],
+            "l_suppkey": [e[1] for e in edges],
+            "l_linenumber": [1] * n,
+            "l_quantity": [1.0] * n,
+            "l_extendedprice": [10.0] * n,
+            "l_discount": [0.0] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": [EPOCH] * n,
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber,"
+        " CAST(l_quantity AS DOUBLE) AS l_quantity,"
+        " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,"
+        " CAST(l_discount AS DOUBLE) AS l_discount,"
+        " CAST(l_tax AS DOUBLE) AS l_tax,"
+        " l_returnflag, l_linestatus, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+        " FROM pdf",
+        pdf,
+        path,
+    )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=4)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_pagerank(spark, edges):
+    """Integer PageRank on arbitrary small bipartite multigraphs:
+    duplicate edges (collapsed by DISTINCT), star hubs, isolated pairs —
+    every rank bit must match the unrolled-CTE oracle."""
+    _check(spark, "q_pagerank", {"lineitem": lambda p: _write_lineitem(edges, p)})

@@ -45,7 +45,17 @@ QUERIES = [
     "q_events_funnel",
     "q_retention_cohorts",
     "q_source_cap",
+    "q_pagerank",
+    "q_winnowing",
+    "q_quality_gopher",
+    "q_global_shuffle",
+    "q_token_histogram",
 ]
+
+# measure a subset: SPARK_GRAFT_CURVE_QUERIES="q_pagerank,q_winnowing"
+_ONLY = os.environ.get("SPARK_GRAFT_CURVE_QUERIES")
+if _ONLY:
+    QUERIES = [q for q in QUERIES if q in set(_ONLY.split(","))]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
