@@ -625,3 +625,100 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_k")
         .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------- CDC / SCD
+@query(
+    "q_cdc_apply",
+    oracle="""
+    SELECT user_id, last_event_id, last_ts, last_value_c
+    FROM (
+      SELECT user_id,
+             event_id AS last_event_id,
+             ts AS last_ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS last_value_c,
+             event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("window", "cdc"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — materialize current table state from a changelog (the
+    MERGE-from-change-stream idiom): each user's newest change wins
+    (ts desc, event_id desc tiebreak for same-timestamp changes, i.e.
+    log position order); a 'error'-typed final change acts as a DELETE
+    tombstone, removing the key from the materialized state entirely.
+
+    Scale: this is the compaction shape every CDC lake pipeline runs —
+    ONE shuffle on the primary key, row_number prunes to one row per
+    key inside the sorted partition, tombstones drop after the rank (a
+    tombstone only deletes if it is the LAST change — filtering earlier
+    would resurrect overwritten rows). Values carried as centi-scaled
+    BIGINTs for engine-exact comparison."""
+    from duckdb_pst_spark.functions.portable import scaled_long
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            scaled_long(F.col("value")).alias("last_value_c"),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, value_c, valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_c,
+             ts AS valid_from,
+             LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events
+      WHERE event_type = 'purchase'
+    ) t
+    """,
+    tags=("window", "cdc"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history build — turn a change stream into validity
+    intervals: each change row becomes (value, valid_from, valid_to)
+    where valid_to is the NEXT change's timestamp (NULL = current
+    version). The temporal-table layout every warehouse keeps for
+    as-of-date joins; q_asof_join is the read side of this shape.
+
+    Scale: one shuffle on the business key; lead() needs only the
+    1-row-lookahead frame, so state per key is O(1) inside the sorted
+    partition. Ties on ts are ordered by event_id (log position), so
+    interval chaining is deterministic."""
+    from duckdb_pst_spark.functions.portable import scaled_long
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            scaled_long(F.col("value")).alias("value_c"),
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
+        )
+    )

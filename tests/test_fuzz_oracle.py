@@ -398,3 +398,19 @@ def test_fuzz_pagerank(spark, edges):
     duplicate edges (collapsed by DISTINCT), star hubs, isolated pairs —
     every rank bit must match the unrolled-CTE oracle."""
     _check(spark, "q_pagerank", {"lineitem": lambda p: _write_lineitem(edges, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_cdc_apply(spark, rows):
+    """CDC compaction: tombstone-last vs tombstone-overwritten keys,
+    same-timestamp changes ordered by log position (event_id)."""
+    _check(spark, "q_cdc_apply", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_scd2_intervals(spark, rows):
+    """SCD2 interval chaining under duplicate timestamps: lead() must
+    chain by (ts, event_id) identically on both engines."""
+    _check(spark, "q_scd2_intervals", {"events": lambda p: _write_events(rows, p)})
