@@ -859,3 +859,89 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cand_id", "rn", "cos_sim")
     )
+
+
+# ------------------------------------------------------- semantic dedup
+SEMANTIC_THRESHOLD = 0.30  # within-cluster cosine above this ⇒ near-dup pair
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id - {N_QUERIES} AS cid, embedding AS cemb
+      FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+    ), assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {duck_cosine('e.embedding', 'cent.cemb', DIM)} DESC, cent.cid
+               ) AS crn
+        FROM embeddings e CROSS JOIN cent
+      ) a WHERE crn = 1
+    )
+    SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {duck_cosine('a.embedding', 'b.embedding', DIM)} AS cos_sim
+    FROM assigned a
+    JOIN assigned b ON b.cid = a.cid AND b.vec_id > a.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding', DIM)} > {SEMANTIC_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "pipeline"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-partitioned embedding near-dup — the SemDeDup shape
+    (Abbas et al., 2023: cluster the corpus, compare pairs only within
+    a cluster, drop one member of every high-cosine pair). The coarse
+    quantizer is the same deterministic 16-centroid assignment as
+    q_knn_ivf, so the DuckDB oracle reproduces the clustering exactly;
+    emitted rows are the within-cluster pairs above the threshold — the
+    drop policy (keep min vec_id per pair chain) is q_dedup_cluster's
+    job downstream.
+
+    Scale design: pairwise comparison is confined to cluster members —
+    the cross-cluster n² never exists. Assignment is a broadcast
+    cross-join against K centroids (map-side, scan-local); the pair
+    join shuffles once on the cluster id. With real trained centroids
+    (q_kmeans_iter) K scales with corpus size so cluster populations
+    stay bounded (~n/K per list), keeping per-cluster pair counts flat;
+    skewed clusters are AQE's skew-join case, and the per-pair kernel
+    is q_knn_gemm's per-batch GEMM when the interpreted fold becomes
+    the bottleneck. Norms are computed once per member below the join
+    (same IEEE op sequence as the per-pair cosine — see _knn)."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("cemb"))), F.asc("cid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "embedding", "cid", norm(F.col("embedding")).alias("nrm"))
+    )
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos_sim = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_b") > F.col("vec_a"))
+        .select("cid", "vec_a", "vec_b", cos_sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") > SEMANTIC_THRESHOLD)
+    )

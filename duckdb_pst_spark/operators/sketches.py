@@ -262,3 +262,209 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= F.lit(HH_PHI) * F.col("n"))
         .select("t", "cnt")
     )
+
+
+# ----------------------------------------------- KMV set-ops (Jaccard)
+KMV_J_K = 256
+_DUCK_SHINGLE_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "[CAST(ascii(c) AS BIGINT) for c in string_split(g, '')]), "
+    f"(acc, x) -> (acc * 31 + x) % {P_HASH})"
+)
+
+
+@query(
+    "q_kmv_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id % 2 AS side,
+             {_DUCK_SHINGLE_POLY} AS hv
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents
+        ) t WHERE len(toks) >= 3
+      ) s
+    ),
+    ka AS (SELECT DISTINCT hv FROM sh WHERE side = 0 ORDER BY hv LIMIT {KMV_J_K}),
+    kb AS (SELECT DISTINCT hv FROM sh WHERE side = 1 ORDER BY hv LIMIT {KMV_J_K}),
+    u AS (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) z
+      ORDER BY hv LIMIT {KMV_J_K}
+    ),
+    est AS (
+      SELECT count(*) AS k_used,
+             count(*) FILTER (hv IN (SELECT hv FROM ka)
+                              AND hv IN (SELECT hv FROM kb)) AS both_n
+      FROM u
+    ),
+    ex AS (
+      SELECT count(DISTINCT CASE WHEN a > 0 AND b > 0 THEN hv END) AS i_n,
+             count(DISTINCT hv) AS u_n
+      FROM (
+        SELECT hv, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+        FROM sh GROUP BY hv
+      ) g
+    )
+    SELECT est.k_used,
+           (est.both_n * 1000000) // est.k_used AS est_jaccard_ppm,
+           (ex.i_n * 1000000) // ex.u_n AS exact_jaccard_ppm
+    FROM est, ex
+    """,
+    tags=("sketch", "dedup"),
+)
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set similarity: the Jaccard of two corpus halves'
+    word-3-gram shingle SETS estimated from their KMV sketches alone —
+    J ≈ |U_k ∩ A_k ∩ B_k| / |U_k| where A_k/B_k are each side's k
+    smallest distinct portable-hash values and U_k is the k smallest of
+    their union (Beyer et al., SIGMOD'07). Both engines compute the
+    identical hash, so the estimate is bit-identical and hash-checked;
+    the exact Jaccard rides along as the QA column.
+
+    Scale: each side's sketch is a distinct-hash partial agg +
+    TakeOrdered(k) — O(k) state per task, merged on the driver side of
+    the plan; the corpus-sized shingle explode is touched ONCE and the
+    set algebra then runs on 3·k ≤ 768 rows. This is how you estimate
+    cross-corpus overlap (crawl snapshot vs snapshot, corpus vs eval
+    suite) without ever joining the corpora."""
+    from duckdb_pst_spark.functions.portable import poly_hash
+
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.expr(
+                "filter(split(text, ' '), x -> x != '')"
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "side",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("side", poly_hash(F.col("g")).alias("hv"))
+    )
+    ka = sh.filter(F.col("side") == 0).select("hv").distinct().orderBy("hv").limit(KMV_J_K)
+    kb = sh.filter(F.col("side") == 1).select("hv").distinct().orderBy("hv").limit(KMV_J_K)
+    u = ka.union(kb).distinct().orderBy("hv").limit(KMV_J_K)
+    marked = (
+        u.join(ka.withColumn("in_a", F.lit(1)), "hv", "left")
+        .join(kb.withColumn("in_b", F.lit(1)), "hv", "left")
+    )
+    est = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("both_n"),
+    )
+    g = sh.groupBy("hv").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("b"),
+    )
+    ex = g.agg(
+        F.count(F.when((F.col("a") > 0) & (F.col("b") > 0), F.lit(1))).alias("i_n"),
+        F.count(F.lit(1)).alias("u_n"),
+    )
+    return est.crossJoin(ex).select(
+        "k_used",
+        F.expr("(both_n * 1000000) div k_used").alias("est_jaccard_ppm"),
+        F.expr("(i_n * 1000000) div u_n").alias("exact_jaccard_ppm"),
+    )
+
+
+# --------------------------------------------------- count-min sketch
+CM_DEPTH = 4
+CM_WIDTH = 16  # deliberately narrow so collisions (and overestimates) occur
+
+
+@query(
+    "q_countmin",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    salted AS (
+      SELECT t, d,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) for c in string_split(chr(CAST(65 + d AS INT)) || t, '')]),
+               (acc, x) -> (acc * 31 + x) % {P_HASH}) % {CM_WIDTH} AS cell
+      FROM tok CROSS JOIN range(0, {CM_DEPTH}) r(d)
+    ),
+    counters AS (SELECT d, cell, count(*) AS c FROM salted GROUP BY d, cell),
+    probe AS (SELECT DISTINCT t, d, cell FROM salted),
+    est AS (
+      SELECT p.t, min(c.c) AS cm_estimate
+      FROM probe p JOIN counters c ON c.d = p.d AND c.cell = p.cell
+      GROUP BY p.t
+    ),
+    exact AS (SELECT t, count(*) AS exact_cnt FROM tok GROUP BY t)
+    SELECT e.t, e.cm_estimate, x.exact_cnt
+    FROM est e JOIN exact x ON x.t = e.t
+    """,
+    tags=("sketch", "agg"),
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries, engine-portable: a {4}×{16}
+    counter grid over the token stream (row d uses the portable poly
+    hash salted with one prefix char), probed for every distinct token —
+    estimate = min over rows of the hit counter, always ≥ the true
+    count. The width is deliberately narrow so collisions happen and
+    the one-sided overestimate is visible next to the exact count; both
+    engines hash identically, so every estimate is bit-identical and
+    hash-checked.
+
+    Scale: the sketch build is ONE pass — each token updates {4} cells,
+    and the groupBy over (d, cell) partial-aggregates map-side into at
+    most {4}·{16} rows per task before the (tiny) shuffle; sketches from
+    disjoint data merge by cell-wise addition, which is exactly what
+    that groupBy is. Point queries touch {4} counter rows per probe.
+    This is the frequency sketch for streams whose key space is too
+    wide to count exactly (the q_heavy_hitters docstring's case) but
+    where per-key point estimates, not just the top keys, are needed."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    salted = toks.select(
+        "t", F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    ).select(
+        "t",
+        "d",
+        (
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.split(F.concat(F.char(F.col("d") + 65), F.col("t")), ""),
+                        lambda c: c != F.lit(""),
+                    ),
+                    lambda c: F.ascii(c).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(31) + x) % F.lit(P_HASH),
+            )
+            % CM_WIDTH
+        ).alias("cell"),
+    )
+    counters = salted.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("c"))
+    probe = salted.select("t", "d", "cell").distinct()
+    est = (
+        probe.join(F.broadcast(counters), ["d", "cell"])
+        .groupBy("t")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "t").select("t", "cm_estimate", "exact_cnt")

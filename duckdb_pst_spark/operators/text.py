@@ -1081,3 +1081,103 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# -------------------------------------------------------------- BM25
+BM25_TERMS = ("hash", "vector", "stream")  # the keyword query
+BM25_TOP = 10
+# k1 = 6/5, b = 3/4 folded into one exact integer fraction (see docstring):
+#   tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))  with avgdl = S/N
+#   = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS s_len
+      FROM (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) d
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN {BM25_TERMS!r} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             (((c.n_docs - df.df) * 1000000) // (df.df + 1))
+             * ((tf.tf * 22 * c.s_len * 1000000)
+                // (10 * tf.tf * c.s_len + 3 * c.s_len + 9 * dl.dl * c.n_docs))
+             AS term_score
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    )
+    SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_TOP}
+    """,
+    tags=("text", "search"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-{10} documents for a fixed term query,
+    scored with an exact-integer BM25 — k1=6/5 and b=3/4 are folded into
+    one rational per term, tf·(k1+1)/(tf + k1·((1−b)+b·dl/avgdl)) =
+    22·tf·S / (10·tf·S + 3·S + 9·dl·N) with S=Σdl, N=#docs, evaluated as
+    a single scaled BIGINT floor-division; IDF is the same monotone
+    integer substitution as q_tfidf ((N−df)·10^6 div (df+1) in place of
+    ln((N−df+.5)/(df+.5)) — float log differs in the last bit across
+    engines). Ranking is deterministic: score desc, doc_id asc.
+
+    Plan shape (the inverted-index-less search plan): one token explode,
+    the term filter is scan-local codegen (the posting list — only rows
+    matching the query survive to any shuffle); tf aggregates on
+    (doc, term), df on term (3 rows — broadcast); document lengths join
+    on doc_id; final top-10 is TakeOrderedAndProject, never a global
+    sort. At 100 TB the explode+filter is the only corpus-sized stage
+    and it carries |terms|·avg_tf rows per doc into the agg — the same
+    IO shape as probing a real inverted index partition."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    corpus = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("s_len")
+        )
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(corpus)
+        .select(
+            "doc_id",
+            (
+                F.expr("((n_docs - df) * 1000000) div (df + 1)")
+                * F.expr(
+                    "(tf * 22 * s_len * 1000000)"
+                    " div (10 * tf * s_len + 3 * s_len + 9 * dl * n_docs)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

@@ -722,3 +722,105 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
         )
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    src AS (
+      SELECT o_orderkey, 'U' AS op, o_custkey,
+             'M' AS o_orderstatus, (price_c * 11) // 10 AS price_c
+      FROM t WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, 'D', o_custkey, o_orderstatus, price_c
+      FROM t WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', o_custkey, 'I', CAST(9999 AS BIGINT)
+      FROM t WHERE o_orderkey % 1000 = 1
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           CASE WHEN s.op IS NULL THEN t.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.op IS NULL THEN t.price_c ELSE s.price_c END AS price_c,
+           CASE WHEN s.op IS NULL THEN 'kept'
+                WHEN s.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS action
+    FROM t FULL OUTER JOIN src s ON s.o_orderkey = t.o_orderkey
+    WHERE s.op IS NULL OR s.op <> 'D'
+    """,
+    tags=("cdc", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO — the lakehouse upsert primitive: apply a batch of
+    updates / deletes / inserts to a target table in one statement
+    (WHEN MATCHED AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE /
+    WHEN NOT MATCHED THEN INSERT). The change batch is derived
+    deterministically from the target itself (10%% of keys updated,
+    10%% deleted, a few new keys inserted) so both engines see the same
+    MERGE inputs; q_cdc_apply is the changelog-compaction sibling that
+    produces such a batch from a raw change stream.
+
+    Scale: the physical MERGE shape is ONE full-outer join on the
+    primary key — target and source each shuffle once on the key (or
+    the source broadcasts when the change batch is small, the common
+    case for incremental loads; Spark picks that automatically under
+    AQE when the batch is under the broadcast threshold). The CASE
+    projection and the delete filter are scan-local. This is exactly
+    the copy-on-write rewrite a Delta/Iceberg MERGE plans — minus the
+    file-level pruning a table format's min/max stats would add (the
+    range-clustered export in sinks.py is that pruning story).
+    Prices carried centi-scaled for engine-exact comparison."""
+    from duckdb_pst_spark.functions.portable import scaled_long
+
+    t = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        scaled_long(F.col("o_totalprice")).alias("price_c"),
+    )
+    upd = t.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.expr("price_c * 11 div 10").alias("price_c"),
+    )
+    dele = t.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", F.lit("D").alias("op"), "o_custkey", "o_orderstatus", "price_c"
+    )
+    ins = t.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        F.lit(9999).cast("long").alias("price_c"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    s = src.select(
+        F.col("o_orderkey").alias("s_key"),
+        "op",
+        F.col("o_custkey").alias("s_custkey"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("price_c").alias("s_price_c"),
+    )
+    merged = t.join(s, t["o_orderkey"] == s["s_key"], "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("s_key"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("s_custkey"), F.col("o_custkey")).alias("o_custkey"),
+        F.when(F.col("op").isNull(), F.col("o_orderstatus"))
+        .otherwise(F.col("s_status"))
+        .alias("o_orderstatus"),
+        F.when(F.col("op").isNull(), F.col("price_c"))
+        .otherwise(F.col("s_price_c"))
+        .alias("price_c"),
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("action"),
+    )
