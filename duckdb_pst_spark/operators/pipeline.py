@@ -176,6 +176,15 @@ def q_pipeline_pretrain(
     )
     gated = _obs("gated", gated)
     train = _obs("train_split", gated.filter(F.col("doc_id") % 100 != 0))
+    # Main-chain slimming: everything downstream of the gates needs only
+    # the token COUNT, not the token array — carrying `toks` through the
+    # decontamination anti-join and the exact-dedup window would double
+    # those exchanges' bytes (the array is ~the size of the text). The
+    # shingle branch below keeps using `train` (with toks) — its explode
+    # is scan-local, so the array never crosses an exchange there either.
+    train_slim = train.select(
+        "doc_id", "source", "lang", "text", F.size("toks").alias("n_toks")
+    )
 
     def shingle_rows(df: DataFrame) -> DataFrame:
         grams = F.array_distinct(
@@ -196,7 +205,9 @@ def q_pipeline_pretrain(
         .select("doc_id")
         .distinct()
     )
-    clean = _obs("decontaminated", train.join(contaminated, "doc_id", "left_anti"))
+    clean = _obs(
+        "decontaminated", train_slim.join(contaminated, "doc_id", "left_anti")
+    )
     exact = (
         clean.withColumn(
             "_min_id", F.min("doc_id").over(Window.partitionBy("text"))
@@ -243,7 +254,7 @@ def q_pipeline_pretrain(
     survivors = _obs("survivors", exact.join(near_drop, "doc_id", "left_anti"))
     return survivors.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+        F.sum(F.col("n_toks").cast("long")).alias("total_tokens"),
     )
 
 
