@@ -1181,3 +1181,159 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+# ------------------------------------------------- BPE pair statistics
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+    WITH word AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+      FROM documents
+    ),
+    chars AS (SELECT w, string_split(w, '') AS cs FROM word),
+    pair AS (
+      SELECT unnest(list_transform(range(1, len(cs)),
+                    i -> cs[i] || cs[i+1])) AS p
+      FROM chars WHERE len(cs) >= 2
+    )
+    SELECT p AS pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pair GROUP BY p
+    ORDER BY cnt DESC, pair ASC
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "tokenizer"),
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair statistics — the counting step of BPE
+    tokenizer training (Sennrich et al., 2016): every word becomes its
+    character sequence, every adjacent pair is counted corpus-wide, and
+    the most frequent pair is the next merge rule. One round is
+    registered (deterministic: count desc, pair asc); real training
+    re-runs this after applying each merge — a driver-side loop over
+    exactly this plan, the q_kmeans_iter pattern.
+
+    Scale shape: the word and pair explodes are scan-local generator
+    projections (codegen; no data crosses an exchange un-aggregated);
+    the single shuffle is the pair-key groupBy, map-side combined into
+    at most |alphabet|² partial rows per task — for byte-level BPE that
+    is ≤64k counters regardless of corpus size, the textbook
+    combiner-friendly aggregation. Top-k is TakeOrderedAndProject,
+    never a global sort. This is the op that turns a 100 TB corpus into
+    a tokenizer without ever leaving the cluster."""
+    words = (
+        _docs_with_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("w"))
+        .select(F.expr("filter(split(w, ''), c -> c != '')").alias("cs"))
+        .filter(F.size("cs") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(cs) - 1), i -> concat(cs[i-1], cs[i]))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# --------------------------------------------- chi-square term selection
+CHI2_TOP = 15
+CHI2_MIN_DF = 5
+
+
+@query(
+    "q_chi2_terms",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en FROM documents
+    ),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(en) AS BIGINT) AS n_en
+      FROM lab
+    ),
+    counts AS (
+      SELECT p.tok,
+             CAST(sum(l.en) AS BIGINT) AS a,
+             CAST(count(*) - sum(l.en) AS BIGINT) AS b
+      FROM pres p JOIN lab l ON l.doc_id = p.doc_id
+      GROUP BY p.tok
+    )
+    SELECT tok, chi2 FROM (
+      SELECT tok,
+             ((CAST(n_docs AS DOUBLE)
+               * CAST(a * (n_docs - n_en - b) - b * (n_en - a) AS DOUBLE))
+              * CAST(a * (n_docs - n_en - b) - b * (n_en - a) AS DOUBLE))
+             / (((CAST(a + b AS DOUBLE) * CAST(n_docs - a - b AS DOUBLE))
+                 * CAST(n_en AS DOUBLE)) * CAST(n_docs - n_en AS DOUBLE)) AS chi2
+      FROM counts CROSS JOIN n
+      WHERE a + b >= {CHI2_MIN_DF} AND a + b < n_docs
+    ) t
+    ORDER BY chi2 DESC, tok ASC
+    LIMIT {CHI2_TOP}
+    """,
+    tags=("text", "stats"),
+)
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² term-class association: which tokens most strongly mark
+    English documents — the classic feature-selection / domain-signal
+    statistic (a 2×2 presence table per token against a binary label,
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))). Used in pipelines to find
+    language/domain shibboleths, leakage markers, or classifier
+    features. The contingency cells are exact BIGINT counts; the single
+    χ² division is evaluated with an identical IEEE operation tree in
+    both engines, so even the float ranking is bit-deterministic
+    (tiebreak tok asc; tokens present in every document are excluded —
+    their χ² is undefined).
+
+    Plan: one distinct-presence agg shuffled on (doc, tok), one token
+    agg; the label join keys on doc_id and the corpus totals broadcast
+    as a 1-row dim. Top-k is TakeOrderedAndProject. At 100 TB every
+    shuffle key is high-cardinality and partial-aggregated map-side."""
+    docs = table(spark, sf_dir, "documents")
+    pres = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    lab = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("en")
+    )
+    n = F.broadcast(
+        lab.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("en").cast("long").alias("n_en"),
+        )
+    )
+    counts = (
+        pres.join(lab, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum("en").cast("long").alias("a"),
+            (F.count(F.lit(1)) - F.sum("en")).cast("long").alias("b"),
+        )
+    )
+    diff = "CAST(a * (n_docs - n_en - b) - b * (n_en - a) AS DOUBLE)"
+    chi2 = F.expr(
+        f"((CAST(n_docs AS DOUBLE) * {diff}) * {diff})"
+        " / (((CAST(a + b AS DOUBLE) * CAST(n_docs - a - b AS DOUBLE))"
+        " * CAST(n_en AS DOUBLE)) * CAST(n_docs - n_en AS DOUBLE))"
+    )
+    return (
+        counts.crossJoin(n)
+        .filter((F.col("a") + F.col("b") >= CHI2_MIN_DF) & (F.col("a") + F.col("b") < F.col("n_docs")))
+        .select("tok", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("tok"))
+        .limit(CHI2_TOP)
+    )

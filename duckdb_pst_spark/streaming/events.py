@@ -259,3 +259,57 @@ def q_stream_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = finalize_append(agg, "stream_closed")
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, cnt, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rn
+      FROM wc
+    ) t WHERE rn <= 3
+    """,
+    tags=("streaming", "topn"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 most frequent event types per tumbling
+    hour, continuously maintained. Streaming aggregations cannot feed a
+    window rank natively (no chained stateful ops), so the rank runs in
+    ``foreachBatch`` — each micro-batch hands its full aggregate state
+    to plain batch Catalyst, the top-3 per window is computed there, and
+    the sink is overwritten exactly-once. This is THE production idiom
+    for "streaming leaderboard" shapes (trending topics, hot keys, top
+    error codes) and the pattern that unlocks every batch-only operator
+    for streaming pipelines.
+
+    Scale: the streaming agg shuffles once per micro-batch (map-side
+    partial counts); the foreachBatch rank shuffles only the aggregate
+    state — |windows|·|event types| rows, not events. State store growth
+    is bounded by watermarking in a continuous (LTZ event-time) run."""
+    from duckdb_pst_spark.streaming.finalize import finalize_complete
+    from pyspark.sql import Window
+
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet"))
+
+    def top3(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("cnt"), F.asc("event_type")
+        )
+        return df.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+            F.col("rn") <= 3
+        )
+
+    result = finalize_complete(
+        streaming_window_counts(spark, staging), "stream_topk", transform=top3
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

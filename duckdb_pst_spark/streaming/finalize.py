@@ -76,13 +76,22 @@ def finalize_append(sdf: DataFrame, name: str) -> DataFrame:
     return sdf.sparkSession.read.schema(sdf.schema).parquet(out)
 
 
-def finalize_complete(sdf: DataFrame, name: str) -> DataFrame:
+def finalize_complete(sdf: DataFrame, name: str, transform=None) -> DataFrame:
     """Run a complete-mode streaming aggregation to completion, keeping
     only the LAST micro-batch's full result (foreachBatch + overwrite);
-    return a lazy scan of it."""
+    return a lazy scan of it.
+
+    ``transform`` (optional) is a batch-DataFrame → batch-DataFrame
+    function applied INSIDE foreachBatch before the write — the idiom
+    for post-aggregation operators streaming cannot express natively
+    (window ranks, joins against batch dims): each micro-batch's full
+    aggregate state is re-derived through plain batch Catalyst, so the
+    final sink holds the transformed final state exactly-once."""
     out, ck = _dirs(name)
 
     def write_batch(df: DataFrame, _batch_id: int) -> None:
+        if transform is not None:
+            df = transform(df)
         df.write.mode("overwrite").parquet(out)
 
     q = (
@@ -93,4 +102,8 @@ def finalize_complete(sdf: DataFrame, name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.read.schema(sdf.schema).parquet(out)
+    schema = sdf.schema
+    if transform is not None:
+        # derive the post-transform schema from an empty batch frame
+        schema = transform(sdf.sparkSession.createDataFrame([], sdf.schema)).schema
+    return sdf.sparkSession.read.schema(schema).parquet(out)
