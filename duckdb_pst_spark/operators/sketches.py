@@ -311,8 +311,10 @@ _DUCK_SHINGLE_POLY = (
       ) g
     )
     SELECT est.k_used,
-           (est.both_n * 1000000) // est.k_used AS est_jaccard_ppm,
-           (ex.i_n * 1000000) // ex.u_n AS exact_jaccard_ppm
+           CASE WHEN est.k_used = 0 THEN CAST(0 AS BIGINT)
+                ELSE (est.both_n * 1000000) // est.k_used END AS est_jaccard_ppm,
+           CASE WHEN ex.u_n = 0 THEN CAST(0 AS BIGINT)
+                ELSE (ex.i_n * 1000000) // ex.u_n END AS exact_jaccard_ppm
     FROM est, ex
     """,
     tags=("sketch", "dedup"),
@@ -379,8 +381,16 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.crossJoin(ex).select(
         "k_used",
-        F.expr("(both_n * 1000000) div k_used").alias("est_jaccard_ppm"),
-        F.expr("(i_n * 1000000) div u_n").alias("exact_jaccard_ppm"),
+        # empty-corpus guard: a side (or the union) can be empty on tiny
+        # or shingle-free inputs; 0/0 must not divide (ANSI) — define J=0
+        F.expr(
+            "CASE WHEN k_used = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (both_n * 1000000) div k_used END"
+        ).alias("est_jaccard_ppm"),
+        F.expr(
+            "CASE WHEN u_n = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (i_n * 1000000) div u_n END"
+        ).alias("exact_jaccard_ppm"),
     )
 
 

@@ -414,3 +414,82 @@ def test_fuzz_scd2_intervals(spark, rows):
     """SCD2 interval chaining under duplicate timestamps: lead() must
     chain by (ts, event_id) identically on both engines."""
     _check(spark, "q_scd2_intervals", {"events": lambda p: _write_events(rows, p)})
+
+
+# --------------------------------------- round-3 text/sketch additions
+# q_bm25's fixed query terms must actually occur sometimes — pool them
+# (twice for 'hash' so tf > 1 happens) next to the adversarial words.
+_BM25_WORDS = _WORDS + ["hash", "vector", "stream", "hash"]
+
+bm25_docs_st = st.lists(
+    st.lists(st.sampled_from(_BM25_WORDS), min_size=1, max_size=24),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=bm25_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_bm25(spark, docs):
+    """BM25 on adversarial corpora: term-free corpora (empty result),
+    single-doc corpora (dl == avgdl exactly), tf-heavy repeats, and
+    df == N-ish extremes of the integer IDF."""
+    _check(spark, "q_bm25", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_bpe_pairs(spark, docs):
+    """BPE pair counts: 1-char words (no pairs), punctuation/multibyte
+    tokens, tie-heavy counts (pair asc tiebreak decides the top-k cut)."""
+    _check(spark, "q_bpe_pairs", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_countmin(spark, docs):
+    """Count-min grid on tiny corpora: empty-cell probes never happen by
+    construction (probes are the observed tokens), but single-token
+    corpora, all-identical tokens (one hot cell), and collision-heavy
+    16-wide rows all occur here."""
+    _check(spark, "q_countmin", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_kmv_jaccard(spark, docs):
+    """KMV Jaccard: shingle-free corpora (k_used = 0 guard), one-sided
+    corpora (doc_id parity leaves a side empty), identical sides
+    (J = 1), sketches smaller than k."""
+    _check(spark, "q_kmv_jaccard", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+def _write_labeled_documents(docs: list[list[str]], path: str) -> None:
+    """Rich documents with MIXED language labels (en/fr alternating) so
+    the χ² contingency table has both classes — and all-en degenerate
+    corpora still occur via single-doc examples."""
+    texts = [" ".join(words) for words in docs]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en" if i % 2 == 0 else "fr" for i in range(len(texts))],
+            "source": ["web"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+        " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+        pdf,
+        path,
+    )
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_chi2_terms(spark, docs):
+    """χ² term selection: degenerate one-class corpora (denominator 0 →
+    NaN/Inf, IEEE-identical in both engines), tokens in every doc
+    (excluded), min-df boundary, tie-heavy χ² with tok-asc cuts."""
+    _check(spark, "q_chi2_terms", {"documents": lambda p: _write_labeled_documents(docs, p)})
