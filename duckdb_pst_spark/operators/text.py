@@ -22,7 +22,16 @@ _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    # Every consumer is compute-bound token work (interpreted array
+    # kernels, explodes); a scan that under-delivers partitions (one
+    # giant file / huge row groups) would idle the cluster through the
+    # whole chain — measured at 100x replica volume: q_bm25 17.1 → 2.6 s
+    # once the scan is spread. No-op on a well-laid-out lake.
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    return spread(table(spark, sf_dir, "documents")).withColumn(
+        "toks", tokens(F.col("text"))
+    )
 
 
 # ------------------------------------------------------------ B16 explode
@@ -1091,37 +1100,44 @@ BM25_TOP = 10
 #   = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
 
 
+def _DUCK_BM25_TS(i: int) -> str:
+    """DuckDB term-score fragment i — kept beside the Spark expression in
+    q_bm25 so the two integer formulas cannot drift."""
+    return (
+        f"CASE WHEN tf{i} = 0 THEN 0 ELSE "
+        f"(((n_docs - df{i}) * 1000000) // (df{i} + 1)) * "
+        f"((tf{i} * 22 * s_len * 1000000) // "
+        f"(10 * tf{i} * s_len + 3 * s_len + 9 * dl * n_docs)) END AS ts{i}"
+    )
+
+
 @query(
     "q_bm25",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
-      FROM documents
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf{i}"
+                 for i, t in enumerate(BM25_TERMS))}
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+        FROM documents
+      ) t
     ),
-    corpus AS (
-      SELECT count(*) AS n_docs, sum(dl) AS s_len
-      FROM (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) d
-    ),
-    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-    tf AS (
-      SELECT doc_id, tok, count(*) AS tf FROM toks
-      WHERE tok IN {BM25_TERMS!r} GROUP BY doc_id, tok
-    ),
-    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-      SELECT tf.doc_id,
-             (((c.n_docs - df.df) * 1000000) // (df.df + 1))
-             * ((tf.tf * 22 * c.s_len * 1000000)
-                // (10 * tf.tf * c.s_len + 3 * c.s_len + 9 * dl.dl * c.n_docs))
-             AS term_score
-      FROM tf
-      JOIN df ON df.tok = tf.tok
-      JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN corpus c
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS s_len,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                 for i in range(len(BM25_TERMS)))}
+      FROM per_doc
     )
-    SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score
-    FROM scored
-    GROUP BY doc_id
+    SELECT doc_id, CAST({" + ".join(f"ts{i}" for i in range(len(BM25_TERMS)))} AS BIGINT) AS score
+    FROM (
+      SELECT d.doc_id,
+             {", ".join(_DUCK_BM25_TS(i) for i in range(len(BM25_TERMS)))}
+      FROM per_doc d CROSS JOIN stats
+      WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
+    ) s
     ORDER BY score DESC, doc_id ASC
     LIMIT {BM25_TOP}
     """,
@@ -1136,48 +1152,64 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer substitution as q_tfidf ((N−df)·10^6 div (df+1) in place of
     ln((N−df+.5)/(df+.5)) — float log differs in the last bit across
     engines). Ranking is deterministic: score desc, doc_id asc.
+    (Integer domain: tf·S·2.2e7 must stay under 2^63 — holds to ~10^11
+    corpus tokens with tf ≤ 10^4; beyond that, widen the scale factors.)
 
-    Plan shape (the inverted-index-less search plan): one token explode,
-    the term filter is scan-local codegen (the posting list — only rows
-    matching the query survive to any shuffle); tf aggregates on
-    (doc, term), df on term (3 rows — broadcast); document lengths join
-    on doc_id; final top-10 is TakeOrderedAndProject, never a global
-    sort. At 100 TB the explode+filter is the only corpus-sized stage
-    and it carries |terms|·avg_tf rows per doc into the agg — the same
-    IO shape as probing a real inverted index partition."""
-    toks = _docs_with_tokens(spark, sf_dir).select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+    Plan shape — for a FIXED small query the right plan has ZERO
+    corpus-sized shuffles (the first cut exploded tokens and paid 7
+    exchanges): per-document term frequencies and length are scan-local
+    array kernels (no explode — one row stays one row), corpus totals
+    and document frequencies come from ONE tiny aggregate that
+    broadcasts back, scoring is a codegen'd projection over the scan,
+    and top-10 is TakeOrderedAndProject. The only data movement is the
+    1-row stats exchange and |matching docs| rows into the final
+    TakeOrdered merge — the 100 TB shape for 'score everything against
+    a known query set' (alerting, routing, eval retrieval)."""
+    n_terms = len(BM25_TERMS)
+    per_doc = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, t -> t = '{t}'))").cast("long").alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
     )
-    dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    corpus = F.broadcast(
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("s_len")
+    # Stats and scoring both consume per_doc; without a cut the corpus
+    # scan + interpreted token kernels run twice (once under the stats
+    # broadcast, once under the final TakeOrdered — measured 7.9 s vs
+    # 4.3 s at 100x replica volume). per_doc is 5 BIGINTs/doc, so the
+    # materialization is ~nothing next to one kernel pass; at cluster
+    # scale this is persist(MEMORY_AND_DISK) on the scored projection.
+    per_doc = per_doc.localCheckpoint(eager=True)
+    stats = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("s_len"),
+            *[
+                F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"df{i}")
+                for i in range(n_terms)
+            ],
         )
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(corpus)
-        .select(
-            "doc_id",
-            (
-                F.expr("((n_docs - df) * 1000000) div (df + 1)")
-                * F.expr(
-                    "(tf * 22 * s_len * 1000000)"
-                    " div (10 * tf * s_len + 3 * s_len + 9 * dl * n_docs)"
-                )
-            ).alias("term_score"),
+    ts = [
+        F.expr(
+            f"CASE WHEN tf{i} = 0 THEN CAST(0 AS BIGINT) ELSE"
+            f" (((n_docs - df{i}) * 1000000) div (df{i} + 1)) *"
+            f" ((tf{i} * 22 * s_len * 1000000)"
+            f" div (10 * tf{i} * s_len + 3 * s_len + 9 * dl * n_docs)) END"
         )
-    )
+        for i in range(n_terms)
+    ]
+    match = sum(F.col(f"tf{i}") for i in range(n_terms)) > 0
+    score = ts[0]
+    for t_i in ts[1:]:
+        score = score + t_i
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score").cast("long").alias("score"))
+        per_doc.crossJoin(stats)
+        .filter(match)
+        .select("doc_id", score.cast("long").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
@@ -1302,9 +1334,12 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; the label join keys on doc_id and the corpus totals broadcast
     as a 1-row dim. Top-k is TakeOrderedAndProject. At 100 TB every
     shuffle key is high-cardinality and partial-aggregated map-side."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
     docs = table(spark, sf_dir, "documents")
     pres = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        spread(docs)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .distinct()
     )
     lab = docs.select(

@@ -50,6 +50,10 @@ QUERIES = [
     "q_quality_gopher",
     "q_global_shuffle",
     "q_token_histogram",
+    "q_bm25",
+    "q_bpe_pairs",
+    "q_chi2_terms",
+    "q_merge_upsert",
 ]
 
 # measure a subset: SPARK_GRAFT_CURVE_QUERIES="q_pagerank,q_winnowing"
