@@ -945,3 +945,76 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "vec_a", "vec_b", cos_sim.alias("cos_sim"))
         .filter(F.col("cos_sim") > SEMANTIC_THRESHOLD)
     )
+
+
+@query("q_dedup_semantic_gemm", tags=("similarity", "dedup", "fast"))
+def q_dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_semantic's production kernel: identical clustering, but
+    the within-cluster pairwise cosine runs as a per-cluster BLOCKED
+    BLAS matmul (applyInPandas over the cluster id) instead of the
+    interpreted JVM fold — measured 4.9 s → 1.5 s at sf0.1 (5k vectors,
+    ~780k pairs). Row blocks bound the score-matrix allocation at
+    1024×|cluster| doubles no matter how big the cluster gets; only
+    above-threshold pairs ever materialize. Pair SET is asserted equal
+    to the exact twin in tests (tests/test_knn_gemm.py) — BLAS
+    accumulation order differs from the sequential fold, so cos_sim can
+    differ in the last bits and this twin is registered rows-only.
+
+    At 100 TB: K grows with the corpus (train centroids with
+    q_kmeans_iter) so cluster populations stay bounded; each cluster is
+    one task — the shuffle is the assignment exchange, and clusters too
+    big for one task sub-block by a salted secondary key (trading a few
+    cross-block duplicate checks for parallelism)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side types only
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    crn = Window.partitionBy("vec_id").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("cemb"))), F.asc("cid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("crn", F.row_number().over(crn))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cid": [], "vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"cid": "int64", "vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        block = 1024
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            S = Xn[lo:hi] @ Xn.T  # (block, n) — bounded allocation
+            r, c = np.nonzero(S > SEMANTIC_THRESHOLD)
+            keep = ids[c] > ids[lo + r]  # upper triangle only (a < b)
+            out_a.append(ids[lo + r[keep]])
+            out_b.append(ids[c[keep]])
+            out_s.append(S[r[keep], c[keep]])
+        return pd.DataFrame(
+            {
+                "cid": np.full(sum(map(len, out_a)), cid, dtype="int64"),
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+                "cos_sim": np.concatenate(out_s) if out_s else np.array([], dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        cluster_pairs, "cid long, vec_a long, vec_b long, cos_sim double"
+    )

@@ -27,3 +27,22 @@ def test_gemm_scores_close(spark, sf_dir):
     }
     for r in specs["q_knn_gemm"].builder(spark, sf_dir).collect():
         assert abs(brute[(r.qid, r.cand_id)] - r.cos_sim) < 1e-9
+
+
+def test_semantic_gemm_pairs_match_exact(spark, sf_dir):
+    """The BLAS cluster kernel must find exactly the exact twin's pair
+    set; cosines may differ only in the last bits (BLAS accumulation
+    order vs sequential fold)."""
+    from duckdb_pst_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r.cid, r.vec_a, r.vec_b): r.cos_sim
+        for r in specs["q_dedup_semantic"].builder(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.cid, r.vec_a, r.vec_b): r.cos_sim
+        for r in specs["q_dedup_semantic_gemm"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    assert all(abs(exact[k] - fast[k]) < 1e-9 for k in exact)
