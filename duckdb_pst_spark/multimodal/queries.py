@@ -170,3 +170,65 @@ def q_media_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.octet_length("bytes")).alias("media_bytes"),
         )
     )
+
+
+@query(
+    "q_media_dedup",
+    oracle=f"""
+    WITH m AS (SELECT media_id, kind, bytes FROM {_MEDIA}),
+    ing AS (
+      SELECT media_id + 100000 AS media_id, kind, bytes
+      FROM m WHERE kind = 'image'
+    ),
+    keyed AS (
+      SELECT media_id, kind,
+             CAST(octet_length(bytes) AS BIGINT) AS nbytes,
+             sha256(hex(bytes)) AS digest
+      FROM (SELECT * FROM m UNION ALL SELECT * FROM ing) u
+    ),
+    grp AS (
+      SELECT digest, min(media_id) AS keep_id, count(*) AS n
+      FROM keyed GROUP BY digest
+    )
+    SELECT k.media_id AS dup_id, g.keep_id, k.kind, k.nbytes
+    FROM keyed k JOIN grp g ON g.digest = k.digest
+    WHERE g.n > 1 AND k.media_id <> g.keep_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content digest — the re-crawled-asset case:
+    a batch of images is re-ingested under new ids (same payload bytes),
+    and every duplicate maps to its canonical keeper (min media_id per
+    digest). This is the binary-column twin of q_dedup_exact /
+    q_dedup_incremental: the step that stops a multimodal corpus
+    training twice on the same image.
+
+    Scale shape: the digest is computed scan-local (JVM sha2 inside
+    codegen) so the groupBy shuffles (digest, id, len) rows — the
+    payloads themselves NEVER cross an exchange, which is the entire
+    design at 100 TB of media. Here the digest runs over hex(bytes)
+    because DuckDB's sha256 takes VARCHAR only (both engines produce
+    uppercase hex, so the digests agree exactly); a production pipeline
+    digests the raw bytes directly."""
+    m = ops.media_table(spark).select("media_id", "kind", "bytes")
+    ing = m.filter(F.col("kind") == "image").select(
+        (F.col("media_id") + 100_000).alias("media_id"), "kind", "bytes"
+    )
+    keyed = (
+        m.unionByName(ing)
+        .select(
+            "media_id",
+            "kind",
+            F.octet_length("bytes").cast("long").alias("nbytes"),
+            F.sha2(F.hex("bytes"), 256).alias("digest"),
+        )
+    )
+    grp = keyed.groupBy("digest").agg(
+        F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        keyed.join(grp, "digest")
+        .filter((F.col("n") > 1) & (F.col("media_id") != F.col("keep_id")))
+        .select(F.col("media_id").alias("dup_id"), "keep_id", "kind", "nbytes")
+    )
