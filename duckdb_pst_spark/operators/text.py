@@ -1142,6 +1142,7 @@ def _DUCK_BM25_TS(i: int) -> str:
     LIMIT {BM25_TOP}
     """,
     tags=("text", "search"),
+    bench=True,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-{10} documents for a fixed term query,
@@ -1238,6 +1239,7 @@ BPE_TOP_PAIRS = 20
     LIMIT {BPE_TOP_PAIRS}
     """,
     tags=("text", "tokenizer"),
+    bench=True,
 )
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-symbol pair statistics — the counting step of BPE

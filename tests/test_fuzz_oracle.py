@@ -493,3 +493,52 @@ def test_fuzz_chi2_terms(spark, docs):
     NaN/Inf, IEEE-identical in both engines), tokens in every doc
     (excluded), min-df boundary, tie-heavy χ² with tok-asc cuts."""
     _check(spark, "q_chi2_terms", {"documents": lambda p: _write_labeled_documents(docs, p)})
+
+
+# ----------------------------------------------- MERGE upsert on fuzz
+def _write_orders(rows: list[tuple[int, int, float]], path: str) -> None:
+    """Minimal orders: fuzzed (o_orderkey, o_custkey, o_totalprice) with
+    the production schema. Duplicate keys are allowed on purpose — a
+    non-unique merge key fans out the full-outer join identically in
+    both engines, and that semantic must stay pinned."""
+    n = len(rows)
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderstatus": [["O", "F", "P"][i % 3] for i in range(n)],
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": [EPOCH] * n,
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " CAST(o_totalprice AS DOUBLE) AS o_totalprice,"
+        " CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority FROM pdf",
+        pdf,
+        path,
+    )
+
+
+orders_st = st.lists(
+    st.tuples(
+        # keys straddle the +10M insert offset so a synthesized insert id
+        # can collide with an existing key (two source rows, one target)
+        st.sampled_from([0, 1, 3, 7, 13, 1001, 9_999_993, 10_000_001, 10_001_001]),
+        st.integers(min_value=0, max_value=5),
+        st.sampled_from(_VALUES),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_merge_upsert(spark, rows):
+    """MERGE on adversarial targets: duplicate merge keys (join fan-out),
+    negative / centi-boundary prices, and insert-id collisions with
+    existing keys — the full-outer CASE semantics must match exactly."""
+    _check(spark, "q_merge_upsert", {"orders": lambda p: _write_orders(rows, p)})

@@ -54,6 +54,7 @@ QUERIES = [
     "q_bpe_pairs",
     "q_chi2_terms",
     "q_merge_upsert",
+    "q_dedup_semantic_gemm",
 ]
 
 # measure a subset: SPARK_GRAFT_CURVE_QUERIES="q_pagerank,q_winnowing"
