@@ -1030,3 +1030,215 @@ def q_dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cid").applyInPandas(
         cluster_pairs, "cid long, vec_a long, vec_b long, cos_sim double"
     )
+
+
+# ------------------------------------------------- product quantization
+PQ_M = 8  # subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codes per subspace (4-bit codes); seeds = first candidates
+# per-subspace squared L2 between two full vectors restricted to the
+# subspace starting at 1-based index s — written once, used verbatim on
+# both engines so the IEEE op tree is identical
+_D2_SPARK = (
+    "aggregate(transform(sequence(s, s + {w}), "
+    "i -> (CAST(element_at({a}, CAST(i AS INT)) AS DOUBLE)"
+    " - CAST(element_at({b}, CAST(i AS INT)) AS DOUBLE))"
+    " * (CAST(element_at({a}, CAST(i AS INT)) AS DOUBLE)"
+    " - CAST(element_at({b}, CAST(i AS INT)) AS DOUBLE))), "
+    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_D2_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(s, s + {w} + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "q_knn_pq",
+    oracle=f"""
+    WITH nv AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) /
+               sqrt(list_reduce(list_transform(range(1, {DIM + 1}),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS embedding
+      FROM embeddings
+    ),
+    mm AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cb AS (
+      SELECT CAST(mm.m AS BIGINT) AS m, e.vec_id - {N_QUERIES} AS code,
+             CAST(1 + {PQ_SUB} * mm.m AS BIGINT) AS s, e.embedding AS cemb
+      FROM nv e CROSS JOIN mm
+      WHERE e.vec_id >= {N_QUERIES} AND e.vec_id < {N_QUERIES + PQ_K}
+    ),
+    encd AS (
+      SELECT c.vec_id, b.m, b.code,
+             {_D2_DUCK.format(a='c.embedding', b='b.cemb', w=PQ_SUB - 1)} AS d2
+      FROM nv c JOIN cb b ON true
+      WHERE c.vec_id >= {N_QUERIES}
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM encd
+      ) t WHERE rn = 1
+    ),
+    qd AS (
+      SELECT q.vec_id AS qid, b.m, b.code,
+             CAST(FLOOR({_D2_DUCK.format(a='q.embedding', b='b.cemb', w=PQ_SUB - 1)}
+                        * 1000000) AS BIGINT) AS d2u
+      FROM nv q JOIN cb b ON true
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT qd.qid, enc.vec_id AS cand_id, CAST(sum(qd.d2u) AS BIGINT) AS adc_d2u
+      FROM enc JOIN qd ON qd.m = enc.m AND qd.code = enc.code
+      GROUP BY qd.qid, enc.vec_id
+    )
+    SELECT qid, cand_id, rn, adc_d2u FROM (
+      SELECT qid, cand_id, adc_d2u,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY adc_d2u, cand_id) AS BIGINT) AS rn
+      FROM adc
+    ) t WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11) — the third
+    index family beside LSH buckets and IVF lists: each vector is
+    encoded as {PQ_M} 4-bit codes (nearest codebook entry per 8-dim
+    subspace; deterministic seed codebooks so the oracle reproduces the
+    training), and queries score candidates with Asymmetric Distance
+    Computation — a per-query lookup table of subspace distances to
+    every codebook entry, summed over the stored codes. Storage per
+    vector drops 64×4 bytes → {PQ_M} nibbles; the query never touches
+    raw candidate vectors. Subspace distances are floor-scaled to
+    BIGINT before the ADC sum so the ranking is engine-exact (an
+    unordered double sum would not be reproducible).
+
+    Scale shape: encoding is scan-local per candidate against the
+    broadcast {PQ_M}×{PQ_K}-row codebook, argmin'd map-side via the
+    skinny min(struct) aggregate; the ADC join keys the broadcast
+    |Q|·{PQ_M}·{PQ_K} lookup table against the code column — the only
+    corpus-sized exchange is the (qid, cand) partial-sum aggregate, and
+    at serving scale the lookup-add runs inside one Arrow kernel per
+    batch (the q_knn_gemm pattern) with the codes as packed bytes."""
+    # Unit-normalize first: on unit vectors L2² = 2 − 2·cos, so the ADC
+    # ranking approximates the cosine ranking the brute baseline uses —
+    # recall@k then measures QUANTIZATION loss, not a metric mismatch.
+    # The norm fold is the same IEEE op tree as the oracle's (see
+    # q_embedding_norm), so normalized values agree bit-for-bit.
+    raw = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    e = (
+        raw.withColumn("nrm", nrm)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda v: v.cast("double") / F.col("nrm")
+            ).alias("embedding"),
+        )
+    )
+    mm = spark.range(PQ_M).select(F.col("id").cast("long").alias("m"))
+    cb = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("code"), F.col("embedding").alias("cemb"))
+        .crossJoin(mm)
+        .select("m", "code", (1 + PQ_SUB * F.col("m")).cast("long").alias("s"), "cemb")
+    )
+    d2 = F.expr(_D2_SPARK.format(a="embedding", b="cemb", w=PQ_SUB - 1))
+    enc = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(cb)
+        .select("vec_id", "m", "code", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("mc"))
+        .select("vec_id", "m", F.col("mc.code").alias("code"))
+    )
+    qd = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding"))
+        .crossJoin(cb)
+        .select(
+            "qid",
+            "m",
+            "code",
+            F.floor(
+                F.expr(_D2_SPARK.format(a="embedding", b="cemb", w=PQ_SUB - 1))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("d2u"),
+        )
+    )
+    adc = (
+        enc.join(qd, ["m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2u").cast("long").alias("adc_d2u"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_d2u"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id", "rn", "adc_d2u")
+    )
+
+
+@query(
+    "q_knn_recall_pq",
+    oracle=f"""
+    WITH brute AS ({_REG["q_knn_brute"].oracle}),
+         pq AS ({_REG["q_knn_pq"].oracle})
+    SELECT b.qid,
+           CAST(COUNT(p.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(p.cand_id) * 100 // {TOP_K} AS BIGINT) AS recall_pct
+    FROM brute b
+    LEFT JOIN pq p ON p.qid = b.qid AND p.cand_id = b.cand_id
+    GROUP BY b.qid
+    """,
+    tags=("similarity", "pipeline"),
+)
+def q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{k} of the PQ/ADC path against the exact baseline — the
+    third per-index QA metric (see q_knn_recall / q_knn_recall_ivf). PQ
+    recall degrades differently again: quantization error is spread
+    across every candidate (a lossy-code ranking problem), not a
+    bucketing miss, so its cure is more codes per subspace or an
+    exact-rerank stage (q_ann_rerank's shape over PQ shortlists) rather
+    than more probes. Same tiny broadcast-join scale shape."""
+    brute = q_knn_brute(spark, sf_dir).select("qid", "cand_id")
+    pq = q_knn_pq(spark, sf_dir).select("qid", "cand_id")
+    hits = (
+        brute.join(F.broadcast(pq), ["qid", "cand_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        brute.select("qid")
+        .distinct()
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("h"), F.lit(0)) * 100 / TOP_K)
+            .cast("long")
+            .alias("recall_pct"),
+        )
+    )
+
