@@ -313,3 +313,97 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@query(
+    "q_stream_cdc_merge",
+    oracle="""
+    SELECT user_id, last_event_id, last_ts, last_value_c
+    FROM (
+      SELECT user_id,
+             event_id AS last_event_id,
+             ts AS last_ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS last_value_c,
+             event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "cdc"),
+)
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge — the Delta-style continuously-materialized
+    upsert table: the change stream arrives in REAL micro-batches
+    (maxFilesPerTrigger=1 over a 3-file staging dir), and foreachBatch
+    merges each batch into the persisted current-state table (newest
+    change per key wins on (ts, event_id); tombstones are KEPT in state
+    so an out-of-order older row can never resurrect a deleted key, and
+    filtered only at read time). The oracle is q_cdc_apply's batch
+    compaction verbatim — the incremental materialization must converge
+    to exactly the batch answer regardless of how changes were batched,
+    which holds because per-key max(ts, event_id) is associative.
+
+    Scale shape: each merge shuffles state ∪ batch on the primary key
+    once (state stays compacted at one row per key, so the merge input
+    is |keys| + |batch|, never the full history); the state table writes
+    through executors and is only ever scanned lazily. On a real lake
+    this foreachBatch body IS the MERGE INTO a table format runs
+    (q_merge_upsert's plan) with the file swap handled by the format's
+    transaction log instead of a directory rename."""
+    import os as _os
+
+    from pyspark.sql import Window
+    from duckdb_pst_spark.functions.portable import scaled_long
+
+    run = uuid.uuid4().hex[:8]
+    # suffixes match finalize._prune_stale so old runs get swept
+    staging = str(_CACHE_DIR / f"cdcm_stage_{run}_ck")
+    state = str(_CACHE_DIR / f"cdcm_state_{run}_out")
+    tmp = str(_CACHE_DIR / f"cdcm_tmp_{run}_ck")
+    ck = str(_CACHE_DIR / f"cdcm_{run}_ck")
+    # stage the change log as 3 files → 3 genuine micro-batches
+    table(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(staging)
+    schema = spark.read.parquet(staging).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staging)
+    cols = ["user_id", "event_id", "event_type", "ts", "value"]
+
+    def merge_batch(batch: DataFrame, _bid: int) -> None:
+        b = batch.select(*cols)
+        if _os.path.isdir(state):
+            prev = spark.read.schema(b.schema).parquet(state)
+            allr = prev.unionByName(b)
+        else:
+            allr = b
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        new_state = (
+            allr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_state.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state, ignore_errors=True)
+        _os.rename(tmp, state)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staging, ignore_errors=True)
+    final_schema = spark.read.parquet(state).schema
+    return (
+        spark.read.schema(final_schema)
+        .parquet(state)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            scaled_long(F.col("value")).alias("last_value_c"),
+        )
+    )
