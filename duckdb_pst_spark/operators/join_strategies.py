@@ -244,3 +244,60 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(scaled_long(F.col("o_totalprice"))).alias("sum_price_c"),
     )
+
+
+# ------------------------------------------------------ fuzzy blocking
+FUZZY_BLOCK_LEN = 15  # 'Customer#000001' — blocks by id-prefix
+FUZZY_MAX_DIST = 1
+
+
+@query(
+    "q_fuzzy_blocking",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey, c_name, substring(c_name, 1, {FUZZY_BLOCK_LEN}) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS dist
+    FROM b a JOIN b c ON c.blk = a.blk AND c.c_custkey > a.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("join", "dedup"),
+)
+def q_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by blocking + edit distance — the entity-resolution
+    primitive (find records that are *nearly* the same entity): records
+    join only within a cheap blocking key (here the name's id prefix),
+    and the expensive Levenshtein verify runs on within-block pairs
+    only. Both engines implement classic unit-cost Levenshtein, so the
+    integer distances hash-check exactly.
+
+    Scale shape: the self-join is an equi-join on the block key — the
+    all-pairs n² never exists, exactly like the LSH band join in
+    q_dedup_minhash (blocking IS the string-world LSH). Block size is
+    the skew knob: an over-full block (too-generic key) is AQE's
+    skew-join case first and a salting candidate second; production
+    blocking composes several keys (prefix, length, phonetic code) and
+    unions the candidate sets, each a bounded equi-join."""
+    b = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk"),
+    )
+    a = b.select(
+        F.col("blk"), F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    c = b.select(
+        F.col("blk"), F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.join(c, "blk")
+        .filter(F.col("key_b") > F.col("key_a"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

@@ -1374,3 +1374,74 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), F.asc("tok"))
         .limit(CHI2_TOP)
     )
+
+
+# ------------------------------------------------------ histogram drift
+@query(
+    "q_histogram_drift",
+    oracle="""
+    WITH side AS (
+      SELECT doc_id % 2 AS side,
+             CAST(length(bin(len(list_filter(string_split(text, ' '),
+                    x -> x != '')))) - 1 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    n AS (
+      SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM side
+    ),
+    h AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM side GROUP BY bucket
+    )
+    SELECT bucket,
+           CASE WHEN n.n_a = 0 THEN 0 ELSE (c_a * 1000000) // n.n_a END AS share_a_ppm,
+           CASE WHEN n.n_b = 0 THEN 0 ELSE (c_b * 1000000) // n.n_b END AS share_b_ppm,
+           abs(CASE WHEN n.n_a = 0 THEN 0 ELSE (c_a * 1000000) // n.n_a END
+             - CASE WHEN n.n_b = 0 THEN 0 ELSE (c_b * 1000000) // n.n_b END)
+             AS abs_diff_ppm
+    FROM h CROSS JOIN n
+    """,
+    tags=("text", "stats"),
+)
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two corpus slices (halves by
+    doc_id parity, standing in for crawl-N vs crawl-N+1): per-log2-
+    length-bucket population shares in ppm with their absolute
+    difference — summing abs_diff_ppm/2 gives total-variation distance,
+    the integer-exact stand-in for PSI/KL (which need ln). This is the
+    pipeline-monitoring op that catches a crawler or filter change
+    shifting the corpus shape before it reaches training.
+
+    Plan: bucket assignment is scan-local codegen (length(bin(n))−1, no
+    float log — q_token_histogram's trick); one tiny groupBy on
+    (bucket) with conditional partial sums, totals broadcast as a 1-row
+    dim. Drift over any other feature (language, source, quality score)
+    is the same plan with a different bucket expression."""
+    side = _docs_with_tokens(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("side"),
+        (F.length(F.bin(F.size("toks"))) - 1).cast("long").alias("bucket"),
+    )
+    n = F.broadcast(
+        side.agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    h = side.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_b"),
+    )
+    # empty-side guard (a one-doc corpus leaves a side with n = 0):
+    # ANSI integer division must never see the zero
+    sa = "CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT) ELSE (c_a * 1000000) div n_a END"
+    sb = "CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT) ELSE (c_b * 1000000) div n_b END"
+    return h.crossJoin(n).select(
+        "bucket",
+        F.expr(sa).alias("share_a_ppm"),
+        F.expr(sb).alias("share_b_ppm"),
+        F.abs(F.expr(sa) - F.expr(sb)).alias("abs_diff_ppm"),
+    )

@@ -542,3 +542,12 @@ def test_fuzz_merge_upsert(spark, rows):
     negative / centi-boundary prices, and insert-id collisions with
     existing keys — the full-outer CASE semantics must match exactly."""
     _check(spark, "q_merge_upsert", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_histogram_drift(spark, docs):
+    """Drift histogram on tiny corpora: one-doc corpora leave a side
+    empty (the n=0 guard), zero-token docs land in bucket 0, buckets
+    present on only one side."""
+    _check(spark, "q_histogram_drift", {"documents": lambda p: _write_rich_documents(docs, p)})
