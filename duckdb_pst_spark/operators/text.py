@@ -1445,3 +1445,80 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sb).alias("share_b_ppm"),
         F.abs(F.expr(sa) - F.expr(sb)).alias("abs_diff_ppm"),
     )
+
+
+# ---------------------------------------------------- bigram surprise
+SURPRISE_TOP = 20
+
+
+@query(
+    "q_bigram_surprise",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM toked WHERE len(toks) >= 2
+    ),
+    lm AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(1000000 // lm.c) AS BIGINT) AS raw_u
+      FROM bg JOIN lm ON lm.g = bg.g
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, raw_u // n_bigrams AS surprise_u
+    FROM scored
+    ORDER BY raw_u // n_bigrams DESC, doc_id ASC
+    LIMIT {SURPRISE_TOP}
+    """,
+    tags=("text", "quality"),
+)
+def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model surprise score — the CCNet-style fluency
+    filter re-expressed in exact integers: each document's mean
+    per-bigram surprise, where a bigram seen c times corpus-wide
+    contributes 10^6 div c (the monotone integer stand-in for −log p;
+    float log differs in the last bit across engines). High scorers are
+    rare-bigram documents — gibberish, boilerplate-free junk, or OCR
+    noise — the quality-gate complement to q_quality_gopher's rule
+    bundle and q_repetition's intra-doc signal.
+
+    Plan: one bigram explode feeds BOTH the count table and the scoring
+    join (ReuseExchange serves them from one shuffle of the grams); the
+    per-doc aggregate partial-sums map-side; top-20 is
+    TakeOrderedAndProject. At 100 TB the LM table is trained once on a
+    sample, pruned to the frequent tail, and BROADCAST — scoring then
+    touches the corpus exactly once with zero corpus-sized shuffles
+    (the q_bm25 shape with a bigger lookup side)."""
+    toked = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= 2)
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("g"),
+    )
+    lm = bg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scored = (
+        bg.join(lm, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.expr("1000000 div c")).cast("long").alias("raw_u"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_bigrams", F.expr("raw_u div n_bigrams").alias("surprise_u")
+        )
+        .orderBy(F.desc("surprise_u"), F.asc("doc_id"))
+        .limit(SURPRISE_TOP)
+    )

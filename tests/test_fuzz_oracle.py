@@ -551,3 +551,13 @@ def test_fuzz_histogram_drift(spark, docs):
     empty (the n=0 guard), zero-token docs land in bucket 0, buckets
     present on only one side."""
     _check(spark, "q_histogram_drift", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_bigram_surprise(spark, docs):
+    """Bigram-LM surprise on tiny corpora: one-token docs (excluded by
+    the len>=2 gate on both engines), docs of one repeated word (every
+    bigram identical — c = corpus count), integer-div rounding at
+    n_bigrams boundaries, top-20 ties broken by doc_id."""
+    _check(spark, "q_bigram_surprise", {"documents": lambda p: _write_rich_documents(docs, p)})
