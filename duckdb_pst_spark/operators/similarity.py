@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_pst_spark.functions.vectors import cosine, dot, duck_cosine, norm
+from duckdb_pst_spark.functions.vectors import cosine, dot, duck_cosine, duck_norm, norm
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -1242,3 +1242,87 @@ def q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------- ranking AUC
+@query(
+    "q_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(floor({duck_norm('embedding', DIM)} * 1000) AS BIGINT) AS score,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    hist AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM hist
+    ),
+    agg AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS sum_r2
+      FROM ranked
+    )
+    SELECT n, n_pos, n - n_pos AS n_neg,
+           sum_r2 - n_pos * (n_pos + 1) AS two_u,
+           CASE WHEN n_pos * (n - n_pos) = 0 THEN 500000
+                ELSE 1000000 * (sum_r2 - n_pos * (n_pos + 1))
+                       // (2 * n_pos * (n - n_pos)) END AS auc_ppm
+    FROM agg
+    """,
+    tags=("similarity", "quality", "pipeline"),
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking AUC (Mann-Whitney U with average-rank tie handling) —
+    the metric every quality-classifier gate (fastText/logreg filters a
+    la CCNet, GPT-3's quality model) is tuned by, computed exactly in
+    integers: score = floor(1000·‖embedding‖) (the portable norm fold,
+    deliberately quantized so ties exercise the average-rank path),
+    label parity as the binary class, AUC in ppm via the rank-sum
+    identity 2U = ΣR₂(pos) − n₊(n₊+1).
+
+    Scale design: the corpus-sized work is ONE groupBy(score) with
+    map-side partial counts; the rank window then runs over the
+    COMPACT score histogram (≈thousands of rows however big the
+    corpus), so the unpartitioned window — normally a scale smell — is
+    bounded by score cardinality, not data volume. The final aggregate
+    is a scalar. This is how you compute exact global AUC at 100 TB
+    without ever sorting the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.floor(norm(F.col("embedding")) * 1000).cast("long").alias("score"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wbelow = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(wbelow), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).cast("long").alias("sum_r2"),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        (F.col("sum_r2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("two_u"),
+        F.expr(
+            "CASE WHEN n_pos * (n - n_pos) = 0 THEN 500000"
+            " ELSE 1000000 * (sum_r2 - n_pos * (n_pos + 1))"
+            " div (2 * n_pos * (n - n_pos)) END"
+        ).alias("auc_ppm"),
+    )

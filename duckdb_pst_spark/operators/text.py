@@ -1522,3 +1522,129 @@ def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("surprise_u"), F.asc("doc_id"))
         .limit(SURPRISE_TOP)
     )
+
+
+# ------------------------------------------------- duplicated substrings
+_SPAN_W = 8
+_SPAN_TOP = 50
+
+
+@query(
+    "q_substring_spans",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(toks[i:i+{_SPAN_W - 1}], ' ') AS g
+      FROM toked, unnest(range(1, len(toks) - {_SPAN_W} + 2)) AS t(i)
+      WHERE len(toks) >= {_SPAN_W}
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+    hits AS (
+      SELECT sh.doc_id, sh.n_toks, sh.s, sh.s + {_SPAN_W - 1} AS e
+      FROM sh JOIN dup USING (g)
+    ),
+    isl AS (
+      SELECT doc_id, n_toks, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, n_toks, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, n_toks, gid, max(e) - min(s) + 1 AS covered
+      FROM grp GROUP BY doc_id, n_toks, gid
+    ),
+    perdoc AS (
+      SELECT doc_id, n_toks, CAST(sum(covered) AS BIGINT) AS dup_toks,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id, n_toks
+    )
+    SELECT doc_id, n_toks, dup_toks, n_spans,
+           1000000 * dup_toks // n_toks AS dup_ppm
+    FROM perdoc
+    ORDER BY dup_ppm DESC, doc_id ASC
+    LIMIT {_SPAN_TOP}
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage [Lee et al., 2022,
+    "Deduplicating Training Data Makes Language Models Better"]: slide
+    an {8}-token shingle over every document, mark shingles that occur
+    in MORE THAN ONE distinct document, merge each doc's overlapping
+    duplicated shingles into MAXIMAL spans (islands-and-gaps over the
+    running max of span ends), and report per-doc duplicated-token
+    coverage. Unlike q_passage_dedup's disjoint tiles this finds
+    arbitrary-offset duplicated runs — the substring-level complement
+    the suffix-array pass computes in the paper, re-expressed as two
+    keyed shuffles plus one window.
+
+    Scale design: shingle explosion is scan-local codegen; duplicate
+    detection is ONE shuffle keyed on the shingle (map-side partial
+    countDistinct, HAVING-filtered before the rejoin so only the
+    Zipfian duplicated tail flows on); the island merge runs inside a
+    per-doc window whose exchange AQE coalesces. At 100 TB: key on
+    xxhash64(shingle) (8-byte shuffle keys), broadcast the dup set when
+    the tail is small, and the window stays safe because its partition
+    is one document, never the corpus."""
+    W = _SPAN_W
+    d = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= W)
+    sh = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {W} + 1),"
+                f" i -> concat_ws(' ', slice(toks, i, {W})))"
+            )
+        ).alias("s", "g"),
+    ).withColumn("s", F.col("s").cast("long"))
+    dup = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = sh.join(dup, "g").select(
+        "doc_id", "n_toks", "s", (F.col("s") + (W - 1)).alias("e")
+    )
+    wprev = (
+        Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcur = (
+        Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(wcur))
+    spans = grp.groupBy("doc_id", "n_toks", "gid").agg(
+        (F.max("e") - F.min("s") + 1).alias("covered")
+    )
+    perdoc = spans.groupBy("doc_id", "n_toks").agg(
+        F.sum("covered").cast("long").alias("dup_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return (
+        perdoc.select(
+            "doc_id", "n_toks", "dup_toks", "n_spans",
+            F.expr("1000000 * dup_toks div n_toks").alias("dup_ppm"),
+        )
+        .orderBy(F.desc("dup_ppm"), F.asc("doc_id"))
+        .limit(_SPAN_TOP)
+    )

@@ -561,3 +561,29 @@ def test_fuzz_bigram_surprise(spark, docs):
     bigram identical — c = corpus count), integer-div rounding at
     n_bigrams boundaries, top-20 ties broken by doc_id."""
     _check(spark, "q_bigram_surprise", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_substring_spans(spark, docs):
+    """Exact-substring spans on tiny corpora: docs shorter than one
+    shingle (gated identically), adjacent/overlapping duplicated
+    shingles merging into one island, gap-separated islands, ties at
+    the top-50 boundary broken by doc_id."""
+    _check(spark, "q_substring_spans", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.sampled_from(_COORDS), min_size=64, max_size=64),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_fuzz_auc(spark, vecs):
+    """Rank-sum AUC on adversarial inputs: one-class corpora (the
+    500000-ppm guard), all-identical vectors (every row tied — one
+    histogram bucket), duplicate norms exercising average ranks."""
+    _check(spark, "q_auc", {"embeddings": lambda p: _write_embeddings(vecs, p)})
