@@ -1326,3 +1326,111 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_pos * (n - n_pos)) END"
         ).alias("auc_ppm"),
     )
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+RRF_K = 60
+_HYB_POOL = 100
+_HYB_TOP = 10
+_HYB_QVEC = 0  # the dense query: embedding of vec_id 0
+
+
+def _hybrid_oracle() -> str:
+    # text.py holds the shared BM25 CTE chain; it never imports this
+    # module, so the load here cannot cycle.
+    from duckdb_pst_spark.operators.text import _DUCK_BM25_SCORED
+
+    return f"""
+    WITH {_DUCK_BM25_SCORED},
+    sparse AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+        FROM bm
+      ) WHERE r <= {_HYB_POOL}
+    ),
+    qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_HYB_QVEC}),
+    dense0 AS (
+      SELECT e.vec_id AS doc_id,
+             {duck_cosine('e.embedding', 'q.q_emb', DIM)} AS cs
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> {_HYB_QVEC}
+    ),
+    dense AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS BIGINT) AS r
+        FROM dense0
+      ) WHERE r <= {_HYB_POOL}
+    )
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           coalesce(s.r, 0) AS r_sparse,
+           coalesce(d.r, 0) AS r_dense,
+           coalesce(1000000 // ({RRF_K} + s.r), 0)
+             + coalesce(1000000 // ({RRF_K} + d.r), 0) AS rrf_u
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    ORDER BY rrf_u DESC, doc_id ASC
+    LIMIT {_HYB_TOP}
+    """
+
+
+def _top_ranked(df: DataFrame, by: str, alias: str) -> DataFrame:
+    """Global top-{100} of df as (doc_id, rank): TakeOrderedAndProject
+    trims the corpus to the pool FIRST, then row_number runs over the
+    ≤{100}-row survivor set — the unpartitioned window never sees more
+    than the pool, however big the corpus."""
+    pool = df.orderBy(F.desc(by), F.asc("doc_id")).limit(_HYB_POOL)
+    w = Window.orderBy(F.desc(by), F.asc("doc_id"))
+    return pool.select(
+        "doc_id", F.row_number().over(w).cast("long").alias(alias)
+    )
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    tags=("similarity", "search", "pipeline"),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion [Cormack et al.,
+    SIGIR'09]: the standard lexical+semantic serving shape — BM25 ranks
+    (exact-integer scoring, shared with q_bm25 so the formulas cannot
+    drift) fused with dense cosine ranks against a query embedding,
+    fused score Σ 10⁶//(60+rank) over both lists, missing membership
+    contributing zero. Ranks, not scores, are fused — RRF needs no
+    score calibration between the incomparable BM25 and cosine scales,
+    which is exactly why it is the default hybrid in production search.
+
+    Scale design: each arm is already corpus-safe (BM25: zero corpus
+    shuffles + TakeOrdered; dense: scan-local cosine vs a broadcast
+    query + TakeOrdered); the pools are ≤100 rows each, so the rank
+    windows and the full-outer fusion join run on driver-trivial data.
+    Fan out to a query BATCH by making both pools per-query (the
+    window partitions by query id) — no plan shape changes."""
+    from duckdb_pst_spark.operators.text import _bm25_scored
+
+    sparse = _top_ranked(_bm25_scored(spark, sf_dir), "score", "r_sparse")
+    e = table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == _HYB_QVEC).select(F.col("embedding").alias("q_emb"))
+    )
+    dense0 = (
+        e.filter(F.col("vec_id") != _HYB_QVEC)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cs"),
+        )
+    )
+    dense = _top_ranked(dense0, "cs", "r_dense")
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_sparse"), F.lit(0)).alias("r_sparse"),
+        F.coalesce(F.col("r_dense"), F.lit(0)).alias("r_dense"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + r_sparse)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + r_dense)"), F.lit(0))
+        ).alias("rrf_u"),
+    )
+    return fused.orderBy(F.desc("rrf_u"), F.asc("doc_id")).limit(_HYB_TOP)
+

@@ -1111,10 +1111,11 @@ def _DUCK_BM25_TS(i: int) -> str:
     )
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-    WITH per_doc AS (
+# Shared BM25-scored-corpus CTE chain (used by q_bm25 and the hybrid
+# RRF fusion in similarity.py — one definition so the integer formulas
+# cannot drift between the standalone and fused rankings).
+_DUCK_BM25_SCORED = f"""
+    per_doc AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
              {", ".join(
                  f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf{i}"
@@ -1130,42 +1131,21 @@ def _DUCK_BM25_TS(i: int) -> str:
                  f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
                  for i in range(len(BM25_TERMS)))}
       FROM per_doc
-    )
-    SELECT doc_id, CAST({" + ".join(f"ts{i}" for i in range(len(BM25_TERMS)))} AS BIGINT) AS score
-    FROM (
-      SELECT d.doc_id,
-             {", ".join(_DUCK_BM25_TS(i) for i in range(len(BM25_TERMS)))}
-      FROM per_doc d CROSS JOIN stats
-      WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
-    ) s
-    ORDER BY score DESC, doc_id ASC
-    LIMIT {BM25_TOP}
-    """,
-    tags=("text", "search"),
-    bench=True,
-)
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval: top-{10} documents for a fixed term query,
-    scored with an exact-integer BM25 — k1=6/5 and b=3/4 are folded into
-    one rational per term, tf·(k1+1)/(tf + k1·((1−b)+b·dl/avgdl)) =
-    22·tf·S / (10·tf·S + 3·S + 9·dl·N) with S=Σdl, N=#docs, evaluated as
-    a single scaled BIGINT floor-division; IDF is the same monotone
-    integer substitution as q_tfidf ((N−df)·10^6 div (df+1) in place of
-    ln((N−df+.5)/(df+.5)) — float log differs in the last bit across
-    engines). Ranking is deterministic: score desc, doc_id asc.
-    (Integer domain: tf·S·2.2e7 must stay under 2^63 — holds to ~10^11
-    corpus tokens with tf ≤ 10^4; beyond that, widen the scale factors.)
+    ),
+    bm AS (
+      SELECT doc_id, CAST({" + ".join(f"ts{i}" for i in range(len(BM25_TERMS)))} AS BIGINT) AS score
+      FROM (
+        SELECT d.doc_id,
+               {", ".join(_DUCK_BM25_TS(i) for i in range(len(BM25_TERMS)))}
+        FROM per_doc d CROSS JOIN stats
+        WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0
+      ) s
+    )"""
 
-    Plan shape — for a FIXED small query the right plan has ZERO
-    corpus-sized shuffles (the first cut exploded tokens and paid 7
-    exchanges): per-document term frequencies and length are scan-local
-    array kernels (no explode — one row stays one row), corpus totals
-    and document frequencies come from ONE tiny aggregate that
-    broadcasts back, scoring is a codegen'd projection over the scan,
-    and top-10 is TakeOrderedAndProject. The only data movement is the
-    1-row stats exchange and |matching docs| rows into the final
-    TakeOrdered merge — the 100 TB shape for 'score everything against
-    a known query set' (alerting, routing, eval retrieval)."""
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25-scored matching documents — the shared
+    zero-corpus-shuffle scoring plan; see q_bm25 for the derivation."""
     n_terms = len(BM25_TERMS)
     per_doc = _docs_with_tokens(spark, sf_dir).select(
         "doc_id",
@@ -1211,6 +1191,44 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.crossJoin(stats)
         .filter(match)
         .select("doc_id", score.cast("long").alias("score"))
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {_DUCK_BM25_SCORED}
+    SELECT doc_id, score FROM bm
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {BM25_TOP}
+    """,
+    tags=("text", "search"),
+    bench=True,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-{10} documents for a fixed term query,
+    scored with an exact-integer BM25 — k1=6/5 and b=3/4 are folded into
+    one rational per term, tf·(k1+1)/(tf + k1·((1−b)+b·dl/avgdl)) =
+    22·tf·S / (10·tf·S + 3·S + 9·dl·N) with S=Σdl, N=#docs, evaluated as
+    a single scaled BIGINT floor-division; IDF is the same monotone
+    integer substitution as q_tfidf ((N−df)·10^6 div (df+1) in place of
+    ln((N−df+.5)/(df+.5)) — float log differs in the last bit across
+    engines). Ranking is deterministic: score desc, doc_id asc.
+    (Integer domain: tf·S·2.2e7 must stay under 2^63 — holds to ~10^11
+    corpus tokens with tf ≤ 10^4; beyond that, widen the scale factors.)
+
+    Plan shape — for a FIXED small query the right plan has ZERO
+    corpus-sized shuffles (the first cut exploded tokens and paid 7
+    exchanges): per-document term frequencies and length are scan-local
+    array kernels (no explode — one row stays one row), corpus totals
+    and document frequencies come from ONE tiny aggregate that
+    broadcasts back, scoring is a codegen'd projection over the scan,
+    and top-10 is TakeOrderedAndProject. The only data movement is the
+    1-row stats exchange and |matching docs| rows into the final
+    TakeOrdered merge — the 100 TB shape for 'score everything against
+    a known query set' (alerting, routing, eval retrieval)."""
+    return (
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )

@@ -587,3 +587,28 @@ def test_fuzz_auc(spark, vecs):
     500000-ppm guard), all-identical vectors (every row tied — one
     histogram bucket), duplicate norms exercising average ranks."""
     _check(spark, "q_auc", {"embeddings": lambda p: _write_embeddings(vecs, p)})
+
+
+@given(
+    docs=rich_docs_st,
+    vecs=st.lists(
+        st.lists(st.sampled_from(_COORDS), min_size=64, max_size=64),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_fuzz_hybrid_rrf(spark, docs, vecs):
+    """RRF fusion on misaligned arms: doc ids the dense pool never
+    ranks and vice versa (full-outer membership, zero contributions),
+    empty sparse pools (no doc matches the terms), one-vector corpora
+    (the query is the only embedding — empty dense pool)."""
+    _check(
+        spark,
+        "q_hybrid_rrf",
+        {
+            "documents": lambda p: _write_rich_documents(docs, p),
+            "embeddings": lambda p: _write_embeddings(vecs, p),
+        },
+    )
