@@ -1666,3 +1666,107 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_ppm"), F.asc("doc_id"))
         .limit(_SPAN_TOP)
     )
+
+
+# ------------------------------------------- DSIR importance resampling
+_DSIR_B = 256  # hashed-feature buckets
+_DSIR_TOP = 50
+_DSIR_LANG = "en"  # the target distribution: English docs
+
+
+def _dsir_oracle() -> str:
+    from duckdb_pst_spark.functions.portable import duck_poly_hash, duck_tokens
+
+    bg = "(toks[i] || ' ' || toks[i+1])"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, lang, {duck_tokens('text')} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)),
+               i -> {duck_poly_hash(bg)} % {_DSIR_B})) AS b
+      FROM toked WHERE len(toks) >= 2
+    ),
+    buckets AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cnt_all,
+             CAST(sum(CASE WHEN lang = '{_DSIR_LANG}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_tgt
+      FROM feat GROUP BY b
+    ),
+    w AS (
+      SELECT b, (1000000 * (cnt_tgt + 1)) // (cnt_all + 1) AS wu FROM buckets
+    ),
+    scored AS (
+      SELECT f.doc_id, f.lang,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.wu) AS BIGINT) AS raw_u
+      FROM feat f JOIN w ON w.b = f.b
+      GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, n_feats, raw_u // n_feats AS dsir_u
+    FROM scored
+    ORDER BY raw_u // n_feats DESC, doc_id ASC
+    LIMIT {_DSIR_TOP}
+    """
+
+
+@query(
+    "q_dsir_weights",
+    oracle=_dsir_oracle(),
+    tags=("text", "quality", "pipeline"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling [Xie et al., NeurIPS'23]
+    with hashed bigram features: every document scored by the mean
+    target/raw frequency ratio of its bigrams' {256} hash buckets
+    (ratios Laplace-smoothed and floor-scaled to integers — the
+    monotone stand-in for the paper's log-likelihood ratio), target
+    distribution = English docs. High scorers are the raw docs most
+    shaped like the target domain — the principled replacement for
+    source-level heuristics when composing a pretraining mixture.
+
+    Scale design: ONE bigram explode feeds one groupBy(bucket) whose
+    output is {256} rows however big the corpus (map-side combine
+    collapses each task to ≤{256} partials) — the weight table then
+    BROADCASTS into the scoring join, so the second corpus pass
+    shuffles only per-doc partial sums. At 100 TB: train the bucket
+    table on a target sample + corpus sample instead of the full pass
+    (the paper's estimator), score with the same broadcast join."""
+    d = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= 2)
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", (poly_hash(F.col("bg")) % _DSIR_B).alias("b"))
+    buckets = feat.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum(F.when(F.col("lang") == _DSIR_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_tgt"),
+    )
+    w = F.broadcast(
+        buckets.select(
+            "b", F.expr("(1000000 * (cnt_tgt + 1)) div (cnt_all + 1)").alias("wu")
+        )
+    )
+    scored = (
+        feat.join(w, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("wu").cast("long").alias("raw_u"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "lang", "n_feats", F.expr("raw_u div n_feats").alias("dsir_u")
+        )
+        .orderBy(F.desc("dsir_u"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+    )

@@ -612,3 +612,12 @@ def test_fuzz_hybrid_rrf(spark, docs, vecs):
             "embeddings": lambda p: _write_embeddings(vecs, p),
         },
     )
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_dsir_weights(spark, docs):
+    """DSIR weights on tiny corpora: no English docs (cnt_tgt = 0
+    everywhere, smoothing only), single-bigram docs, every doc scoring
+    from the same bucket (hash collisions at 256 buckets)."""
+    _check(spark, "q_dsir_weights", {"documents": lambda p: _write_rich_documents(docs, p)})
