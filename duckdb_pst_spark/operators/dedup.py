@@ -103,15 +103,18 @@ def _duck_shingle_hashes() -> str:
     return f"list_distinct(list_transform(range(1, len(toks) - 1), i -> {sh}))"
 
 
-def _duck_minhash_cte() -> str:
-    """Shared CTE prefix: documents → toks → distinct shingle hashes → sigs."""
+def _duck_minhash_cte(where: str = "") -> str:
+    """Shared CTE prefix: documents → toks → distinct shingle hashes → sigs.
+
+    ``where`` optionally restricts the document set (e.g. the bounded
+    QA sample in q_lsh_recall)."""
     sigs = ",\n           ".join(
         f"list_min(list_transform(sh, h -> ({_A[k]} * h + {_B[k]}) % {P_HASH})) AS sig_{k}"
         for k in range(MINHASH_K)
     )
     return f"""
     WITH tk AS (
-      SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+      SELECT doc_id, {duck_tokens('text')} AS toks FROM documents {where}
     ),
     sh AS (
       SELECT doc_id, {_duck_shingle_hashes()} AS sh
@@ -1094,5 +1097,146 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("doc_id") != F.col("bid"), "batch_dup")
             .otherwise("kept")
             .alias("status"),
+        )
+    )
+
+
+# ------------------------------------------------------ LSH recall QA
+_RECALL_SAMPLE = 500  # doc_id bound for the exact-pair ground truth
+
+
+def _duck_band_cand_cte() -> str:
+    """bands + distinct candidate pairs — the oracle twin of the
+    production band join, shared shape with q_dedup_minhash."""
+    return f"""
+    , bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx,"
+        f" (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "q_lsh_recall",
+    oracle=_duck_minhash_cte(f"WHERE doc_id < {_RECALL_SAMPLE}")
+    + _duck_band_cand_cte()
+    + f"""
+    , allp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000)
+               // len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    ),
+    truth AS (SELECT doc_a, doc_b FROM allp WHERE j >= {JACCARD_THRESHOLD_U}),
+    hit AS (
+      SELECT t.doc_a FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
+                ELSE 1000000 * (SELECT count(*) FROM hit)
+                       // (SELECT count(*) FROM truth) END AS recall_ppm
+    """,
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against the exact
+    Jaccard≥0.30 pair set — the dedup counterpart of q_knn_recall /
+    q_knn_recall_ivf / q_knn_recall_pq: every approximate index in the
+    repo ships its acceptance metric, and LSH's failure mode (a true
+    near-dup pair landing in no shared band) is invisible without one.
+    Ground truth is computed EXACTLY on a bounded doc_id sample — the
+    production QA pattern, since the exact pair set is quadratic and
+    can only ever be afforded on a sample; the candidate side reuses
+    the production band-join shape on the same sample.
+
+    Scale design: the sample bound makes the all-pairs truth join a
+    broadcast-sized quadratic (|S|²/2 pairs for |S| docs — choose |S|
+    by QA budget, not corpus size); the band join is the production
+    plan unchanged. Counts reduce to one 1×1×1 broadcast-joined row;
+    nothing corpus-sized moves. Recall_ppm uses the 10⁶ convention
+    with the empty-truth guard at 10⁶ (vacuous recall)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _RECALL_SAMPLE)
+    )
+    sigs = signatures_for(docs)
+    # candidate pairs: the production band join on the sample signatures
+    bdf = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        (
+                            (F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}"))
+                            % F.lit(P_HASH)
+                        ).alias("band_val"),
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    cand = (
+        bdf.alias("a")
+        .join(
+            bdf.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "sh")
+    jacc = F.expr(
+        "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+        " div size(array_union(sa_sh, sb_sh))"
+    )
+    truth = (
+        sh.alias("sa")
+        .join(sh.alias("sb"), F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.col("sa.sh").alias("sa_sh"),
+            F.col("sb.sh").alias("sb_sh"),
+        )
+        .select("doc_a", "doc_b", jacc.alias("j"))
+        .filter(F.col("j") >= JACCARD_THRESHOLD_U)
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 1000000"
+                " ELSE 1000000 * n_hit div n_true END"
+            ).alias("recall_ppm"),
         )
     )

@@ -621,3 +621,12 @@ def test_fuzz_dsir_weights(spark, docs):
     everywhere, smoothing only), single-bigram docs, every doc scoring
     from the same bucket (hash collisions at 256 buckets)."""
     _check(spark, "q_dsir_weights", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_lsh_recall(spark, docs):
+    """LSH recall QA on tiny corpora: empty truth sets (recall = 10^6
+    by convention), docs below the 3-token shingle gate, identical docs
+    (jaccard 10^6, every band shared)."""
+    _check(spark, "q_lsh_recall", {"documents": lambda p: _write_rich_documents(docs, p)})

@@ -60,7 +60,10 @@ QUERIES = [
 # measure a subset: SPARK_GRAFT_CURVE_QUERIES="q_pagerank,q_winnowing"
 _ONLY = os.environ.get("SPARK_GRAFT_CURVE_QUERIES")
 if _ONLY:
-    QUERIES = [q for q in QUERIES if q in set(_ONLY.split(","))]
+    # Names come straight from the env (validated against the registry at
+    # load), so newly added queries can be measured without editing this
+    # default headline list.
+    QUERIES = [q.strip() for q in _ONLY.split(",") if q.strip()]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
