@@ -284,30 +284,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POW2 = [2**i for i in range(17)]  # 1-based literal table shared with oracle
 
 
-@query(
-    "q_dedup_simhash",
-    oracle=f"""
-    SELECT doc_id,
+# Shared simhash16 select expression — one definition for q_dedup_simhash
+# and the hamming-block dedup so the bit math cannot drift.
+_DUCK_SIMHASH16 = f"""
            list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), i ->
              CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, h ->
                     CASE WHEN (h % ({_POW2!r}[i + 2])) >= ({_POW2!r}[i + 1])
                          THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
                     (acc, x) -> acc + x) > 0
                   THEN CAST({_POW2!r}[i + 1] AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-             (acc, x) -> acc + x) AS simhash16
-    FROM (
-      SELECT doc_id,
-             list_transform({duck_tokens('text')}, t -> {duck_poly_hash('t')}) AS th
-      FROM documents
-    ) t
-    """,
-    tags=("dedup", "pipeline"),
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: token hashes vote ±1 per bit position
-    (with multiplicity), bit set where the vote is positive. Computed
-    entirely with nested array folds — per-row, zero shuffle. Near-dup
-    docs then cluster by equal (or low-Hamming) simhash."""
+             (acc, x) -> acc + x)"""
+
+
+def simhash16_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, simhash16) — per-row array folds, zero shuffle."""
     pow2 = F.array(*[F.lit(p) for p in _POW2])
     d = (
         table(spark, sf_dir, "documents")
@@ -330,6 +320,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return d.select("doc_id", simhash.alias("simhash16"))
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_SIMHASH16} AS simhash16
+    FROM (
+      SELECT doc_id,
+             list_transform({duck_tokens('text')}, t -> {duck_poly_hash('t')}) AS th
+      FROM documents
+    ) t
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token hashes vote ±1 per bit position
+    (with multiplicity), bit set where the vote is positive. Computed
+    entirely with nested array folds — per-row, zero shuffle. Near-dup
+    docs then cluster by equal (or low-Hamming) simhash."""
+    return simhash16_df(spark, sf_dir)
 
 
 def bit_vote_dynamic(i: Column) -> Column:
@@ -1239,4 +1250,105 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE 1000000 * n_hit div n_true END"
             ).alias("recall_ppm"),
         )
+    )
+
+
+# ------------------------------------- simhash hamming-distance dedup
+_SH_BLOCKS = 4  # 4 blocks x 4 bits of the 16-bit simhash
+_SH_HAMMING = 3  # near-dup threshold: <= 3 differing bits
+_SH_BUCKET_CAP = 64  # drop degenerate blocks (adversarial-data guard)
+
+
+@query(
+    "q_dedup_simhash_hamming",
+    oracle=f"""
+    WITH sim AS (
+      SELECT doc_id,
+             {_DUCK_SIMHASH16} AS s
+      FROM (
+        SELECT doc_id,
+               list_transform({duck_tokens('text')}, t -> {duck_poly_hash('t')}) AS th
+        FROM documents
+      ) t0
+    ),
+    blocks AS (
+      SELECT doc_id, s, j, (s // ([1, 16, 256, 4096][j + 1])) % 16 AS bv
+      FROM sim, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    ok AS (
+      SELECT j, bv FROM blocks GROUP BY j, bv HAVING count(*) <= {_SH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM blocks a
+      JOIN ok ON ok.j = a.j AND ok.bv = a.bv
+      JOIN blocks b ON b.j = a.j AND b.bv = a.bv AND b.doc_id > a.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_HAMMING}
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ {3} via the
+    pigeonhole block index [Manku et al., WWW'07 — the production web
+    dedup at Google scale]: split each 16-bit simhash into 4 exact
+    4-bit blocks; any pair within distance 3 must agree on ≥1 whole
+    block, so candidates exist only inside a block-value equi-join —
+    never the all-pairs n². Verification is one popcount per candidate
+    (bit_count(xor)), engine-exact. Blocks with more than {64} members
+    are dropped before the self-join — the same deterministic
+    degenerate-bucket guard as the MinHash band join (both engines
+    apply the identical HAVING, so the output stays hash-checkable).
+
+    Scale design: the block join IS the LSH shape — one shuffle keyed
+    on (block_idx, block_val), candidates ∝ near-dups. At 100 TB you
+    widen to the paper's 64-bit simhash with 16-bit blocks (65k bucket
+    values per block index), which keeps buckets sparse at web scale;
+    the 16-bit width here matches the repo's portable simhash so the
+    whole chain stays oracle-checkable."""
+    sim = simhash16_df(spark, sf_dir).withColumnRenamed("simhash16", "s")
+    blocks = sim.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(s div {16 ** j}) % 16").alias(f"b{j}")
+                    for j in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("j", "bv"),
+    )
+    ok = (
+        blocks.groupBy("j", "bv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") <= _SH_BUCKET_CAP)
+        .select("j", "bv")
+    )
+    gated = blocks.join(ok, ["j", "bv"])
+    cand = (
+        gated.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= _SH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
     )

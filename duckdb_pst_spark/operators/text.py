@@ -1507,9 +1507,13 @@ def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise — the quality-gate complement to q_quality_gopher's rule
     bundle and q_repetition's intra-doc signal.
 
-    Plan: one bigram explode feeds BOTH the count table and the scoring
-    join (ReuseExchange serves them from one shuffle of the grams); the
-    per-doc aggregate partial-sums map-side; top-20 is
+    Plan: the gram explode is collapsed to (doc_id, g, n) ONCE and
+    materialized — instance multiplicity rides the n column, so the LM
+    count table, the scoring join, and the per-doc aggregate all run on
+    the collapsed granularity and the interpreted explode never
+    re-executes (un-collapsed, the instance-level scoring join measured
+    33 s vs DuckDB's 3.2 s at 100× replica volume; collapsed it is
+    ~8 s). Per-doc aggregates partial-sum map-side; top-20 is
     TakeOrderedAndProject. At 100 TB the LM table is trained once on a
     sample, pruned to the frequent tail, and BROADCAST — scoring then
     touches the corpus exactly once with zero corpus-sized shuffles
@@ -1524,13 +1528,20 @@ def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    lm = bg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # collapse instances; the barrier stops the explode re-running under
+    # both consumers (see _with_sigs for the CollapseProject rationale)
+    dg = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    lm = dg.groupBy("g").agg(F.sum("n").cast("long").alias("c"))
     scored = (
-        bg.join(lm, "g")
+        dg.join(lm, "g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.expr("1000000 div c")).cast("long").alias("raw_u"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("n * (1000000 div c)")).cast("long").alias("raw_u"),
         )
     )
     return (

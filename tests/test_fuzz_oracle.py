@@ -630,3 +630,13 @@ def test_fuzz_lsh_recall(spark, docs):
     by convention), docs below the 3-token shingle gate, identical docs
     (jaccard 10^6, every band shared)."""
     _check(spark, "q_lsh_recall", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_simhash_hamming(spark, docs):
+    """Pigeonhole simhash dedup on tiny corpora: identical docs (all 4
+    blocks shared, hamming 0), single-doc corpora (no pairs), bucket
+    collisions at 4-bit block width, the 64-member degenerate-bucket
+    drop on many-duplicate corpora."""
+    _check(spark, "q_dedup_simhash_hamming", {"documents": lambda p: _write_rich_documents(docs, p)})
