@@ -478,3 +478,146 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return est.join(exact, "t").select("t", "cm_estimate", "exact_cnt")
+
+
+# -------------------------------------------- source-overlap KMV matrix
+_OVL_K = 64  # sketch size per source
+_OVL_SALT = 8  # first-level pre-trim buckets (skew-safe k-min)
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, {_DUCK_SHINGLE_POLY} AS hv
+      FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+        FROM (
+          SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS toks
+          FROM documents
+        ) t WHERE len(toks) >= 3
+      ) s
+    ),
+    sk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM sh
+      ) WHERE rn <= {_OVL_K}
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb FROM
+        (SELECT DISTINCT source FROM sk) a JOIN (SELECT DISTINCT source FROM sk) b
+        ON a.source < b.source
+    ),
+    u AS (
+      SELECT p.sa, p.sb, s.hv,
+             max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+      GROUP BY p.sa, p.sb, s.hv
+    ),
+    ranked AS (
+      SELECT sa, sb, in_a, in_b,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+      FROM u
+    ),
+    est AS (
+      SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(in_a * in_b) AS BIGINT) AS both_n
+      FROM ranked WHERE rn <= {_OVL_K}
+      GROUP BY sa, sb
+    )
+    SELECT sa, sb, k_used, (both_n * 1000000) // k_used AS jaccard_ppm
+    FROM est
+    """,
+    tags=("sketch", "quality", "pipeline"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between ALL corpus sources from
+    per-source KMV sketches (Beyer et al., SIGMOD'07) — the corpus
+    audit that finds mirror sites, cross-source scrape duplication,
+    and eval contamination paths as a source×source overlap matrix,
+    without ever joining corpora: every pairwise estimate is computed
+    from two {64}-row sketches.
+
+    Scale design: the corpus is touched ONCE (distinct (source, hv)
+    shingle hashes — one shuffle with map-side distinct partials). The
+    per-source k-min runs as a TWO-LEVEL window: k smallest per
+    (source, hv mod {8}) salt bucket first, then k smallest of the
+    ≤{8}·{64} survivors per source — no single reducer ever sees a
+    whole source's shingle set (the skew-safe top-k shape; identical
+    result, since the global k-min is contained in the union of
+    salt-bucket k-mins). Everything after the sketch — pair expansion,
+    union ranks, estimates — runs on |sources|²·{64} rows however big
+    the corpus. Estimator identical to q_kmv_jaccard's, hash-checked
+    bit-exactly via the portable polynomial hash."""
+    from pyspark.sql import Window
+
+    from duckdb_pst_spark.functions.partitioning import spread
+    from duckdb_pst_spark.functions.portable import poly_hash
+
+    sh = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(
+            "source",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("source", poly_hash(F.col("g")).alias("hv"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("source", (F.col("hv") % _OVL_SALT)).orderBy("hv")
+    w2 = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        sh.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _OVL_K)
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= _OVL_K)
+        .select("source", "hv")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    ska = sk.select(F.col("source").alias("sa"), "hv", F.lit(1).alias("in_a"))
+    skb = sk.select(F.col("source").alias("sb"), "hv", F.lit(1).alias("in_b"))
+    left = pairs.join(ska, "sa").select("sa", "sb", "hv", "in_a")
+    right = pairs.join(skb, "sb").select("sa", "sb", "hv", "in_b")
+    u = (
+        left.join(right, ["sa", "sb", "hv"], "full_outer")
+        .select(
+            "sa",
+            "sb",
+            "hv",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    wr = Window.partitionBy("sa", "sb").orderBy("hv")
+    est = (
+        u.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _OVL_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("both_n"),
+        )
+    )
+    return est.select(
+        "sa", "sb", "k_used",
+        F.expr("(both_n * 1000000) div k_used").alias("jaccard_ppm"),
+    )

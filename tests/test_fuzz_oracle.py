@@ -640,3 +640,12 @@ def test_fuzz_simhash_hamming(spark, docs):
     collisions at 4-bit block width, the 64-member degenerate-bucket
     drop on many-duplicate corpora."""
     _check(spark, "q_dedup_simhash_hamming", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_source_overlap(spark, docs):
+    """KMV source-overlap matrix on tiny corpora: single-source corpora
+    (no pairs), shingle-free docs, sketches smaller than K, identical
+    sources (jaccard 10^6)."""
+    _check(spark, "q_source_overlap", {"documents": lambda p: _write_rich_documents(docs, p)})

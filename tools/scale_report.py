@@ -46,7 +46,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     print("| query | shuffles | bcast joins | smj | top-n | codegen | scan pushdown |")
     print("|---|---|---|---|---|---|---|")
+    only = os.environ.get("SPARK_GRAFT_REPORT_QUERIES")
+    wanted = {q.strip() for q in only.split(",")} if only else None
     for name, spec in sorted(load_all().items()):
+        if wanted is not None and name not in wanted:
+            continue
         if name in EAGER:
             print(f"| `{name}` | {EAGER[name]} | — | — | — | — | — |")
             continue
