@@ -251,3 +251,54 @@ def of_kind(media: DataFrame, kind: str) -> DataFrame:
     e.g. an image-only pipeline never reads audio/video payload bytes
     (row-group pruning on the dictionary-encoded ``kind`` column)."""
     return media.filter(F.col("kind") == kind)
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_image(images: DataFrame, brightness_shift: int = 0) -> DataFrame:
+    """bytes → 64-bit dHash perceptual hash (difference hash).
+
+    Integer pipeline end to end, so the hash is bit-deterministic:
+    BT.601 luma in scaled integers (Σ px·[299,587,114] // 1000), 8×9
+    block-MEAN downsample (integer division), then one bit per
+    horizontal neighbor pair (left < right) packed row-major into a
+    two's-complement BIGINT. dHash is invariant to uniform brightness
+    shifts (gradients are unchanged) — the property that catches the
+    re-encoded / re-leveled near-duplicates a content digest cannot
+    (q_media_phash_pairs exercises exactly that with
+    ``brightness_shift``).
+    """
+    src = images.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-rgb8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c).astype(np.int64)
+                if brightness_shift:
+                    px = np.clip(px + brightness_shift, 0, 255)
+                luma = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+                # 8 rows x 9 cols of integer block means (boundaries in
+                # integer arithmetic -> identical on every platform)
+                ys = [(i * h) // 8 for i in range(9)]
+                xs = [(j * w) // 9 for j in range(10)]
+                g = np.empty((8, 9), dtype=np.int64)
+                for i in range(8):
+                    for j in range(9):
+                        blk = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                        g[i, j] = int(blk.sum()) // blk.size
+                bits = (g[:, 1:] < g[:, :-1]).flatten()
+                ph = 0
+                for bit in bits:
+                    ph = (ph << 1) | int(bit)
+                if ph >= 1 << 63:  # wrap to two's-complement BIGINT
+                    ph -= 1 << 64
+                out.append((mid, ph))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return src.mapInPandas(batches, schema=PHASH_SCHEMA)

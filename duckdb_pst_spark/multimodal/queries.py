@@ -232,3 +232,80 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") > 1) & (F.col("media_id") != F.col("keep_id")))
         .select(F.col("media_id").alias("dup_id"), "keep_id", "kind", "nbytes")
     )
+
+
+_PH_BLOCKS = 8  # 8 blocks x 8 bits of the 64-bit dHash
+_PH_HAMMING = 6  # near-dup threshold (< blocks guarantees pigeonhole recall)
+_PH_SHIFT = 16  # brightness shift applied to the re-ingested copies
+_PH_CAP = 64  # degenerate-bucket guard, as in q_dedup_simhash_hamming
+
+
+@query(
+    "q_media_phash_pairs",
+    tags=("multimodal", "dedup"),
+)
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 64-bit dHash per image
+    (integer-exact kernel, ops.phash_image) + the pigeonhole block
+    index — 8 exact 8-bit blocks, so any pair within Hamming distance
+    {6} < 8 shares ≥1 block and candidates exist only inside a
+    block-value equi-join (the q_dedup_simhash_hamming plan applied to
+    images). The probe workload re-ingests every image brightness-
+    shifted by +{16} under new ids: every byte of the payload changes
+    (content digests ALL differ — q_media_dedup finds nothing), yet
+    dHash gradients survive, so every copy pairs with its original
+    within the threshold (mostly Hamming 0; clipping at 255 perturbs a
+    few saturated blocks). This is the dedup step a digest cannot do.
+
+    Scale design: hashes are computed scan-local in one Arrow hop
+    (payload bytes never cross an exchange — only the 8-byte hash
+    does); the block join shuffles (block_idx, block_val, id, hash)
+    rows; popcount verification is codegen'd. Rows-only (numpy kernel;
+    no SQL oracle) — numeric behavior pinned by the golden test's
+    shift-invariance and self-pairing assertions."""
+    imgs = ops.of_kind(ops.media_table(spark), "image")
+    base = ops.phash_image(imgs)
+    shifted = ops.phash_image(imgs, brightness_shift=_PH_SHIFT).select(
+        (F.col("media_id") + 200_000).alias("media_id"), "phash"
+    )
+    ph = base.unionByName(shifted).localCheckpoint(eager=True)
+    blocks = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftrightunsigned(phash, {8 * j}) & 255")
+                    for j in range(_PH_BLOCKS)
+                ]
+            )
+        ).alias("j", "bv"),
+    )
+    ok = (
+        blocks.groupBy("j", "bv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") <= _PH_CAP)
+        .select("j", "bv")
+    )
+    gated = blocks.join(ok, ["j", "bv"])
+    cand = (
+        gated.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter(F.col("hamming") <= _PH_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )

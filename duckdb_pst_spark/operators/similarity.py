@@ -1278,6 +1278,7 @@ def q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     tags=("similarity", "quality", "pipeline"),
+    bench=True,
 )
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking AUC (Mann-Whitney U with average-rank tie handling) —
@@ -1390,6 +1391,7 @@ def _top_ranked(df: DataFrame, by: str, alias: str) -> DataFrame:
     "q_hybrid_rrf",
     oracle=_hybrid_oracle(),
     tags=("similarity", "search", "pipeline"),
+    bench=True,
 )
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with Reciprocal Rank Fusion [Cormack et al.,

@@ -205,3 +205,31 @@ def test_probe_real_pst_jpeg(spark):
     assert jpg
     p = probed[jpg[0].media_id]
     assert (p.format, p.width, p.height, p.channels) == ("jpeg", 200, 150, 3)
+
+
+def test_phash_pairs_golden(spark, media):
+    """dHash near-dup: every brightness-shifted re-ingest pairs with its
+    original within the Hamming threshold (digests all differ — this is
+    the case content-digest dedup cannot catch), most at exactly 0."""
+    from duckdb_pst_spark.registry import load_all
+
+    rows = load_all()["q_media_phash_pairs"].builder(spark, "unused").collect()
+    n_imgs = media.filter("kind = 'image'").count()
+    self_pairs = {(r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + 200_000}
+    assert len(self_pairs) == n_imgs  # every copy found
+    assert all(r.hamming <= 6 for r in rows)
+    assert sum(1 for r in rows if r.hamming == 0) >= n_imgs // 4
+
+
+def test_phash_brightness_invariance(spark, media):
+    """The hash itself: unshifted vs +16-shifted hashes agree on most
+    bits per image (saturation clipping may flip a few), and identical
+    inputs produce identical hashes (determinism)."""
+    from duckdb_pst_spark.multimodal import ops
+
+    imgs = ops.of_kind(media, "image")
+    a = {r.media_id: r.phash for r in ops.phash_image(imgs).collect()}
+    b = {r.media_id: r.phash for r in ops.phash_image(imgs).collect()}
+    assert a == b  # bit-deterministic
+    s = {r.media_id: r.phash for r in ops.phash_image(imgs, brightness_shift=16).collect()}
+    assert all(bin((a[m] ^ s[m]) & (2**64 - 1)).count("1") <= 6 for m in a)
