@@ -1436,3 +1436,84 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fused.orderBy(F.desc("rrf_u"), F.asc("doc_id")).limit(_HYB_TOP)
 
+
+
+# ------------------------------------------------- embedding drift QA
+@query(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH comp AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS side,
+             i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vu
+      FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
+    ),
+    cent AS (
+      SELECT dim,
+             CASE WHEN sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(sum(CASE WHEN side = 0 THEN vu END) AS BIGINT)
+                    // CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             END AS c_a_u,
+             CASE WHEN sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(sum(CASE WHEN side = 1 THEN vu END) AS BIGINT)
+                    // CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             END AS c_b_u
+      FROM comp GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, c_a_u, c_b_u,
+           abs(c_a_u - c_b_u) AS abs_diff_u
+    FROM cent
+    ORDER BY dim
+    """,
+    tags=("similarity", "quality", "pipeline"),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices as
+    per-dimension centroid deltas — the vector-space analogue of
+    q_histogram_drift, the monitor that catches an encoder version
+    bump, a preprocessing change, or a shifted data mix before cosine
+    thresholds silently break downstream (dedup, ANN, clustering all
+    assume a stable embedding distribution). Components floor-scale to
+    micro-unit BIGINTs BEFORE summation, so the centroid is exact
+    integer arithmetic — order-independent and engine-identical (a
+    float mean would differ by summation order across partitions).
+
+    Scale design: ONE shuffle keyed on (slice, dim) with map-side
+    partial sums — per-task state is 2·{64} accumulators however big
+    the corpus, and the reduced table is 2·{64} rows; the centroid
+    division and drift projection are driver-trivial. The same plan
+    computes per-SOURCE centroids at any source count (key = (source,
+    dim), still map-side-collapsed)."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("side"),
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    ).select(
+        "side",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("vu"),
+    )
+    cent = comp.groupBy("dim").agg(
+        # empty-slice guard: a one-class corpus has no side-1 rows,
+        # and DuckDB's // raises on zero where Spark's div returns NULL
+        F.expr(
+            "CASE WHEN sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) = 0"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(sum(CASE WHEN side = 0 THEN vu END) AS BIGINT)"
+            " div sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) END"
+        ).alias("c_a_u"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) = 0"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(sum(CASE WHEN side = 1 THEN vu END) AS BIGINT)"
+            " div sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) END"
+        ).alias("c_b_u"),
+    )
+    return cent.select(
+        F.col("dim").cast("long").alias("dim"),
+        "c_a_u",
+        "c_b_u",
+        F.abs(F.col("c_a_u") - F.col("c_b_u")).alias("abs_diff_u"),
+    ).orderBy("dim")

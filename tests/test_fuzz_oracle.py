@@ -649,3 +649,19 @@ def test_fuzz_source_overlap(spark, docs):
     (no pairs), shingle-free docs, sketches smaller than K, identical
     sources (jaccard 10^6)."""
     _check(spark, "q_source_overlap", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.sampled_from(_COORDS), min_size=64, max_size=64),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_fuzz_embedding_drift(spark, vecs):
+    """Centroid drift on adversarial inputs: one-class corpora (empty
+    side -> the 0-centroid guard, no division by zero), negative
+    components (floor-scaling toward -inf must agree), single vectors."""
+    _check(spark, "q_embedding_drift", {"embeddings": lambda p: _write_embeddings(vecs, p)})
