@@ -996,3 +996,52 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
     )
     return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+# ------------------------------------------------- LATERAL correlated join
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey < 20
+    """,
+    tags=("relational", "join"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per customer, written
+    as the per-row dependent subquery every analyst reaches for, not a
+    hand-rolled window. Both engines accept the IDENTICAL SQL text
+    (modern-SQL surface parity); the point is what Catalyst compiles it
+    to: the correlation decorrelates into a per-key WindowGroupLimit
+    (partial top-k heaps BEFORE the exchange, then final top-k after —
+    no per-customer re-execution, no nested loop), and the c_custkey<20
+    predicate pushes through the correlation into BOTH parquet scans.
+
+    Scale shape: one orders shuffle on the correlation key carrying at
+    most 2 rows per key out of the partial heaps, broadcast join with
+    the filtered customer side. A naive engine executes the subquery
+    once per outer row; the decorrelated plan is O(orders) once —
+    which is the difference between LATERAL being a trap and a tool at
+    100 TB."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey < 20
+        """
+    )

@@ -665,3 +665,13 @@ def test_fuzz_embedding_drift(spark, vecs):
     side -> the 0-centroid guard, no division by zero), negative
     components (floor-scaling toward -inf must agree), single vectors."""
     _check(spark, "q_embedding_drift", {"embeddings": lambda p: _write_embeddings(vecs, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_lateral_topk(spark, rows):
+    """LATERAL top-k on adversarial orders: duplicate (custkey, price)
+    pairs at the k=2 boundary (o_orderkey tiebreak), customers with one
+    or zero orders (LATERAL inner join drops them), duplicate order
+    keys."""
+    _check(spark, "q_lateral_topk", {"orders": lambda p: _write_orders(rows, p)})
