@@ -675,3 +675,13 @@ def test_fuzz_lateral_topk(spark, rows):
     or zero orders (LATERAL inner join drops them), duplicate order
     keys."""
     _check(spark, "q_lateral_topk", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_setsim_prefix(spark, docs):
+    """Prefix-filter set-sim join on tiny corpora: identical docs
+    (jaccard 10^6), singleton token sets (prefix = whole set),
+    frequency ties broken by token string, pairs exactly at the 0.5
+    threshold boundary."""
+    _check(spark, "q_setsim_prefix", {"documents": lambda p: _write_rich_documents(docs, p)})
