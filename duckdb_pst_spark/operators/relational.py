@@ -1045,3 +1045,81 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 20
         """
     )
+
+
+# ---------------------------------------------------- z-order layout
+def _zorder_oracle() -> str:
+    from duckdb_pst_spark.functions.zorder import duck_zval
+
+    z = duck_zval("o_custkey", "o_orderkey", "mnx", "mxx", "mny", "mxy")
+    return f"""
+    WITH mm AS (
+      SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+             min(o_orderkey) AS mny, max(o_orderkey) AS mxy
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, o_custkey, CAST({z} AS BIGINT) AS zval
+      FROM orders CROSS JOIN mm
+    ),
+    b AS (SELECT o_orderkey, o_custkey, zval // {1 << 12} AS bucket FROM z)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(o_orderkey) AS min_ord, max(o_orderkey) AS max_ord
+    FROM b GROUP BY bucket
+    """
+
+
+@query(
+    "q_zorder_stats",
+    oracle=_zorder_oracle(),
+    tags=("relational", "layout"),
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering statistics: every order keyed by the
+    bit-interleave of equal-width-normalized (o_custkey, o_orderkey)
+    bucket ids, grouped into the curve's top-4-bit buckets, reporting
+    each bucket's min/max of BOTH keys. Normalization first is the
+    load-bearing step — interleaving RAW keys with asymmetric domains
+    (14-bit orderkey vs 8-bit custkey) puts every leading z bit on the
+    wide key and collapses to a single-key sort, which is why every
+    production z-order (Delta/Iceberg OPTIMIZE ZORDER) range-buckets
+    per column before interleaving. The output shows the payoff: each
+    bucket bounds BOTH dimensions at once, so a z-sorted file layout
+    prunes on either column's filter (write path: sinks.export_zorder;
+    footer-stats pruning measured in tests/test_sinks.py). All integer
+    shift-by-division algebra — exact and identical on both engines.
+
+    Scale shape: min/max come from ONE tiny aggregate broadcast back;
+    the z-value is then a scan-local codegen'd projection and the
+    rollup a 16-group map-side-combined groupBy. The export's z-sort is
+    a range exchange — the only corpus-sized movement, paid once at
+    layout time."""
+    from duckdb_pst_spark.functions.zorder import spark_zval
+
+    o = table(spark, sf_dir, "orders")
+    mm = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("mnx"), F.max("o_custkey").alias("mxx"),
+            F.min("o_orderkey").alias("mny"), F.max("o_orderkey").alias("mxy"),
+        )
+    )
+    z = o.crossJoin(mm).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(spark_zval("o_custkey", "o_orderkey", "mnx", "mxx", "mny", "mxy"))
+        .cast("long")
+        .alias("zval"),
+    )
+    return (
+        z.withColumn("bucket", F.expr(f"zval div {1 << 12}").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_orderkey").alias("min_ord"),
+            F.max("o_orderkey").alias("max_ord"),
+        )
+    )

@@ -154,3 +154,45 @@ def compact_parquet(
         .parquet(dest)
     )
     return n_files
+
+
+def export_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_records_per_file: int,
+    compression: str = DEFAULT_COMPRESSION,
+) -> None:
+    """Z-order-clustered parquet export: rows sort by the Morton
+    interleave of (x_col, y_col) before writing, so each output file
+    covers a small RECTANGLE of the key space — min/max footer stats
+    then prune files for selective filters on EITHER column, where a
+    plain sort prunes on one only (the Delta/Iceberg OPTIMIZE ZORDER
+    layout, measured in tests/test_sinks.py). The sort is a normal
+    range-partitioned exchange — no skew beyond the data's own."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.functions.zorder import spark_zval
+
+    mm = F.broadcast(
+        df.agg(
+            F.min(x_col).alias("_mnx"), F.max(x_col).alias("_mxx"),
+            F.min(y_col).alias("_mny"), F.max(y_col).alias("_mxy"),
+        )
+    )
+    (
+        df.crossJoin(mm)
+        .withColumn(
+            "_z", F.expr(spark_zval(x_col, y_col, "_mnx", "_mxx", "_mny", "_mxy"))
+        )
+        .drop("_mnx", "_mxx", "_mny", "_mxy")
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )

@@ -685,3 +685,13 @@ def test_fuzz_setsim_prefix(spark, docs):
     frequency ties broken by token string, pairs exactly at the 0.5
     threshold boundary."""
     _check(spark, "q_setsim_prefix", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_zorder_stats(spark, rows):
+    """Z-order bucketing on adversarial orders: single-row tables
+    (min = max, zero-width domains -> bucket arithmetic must not
+    divide by zero since max - min + 1 >= 1), duplicate keys, negative
+    totals ignored by the integer key path."""
+    _check(spark, "q_zorder_stats", {"orders": lambda p: _write_orders(rows, p)})

@@ -127,3 +127,40 @@ def test_compact_parquet_collapses_small_files(spark, sf_dir, tmp_path):
     written = [f for f in os.listdir(dest) if f.endswith(".parquet")]
     assert len(written) == 1
     assert spark.read.parquet(dest).count() == src.count()
+
+
+def test_zorder_export_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """export_zorder bounds BOTH key ranges per file: for a selective
+    box filter on (o_custkey, o_orderkey), footer min/max stats skip
+    most files on EITHER dimension — a single-key sort only prunes one.
+    Measured: the fraction of files whose [min,max] intersects a small
+    box must be well under 1 for both columns."""
+    import pyarrow.parquet as pq
+
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dest = str(tmp_path / "orders_z")
+    sinks.export_zorder(src, dest, "o_custkey", "o_orderkey", max_records_per_file=500)
+
+    files = [f for f in sorted(os.listdir(dest)) if f.endswith(".parquet")]
+    assert len(files) >= 8
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(dest, f)).metadata
+        stats = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                lo, hi = col.statistics.min, col.statistics.max
+                cur = stats.get(name)
+                stats[name] = (
+                    (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+                )
+        spans.append(stats)
+
+    n_cust = sum(1 for s in spans if not (s["o_custkey"][1] < 0 or s["o_custkey"][0] > 50))
+    n_ord = sum(1 for s in spans if not (s["o_orderkey"][1] < 0 or s["o_orderkey"][0] > 500))
+    # a point/box query on either dim touches a minority of files
+    assert n_cust <= len(files) // 2, (n_cust, len(files))
+    assert n_ord <= len(files) // 2, (n_ord, len(files))
+    assert spark.read.parquet(dest).count() == src.count()
