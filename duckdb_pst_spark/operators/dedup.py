@@ -1373,12 +1373,15 @@ _SSJ_TAU_U = 500_000  # Jaccard >= 0.5, micro-units
       GROUP BY tok.doc_id
     ),
     pfx AS (
-      SELECT doc_id, unnest(toks_o[1 : len(toks_o) // 2 + 1]) AS t
-      FROM ordered
+      SELECT doc_id, CAST(len(toks_o) AS BIGINT) AS n,
+             CAST(i AS BIGINT) AS p, toks_o[i] AS t
+      FROM ordered, unnest(range(1, len(toks_o) // 2 + 2)) AS u(i)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pfx a JOIN pfx b ON b.t = a.t AND b.doc_id > a.doc_id
+      WHERE b.n <= 2 * a.n AND a.n <= 2 * b.n
+        AND 3 * (1 + least(a.n - a.p, b.n - b.p)) >= a.n + b.n
     ),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -1387,9 +1390,17 @@ _SSJ_TAU_U = 500_000  # Jaccard >= 0.5, micro-units
       FROM cand c
       JOIN sets sa ON sa.doc_id = c.doc_a
       JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE (CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 1000000)
+               // len(list_distinct(list_concat(sa.s, sb.s))) >= {_SSJ_TAU_U}
+    ),
+    sides AS (
+      SELECT doc_a AS doc_id, jaccard_u FROM verified
+      UNION ALL
+      SELECT doc_b AS doc_id, jaccard_u FROM verified
     )
-    SELECT doc_a, doc_b, jaccard_u FROM verified
-    WHERE jaccard_u >= {_SSJ_TAU_U}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           max(jaccard_u) AS max_jaccard_u
+    FROM sides GROUP BY doc_id
     """,
     tags=("dedup", "join", "pipeline"),
 )
@@ -1402,7 +1413,16 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n div 2 + 1 as join keys — any pair with Jaccard ≥ ½ must share a
     token inside both prefixes, and because prefixes lead with RARE
     tokens, candidate fan-out stays near the true-pair count instead
-    of colliding on stopwords. Exact Jaccard verifies each candidate.
+    of colliding on stopwords; the PPJoin length filter (sizes within
+    2×) and positional filter (3·(1+min remaining) ≥ n_a+n_b, sound
+    for the first common prefix token of every true pair) prune
+    candidates BEFORE the distinct shuffle. Exact Jaccard verifies
+    each survivor. Output is per-document neighbor statistics
+    (n_neighbors, max jaccard) rather than the raw pair list — on a
+    duplicate-heavy corpus the TRUE pair set is itself quadratic
+    (measured: 8.9M pairs at sf0.1, an output-size property no join
+    algorithm can reduce), while per-doc stats stay O(docs) and are
+    what the downstream keep/drop policy consumes anyway.
 
     Scale design: document frequencies are one map-side-combined
     vocabulary aggregate, broadcast back; the per-doc frequency sort is
@@ -1430,13 +1450,31 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pfx = ordered.select(
         "doc_id",
-        F.explode(F.expr("slice(toks_o, 1, size(toks_o) div 2 + 1)")).alias("t"),
-    )
+        F.size("toks_o").cast("long").alias("n"),
+        F.posexplode(F.expr("slice(toks_o, 1, size(toks_o) div 2 + 1)")).alias("p0", "t"),
+    ).select("doc_id", "n", (F.col("p0") + 1).cast("long").alias("p"), "t")
     cand = (
         pfx.alias("a")
         .join(
             pfx.alias("b"),
-            (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin filters — prune BEFORE the distinct shuffle, still
+            # exact: sizes within 2x (Jaccard >= 1/2 forces it) and the
+            # positional bound 1 + min(remaining_a, remaining_b) >= alpha
+            # (holds for the first common token of every true pair)
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (
+                3
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+                    )
+                )
+                >= F.col("a.n") + F.col("b.n")
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -1445,7 +1483,7 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(size(array_intersect(sa_s, sb_s)) AS BIGINT) * 1000000)"
         " div size(array_union(sa_s, sb_s))"
     )
-    return (
+    verified = (
         cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -1454,4 +1492,11 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", jacc.alias("jaccard_u"))
         .filter(F.col("jaccard_u") >= _SSJ_TAU_U)
+    )
+    sides = verified.select(F.col("doc_a").alias("doc_id"), "jaccard_u").unionByName(
+        verified.select(F.col("doc_b").alias("doc_id"), "jaccard_u")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.max("jaccard_u").alias("max_jaccard_u"),
     )
