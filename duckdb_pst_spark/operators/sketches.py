@@ -621,3 +621,66 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sa", "sb", "k_used",
         F.expr("(both_n * 1000000) div k_used").alias("jaccard_ppm"),
     )
+
+
+# ------------------------------------------------ exact 2-pass median
+_MED_BUCKET_BITS = 16  # histogram bucket width: 2^16 cents = $655.36
+
+
+@query(
+    "q_exact_median_2pass",
+    oracle="""
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    k AS (SELECT (count(*) - 1) // 2 AS kk, CAST(count(*) AS BIGINT) AS n FROM c)
+    SELECT (SELECT n FROM k) AS n,
+           (SELECT cents FROM c ORDER BY cents LIMIT 1 OFFSET (SELECT kk FROM k))
+             AS median_cents
+    """,
+    tags=("sketch", "agg"),
+)
+def q_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median, k = (n−1) div 2) without ever
+    sorting the dataset: the classic two-pass selection. Pass 1 builds
+    a bucket histogram (cents div 2^16 — one map-side-combined groupBy
+    whose output is ~price-range/2^16 rows) and the driver walks the
+    cumulative counts to find the single bucket containing the k-th
+    value plus the within-bucket offset — the same bounded-driver-state
+    pattern as the k-means/IVF training loops. Pass 2 touches ONLY that
+    bucket's rows (a pushed-down range filter) and takes the offset-th
+    smallest via two TakeOrdered heaps, never a global sort. DuckDB's
+    oracle states the same selection as ORDER BY ... OFFSET k.
+
+    Scale math: a global sort of 100 TB is a full-corpus range exchange;
+    this plan's cost is one histogram aggregate + one scan of a single
+    bucket (n/buckets rows ≈ 1/65536th of the value domain). That is
+    why exact order statistics at scale are ALWAYS histogram-refinement
+    (approx_percentile's t-digest is the one-pass cousin; this is the
+    exact variant for when the answer must be a real data value).
+    Exact-integer throughout: floor-scaled cents on both engines."""
+    c = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    hist = (
+        c.groupBy(F.expr(f"cents div {1 << _MED_BUCKET_BITS}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("b")
+        .collect()  # bounded: one row per occupied 2^16-cent bucket
+    )
+    n = sum(r.cnt for r in hist)
+    k = (n - 1) // 2
+    cum = 0
+    target_b, off = None, 0
+    for r in hist:
+        if cum + r.cnt > k:
+            target_b, off = r.b, k - cum
+            break
+        cum += r.cnt
+    bucket = c.filter(F.expr(f"cents div {1 << _MED_BUCKET_BITS}") == target_b)
+    kth = (
+        bucket.orderBy(F.asc("cents"))
+        .limit(off + 1)
+        .orderBy(F.desc("cents"))
+        .limit(1)
+        .select(F.col("cents").alias("median_cents"))
+    )
+    return kth.select(F.lit(n).cast("long").alias("n"), "median_cents")

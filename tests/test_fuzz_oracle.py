@@ -695,3 +695,12 @@ def test_fuzz_zorder_stats(spark, rows):
     divide by zero since max - min + 1 >= 1), duplicate keys, negative
     totals ignored by the integer key path."""
     _check(spark, "q_zorder_stats", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_exact_median(spark, rows):
+    """Two-pass median on adversarial orders: single-row tables (k=0),
+    duplicate prices straddling bucket boundaries, negative prices
+    (floor toward -inf and negative div must agree across engines)."""
+    _check(spark, "q_exact_median_2pass", {"orders": lambda p: _write_orders(rows, p)})
