@@ -73,9 +73,11 @@ def shuffle_count(df: DataFrame) -> int:
     re-partition of its input at cluster scale — the first thing to
     minimize (AQE-reused exchanges are counted once)."""
     plan = executed_plan(df)
-    return len(re.findall(r"\bExchange\b(?! reuse)", plan)) - len(
-        re.findall(r"ReusedExchange", plan)
-    )
+    # \bExchange\b matches only shuffle nodes: "BroadcastExchange" and
+    # "ReusedExchange" have no word boundary before "Exchange", so they
+    # never hit (subtracting ReusedExchange on top — the old form —
+    # double-discounted reuse and went negative on reuse-heavy plans).
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def has_take_ordered(df: DataFrame) -> bool:
