@@ -1123,3 +1123,53 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_ord"),
         )
     )
+
+
+# ------------------------------------------------------- JSONL ingest
+def _jsonl_oracle() -> str:
+    from duckdb_pst_spark.sources.jsonl import fixture_path
+
+    p = fixture_path()
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM read_json('{p}', format='newline_delimited',
+                   columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                             'lang': 'VARCHAR', 'n_tokens': 'BIGINT'}},
+                   ignore_errors=true)
+    WHERE doc_id IS NOT NULL
+    GROUP BY lang
+    """
+
+
+@query(
+    "q_jsonl_ingest",
+    oracle=_jsonl_oracle(),
+    tags=("source", "relational"),
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-line tolerance — the interchange format
+    every training-data pipeline receives. Explicit-schema PERMISSIVE
+    read: malformed lines (the fixture interleaves truncated JSON, the
+    crawler-kill case) become tagged corrupt records instead of job
+    failures — the A18 error-tolerance stance applied to the text-lake
+    world — and the per-language rollup runs on the valid rows, which
+    both engines agree on exactly (DuckDB reads the same file with
+    ignore_errors).
+
+    Scale shape: .jsonl is line-splittable, so the scan parallelizes
+    like any text source; the explicit schema keeps ingest ONE pass
+    (inference is a full extra read at 100 TB and differs between
+    engines); the rollup is a 4-group map-side-combined aggregate."""
+    from duckdb_pst_spark.sources.jsonl import fixture_path, read_jsonl
+
+    d = read_jsonl(spark, fixture_path())
+    valid = d.filter(F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull())
+    return valid.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )

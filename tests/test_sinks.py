@@ -164,3 +164,25 @@ def test_zorder_export_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert n_cust <= len(files) // 2, (n_cust, len(files))
     assert n_ord <= len(files) // 2, (n_ord, len(files))
     assert spark.read.parquet(dest).count() == src.count()
+
+
+def test_jsonl_corrupt_accounting(spark):
+    """JSONL ingest tolerates malformed lines: exactly the fixture's
+    corrupt lines land in _corrupt_record (cached first — Spark
+    disallows corrupt-record-only queries on the raw scan), valid rows
+    parse completely, and nothing is dropped silently."""
+    from duckdb_pst_spark.sources.jsonl import (
+        N_CORRUPT,
+        N_VALID,
+        fixture_path,
+        read_jsonl,
+    )
+
+    d = read_jsonl(spark, fixture_path()).cache()
+    try:
+        assert d.filter("_corrupt_record IS NOT NULL").count() == N_CORRUPT
+        good = d.filter("_corrupt_record IS NULL")
+        assert good.count() == N_VALID
+        assert good.filter("doc_id IS NULL OR text IS NULL OR lang IS NULL").count() == 0
+    finally:
+        d.unpersist()
