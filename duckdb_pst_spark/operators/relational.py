@@ -1173,3 +1173,103 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
     )
+
+
+# ------------------------------------------------------ TPC-H Q19 shape
+_Q19_PRED = """
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+    """,
+    tags=("relational", "join"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted-revenue over a 3-branch disjunctive
+    brand/size/quantity predicate) — the classic planner stress test
+    for OR-of-ANDs: a naive engine evaluates the whole disjunction
+    post-join; a good one pushes the common-branch implications down.
+    Catalyst extracts p_brand IN (...) + the covering p_size/l_quantity
+    ranges below the join (visible as PushedFilters on BOTH scans), so
+    the join's build side is the pre-filtered sliver of part, then
+    re-checks the exact per-branch conjunctions above. Revenue is the
+    floor-scaled integer sum (portable.scaled_long discipline).
+
+    Scale shape: one broadcast join (brand-filtered part is tiny), zero
+    shuffles beyond the scalar aggregate — at 100 TB the win is the
+    pushed residual ranges cutting the lineitem scan via row-group
+    stats before a single join row materializes."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return joined.filter(F.expr(_Q19_PRED)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+# ------------------------------------------------------ TPC-H Q13 shape
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) d
+    GROUP BY c_count
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate ON THE JOIN CONDITION (not a WHERE — the
+    filter must not drop order-less customers), then the double
+    aggregation count → count-of-counts. The outer-join-with-residual
+    and the histogram-of-groups are the two things Q13 exists to test;
+    count(o_orderkey) counts only matched rows (NULL-skipping), giving
+    orderless customers c_count = 0.
+
+    Scale shape: one shuffle joining orders to customer on custkey, one
+    map-side-combined count per customer riding the same partitioning
+    (no re-shuffle — the groupBy key equals the join key), then the
+    count-of-counts aggregate touches |customers| rows collapsing to a
+    ~dozen-row histogram."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )

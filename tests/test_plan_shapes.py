@@ -328,3 +328,19 @@ def test_pipeline_stage_counts_ride_one_execution(spark, sf_dir):
         r["n_docs"] for r in q_pipeline_pretrain(spark, sf_dir).collect()
     )
     assert counts["survivors"] == total
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs must not evaluate post-join only: the covering
+    quantity ranges push into the lineitem scan and the brand/size
+    branches into the part scan, with one broadcast join and a single
+    (aggregate) shuffle."""
+    import re
+
+    df = SPECS["q_tpch_q19"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    pushed = re.findall(r"PushedFilters: \[[^\]]*", plan)
+    assert any("l_quantity" in x for x in pushed), pushed
+    assert any("p_brand" in x for x in pushed), pushed
+    assert pi.broadcast_join_count(df) == 1
+    assert pi.shuffle_count(df) == 1
