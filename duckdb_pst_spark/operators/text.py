@@ -1781,3 +1781,101 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_u"), F.asc("doc_id"))
         .limit(_DSIR_TOP)
     )
+
+
+# ---------------------------------------------------- PMI phrase mining
+_PMI_TOP = 25
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "q_phrase_pmi",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS t FROM toked) u GROUP BY t
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        FROM toked WHERE len(toks) >= 2
+      ) p
+      GROUP BY w1, w2
+      HAVING count(*) >= {_PMI_MIN_COUNT}
+    )
+    SELECT bg.w1, bg.w2, bg.cxy,
+           (((1000000 * bg.cxy) // u1.c) * n.n_tok) // u2.c AS pmi_u
+    FROM bg
+    JOIN uni u1 ON u1.t = bg.w1
+    JOIN uni u2 ON u2.t = bg.w2
+    CROSS JOIN n
+    ORDER BY (((1000000 * bg.cxy) // u1.c) * n.n_tok) // u2.c DESC,
+             bg.w1 ASC, bg.w2 ASC
+    LIMIT {_PMI_TOP}
+    """,
+    tags=("text", "pipeline"),
+)
+def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining by pointwise mutual information —
+    the word2phrase step [Mikolov et al., 2013] that turns "new york"
+    into a unit before tokenizer training: bigrams scored by
+    10⁶·c(x,y)·N div (c(x)·c(y)) (the monotone integer stand-in for
+    PMI = log of that ratio), with a min-count gate against
+    one-off-pair noise, top-{25} reported. High scorers are pairs that
+    co-occur far above independence — named entities, fixed phrases,
+    domain terms.
+
+    Scale shape: one token pass for unigram counts (map-side-combined,
+    vocab-sized output broadcast back), one bigram pass HAVING-gated
+    to pairs seen ≥{5}× BEFORE the scoring joins, and the unigram
+    joins hit the broadcast table — so the only big shuffle is the
+    bigram groupBy, and TakeOrderedAndProject picks the top. The same
+    plan iterates for trigrams by re-running over the phrase-merged
+    corpus (the word2phrase loop)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    uni = (
+        d.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.broadcast(uni.agg(F.sum("c").cast("long").alias("n_tok")))
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    u1 = F.broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(n)
+        .select(
+            "w1", "w2", "cxy",
+            # two-step floor-div: c1 >= cxy always, so the first step is
+            # <= 10^6 and the product with n_tok cannot overflow BIGINT at
+            # any corpus size (the one-step 10^6*cxy*n_tok form overflows
+            # past ~10^7 tokens)
+            F.expr("(((1000000 * cxy) div c1) * n_tok) div c2").alias("pmi_u"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_u"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOP)

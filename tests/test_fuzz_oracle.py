@@ -704,3 +704,12 @@ def test_fuzz_exact_median(spark, rows):
     duplicate prices straddling bucket boundaries, negative prices
     (floor toward -inf and negative div must agree across engines)."""
     _check(spark, "q_exact_median_2pass", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_phrase_pmi(spark, docs):
+    """PMI phrase mining on tiny corpora: no bigram reaching the
+    min-count gate (empty result), single-token docs, repeated-word
+    docs (cxy close to c1 = c2), top-25 ties broken by (w1, w2)."""
+    _check(spark, "q_phrase_pmi", {"documents": lambda p: _write_rich_documents(docs, p)})
