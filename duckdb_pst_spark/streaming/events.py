@@ -407,3 +407,79 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             scaled_long(F.col("value")).alias("last_value_c"),
         )
     )
+
+
+@query(
+    "q_stream_sessions_native",
+    oracle="""
+    SELECT user_id, session_start, CAST(n_events AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+          FROM (
+            SELECT event_id, user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+          ) a
+        ) b
+      ) c
+      GROUP BY user_id, sid
+    ) d
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization — Spark's built-in
+    merging-session-state operator beside the repo's two other session
+    variants (q_sessionize: batch lag/cumsum; q_stream_stateful_sessions:
+    custom applyInPandasWithState), completing the API family. Each
+    event opens a [ts, ts+30min) range; overlapping ranges merge, so an
+    event at EXACTLY prev+30min starts a NEW session — a half-open
+    boundary one notch tighter than the batch q_sessionize's closed
+    rule, which the oracle pins with `>=` (the two operators disagree
+    on exact-boundary events by design, and the oracles encode which).
+
+    Scale: session_window keeps per-key merging state in the state
+    store, bounded by watermark in a continuous run; the bounded
+    replay here (AvailableNow + complete mode) finalizes through the
+    parquet round-trip like the other streaming adapters — no
+    driver-side collect of the result set."""
+    from duckdb_pst_spark.streaming.finalize import finalize_complete
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    staging = str(_CACHE_DIR / f"dps_sess_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(staging, "part-0.parquet")
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(staging)
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
+        sess = (
+            stream.groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id", F.col("w.start").alias("session_start"), "n_events"
+            )
+        )
+        return finalize_complete(sess, "stream_sessions_native")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
