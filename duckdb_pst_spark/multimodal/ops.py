@@ -302,3 +302,43 @@ def phash_image(images: DataFrame, brightness_shift: int = 0) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return src.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+SCENE_SCHEMA = "media_id long, frame_idx int, mad_u long, is_cut boolean"
+
+
+def scene_cuts(videos: DataFrame, threshold_u: int = 40_000) -> DataFrame:
+    """RAW video → per-frame-transition mean absolute pixel difference
+    (scaled to micro-units of the 0..255 range) + cut flag — shot/scene
+    boundary detection, the frame-dedup/keyframe-selection primitive a
+    video training pipeline runs before sampling frames (sampling
+    UNIFORMLY from a mostly-static video wastes the token budget on
+    near-identical frames; sampling at cuts doesn't).
+
+    Integer-exact: mad_u = (Σ|px_t − px_{t−1}|) · 10⁶ // (n_px · 255),
+    so the flag is deterministic everywhere. One Arrow hop per video;
+    the per-transition loop is numpy over whole frames.
+    """
+    src = videos.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-vid8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                nf = int(meta["n_frames"])
+                fl = w * h * c
+                frames = np.frombuffer(raw[: nf * fl], dtype=np.uint8).reshape(nf, fl)
+                d = np.abs(frames[1:].astype(np.int64) - frames[:-1].astype(np.int64))
+                sums = d.sum(axis=1)
+                for fi in range(1, nf):
+                    mad_u = int(sums[fi - 1]) * 1_000_000 // (fl * 255)
+                    out.append((mid, fi, mad_u, mad_u >= threshold_u))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "mad_u", "is_cut"]
+            )
+
+    return src.mapInPandas(batches, schema=SCENE_SCHEMA)

@@ -309,3 +309,30 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PH_HAMMING)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@query(
+    "q_media_scene_cuts",
+    tags=("multimodal", "video"),
+)
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video scene statistics from the integer-exact frame-diff
+    kernel (ops.scene_cuts): number of transitions, number of cuts at
+    the 0.04-of-full-scale threshold, and the max/mean transition
+    magnitude — the keyframe-selection signal that stops a video
+    pipeline from sampling near-identical frames. Rows-only (numpy
+    kernel; no SQL oracle) — determinism and the flag math are pinned
+    by the golden test recomputing a video's diffs in-process.
+
+    Scale shape: one Arrow hop per video row computing all transitions
+    in vectorized numpy; the rollup shuffles 4 BIGINTs per video. At
+    100 TB the frame payloads never cross an exchange — only the
+    per-transition scalars do."""
+    vids = ops.of_kind(ops.media_table(spark), "video")
+    d = ops.scene_cuts(vids)
+    return d.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).cast("long").alias("n_cuts"),
+        F.max("mad_u").alias("max_mad_u"),
+        F.expr("CAST(sum(mad_u) div count(*) AS BIGINT)").alias("mean_mad_u"),
+    )

@@ -233,3 +233,30 @@ def test_phash_brightness_invariance(spark, media):
     assert a == b  # bit-deterministic
     s = {r.media_id: r.phash for r in ops.phash_image(imgs, brightness_shift=16).collect()}
     assert all(bin((a[m] ^ s[m]) & (2**64 - 1)).count("1") <= 6 for m in a)
+
+
+def test_scene_cuts_golden(spark, media):
+    """Frame-diff kernel vs an in-process numpy recompute on one video:
+    identical mad_u for every transition, deterministic across runs,
+    and the rollup counts match the raw kernel output."""
+    from duckdb_pst_spark.multimodal import ops
+    from duckdb_pst_spark.registry import load_all
+
+    vids = ops.of_kind(media, "video")
+    one = vids.orderBy("media_id").limit(1)
+    row = one.collect()[0]
+    meta, raw = row.meta, bytes(row.bytes)
+    w, h, c, nf = (int(meta["width"]), int(meta["height"]),
+                   int(meta["channels"]), int(meta["n_frames"]))
+    fl = w * h * c
+    frames = np.frombuffer(raw[: nf * fl], dtype=np.uint8).reshape(nf, fl)
+    expect = {}
+    for fi in range(1, nf):
+        s = int(np.abs(frames[fi].astype(np.int64) - frames[fi - 1].astype(np.int64)).sum())
+        expect[fi] = s * 1_000_000 // (fl * 255)
+    got = {r.frame_idx: r.mad_u for r in ops.scene_cuts(one).collect()}
+    assert got == expect
+    agg = {r.media_id: r for r in
+           load_all()["q_media_scene_cuts"].builder(spark, "unused").collect()}
+    assert agg[row.media_id].n_transitions == nf - 1
+    assert agg[row.media_id].max_mad_u == max(expect.values())
