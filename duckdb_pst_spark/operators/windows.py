@@ -824,3 +824,84 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("inserted"))
         .alias("action"),
     )
+
+
+# ----------------------------------------------------- Pareto skyline
+_SKY_BUCKETS = 256
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH c AS (
+      SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size FROM part
+    )
+    SELECT p.p_partkey, p.cents, p.size
+    FROM c p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c q
+      WHERE q.cents <= p.cents AND q.size <= p.size
+        AND (q.cents < p.cents OR q.size < p.size)
+    )
+    """,
+    tags=("window", "relational"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (non-dominated set over price × size) — the
+    classic preference-query operator [Börzsönyi et al., ICDE'01]: a
+    part survives iff nothing is both ≤ on price and ≤ on size with
+    one strict. Naively an O(n²) anti-self-join; in one dimension
+    sorted it collapses to a prefix-minimum sweep — and the sweep is
+    implemented here as a DISTRIBUTED prefix-scan, never a single-task
+    global window: rows bucket into 256 equal-width price ranges
+    (bucketing is monotone, so lower bucket ⇒ strictly lower price);
+    per-bucket minima form a 256-row table whose cumulative min
+    broadcasts back; the within-bucket strict-prefix min runs in a
+    window PARTITIONED BY bucket (parallel); a row survives iff both
+    minima are > its size and it is minimal among equal prices (equal
+    price+size pairs never dominate each other, so duplicates all
+    survive). The oracle states the same set as the NOT EXISTS
+    anti-join — quadratic but fine for an embedded engine at QA scale.
+
+    Scale shape: one 256-group map-side-combined aggregate, one tiny
+    broadcast join, and windows whose partitions are price buckets /
+    equal-price groups — the distributed-prefix-scan shape that turns
+    any ordered sweep (skylines, running minima, gap detection) into
+    bounded-partition work at 100 TB."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    mm = F.broadcast(p.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx")))
+    b = p.crossJoin(mm).withColumn(
+        "bucket",
+        F.expr(f"((cents - mn) * {_SKY_BUCKETS}) div (mx - mn + 1)"),
+    )
+    per_bucket = b.groupBy("bucket").agg(F.min("size").alias("bmin"))
+    wprior = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256 rows — driver-trivial window
+    prior = per_bucket.withColumn(
+        "prior_min", F.min("bmin").over(wprior)
+    ).select("bucket", "prior_min")
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wc = Window.partitionBy("cents")
+    out = (
+        b.join(F.broadcast(prior), "bucket")
+        .withColumn("inb_min", F.min("size").over(wb))
+        # least() skips NULLs (empty prefix on either level), returning
+        # NULL only when BOTH prefixes are empty — the global minimum row
+        .withColumn("m1", F.least(F.col("prior_min"), F.col("inb_min")))
+        .withColumn("cmin", F.min("size").over(wc))
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") > F.col("size")))
+            & (F.col("size") == F.col("cmin"))
+        )
+    )
+    return out.select("p_partkey", "cents", "size")

@@ -713,3 +713,42 @@ def test_fuzz_phrase_pmi(spark, docs):
     min-count gate (empty result), single-token docs, repeated-word
     docs (cxy close to c1 = c2), top-25 ties broken by (w1, w2)."""
     _check(spark, "q_phrase_pmi", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+def _write_part(rows: list[tuple[float, int]], path: str) -> None:
+    """Minimal part: fuzzed (p_retailprice, p_size) with the production
+    schema. Duplicate (price, size) pairs are deliberate — equal pairs
+    never dominate each other, so all must survive the skyline."""
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": range(len(rows)),
+            "p_name": [f"part {i}" for i in range(len(rows))],
+            "p_brand": ["Brand#1"] * len(rows),
+            "p_type": ["STANDARD"] * len(rows),
+            "p_size": [r[1] for r in rows],
+            "p_retailprice": [r[0] for r in rows],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand, p_type,"
+        " CAST(p_size AS BIGINT) AS p_size,"
+        " CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM pdf",
+        pdf,
+        path,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(_VALUES), st.integers(min_value=1, max_value=8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzz_skyline(spark, rows):
+    """Pareto skyline on adversarial parts: duplicate (price, size)
+    pairs (all survive), single-row tables (min=max bucket domain),
+    equal prices with distinct sizes (only the min size survives),
+    negative prices (bucket arithmetic on negative cents)."""
+    _check(spark, "q_skyline", {"part": lambda p: _write_part(rows, p)})
