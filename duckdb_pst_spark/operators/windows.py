@@ -905,3 +905,79 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("p_partkey", "cents", "size")
+
+
+# -------------------------------------------------------- OHLC bars
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar,
+             ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bar, cents,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v
+    )
+    SELECT event_type, bar,
+           CAST(sum(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+           max(cents) AS high_c,
+           min(cents) AS low_c,
+           CAST(sum(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r
+    GROUP BY event_type, bar
+    """,
+    tags=("window", "timeseries"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical hypertable rollup (TimescaleDB's
+    first/last + candlestick demo): per event_type × hour, the first
+    and last observed value (open/close), the extremes (high/low), and
+    the tick count. First/last are made deterministic by the
+    (ts, event_id) total order — a bare first()/arg_min on ts alone is
+    ambiguous under same-timestamp ticks, which is exactly where
+    engines disagree; values floor-scale to integer cents so the bars
+    hash-check bit-exactly.
+
+    Scale shape: the two row_number windows and the final aggregate all
+    partition by (event_type, bar) — ONE shuffle on the bar key serves
+    all three (the windows and the groupBy share partitioning), state
+    per group is O(1), and bars parallelize across the full cluster
+    like any keyed window. This is the continuous-aggregate shape: at
+    100 TB you materialize it incrementally per closed window
+    (q_stream_closed_windows is the streaming twin)."""
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        # NOT date_trunc: Spark's date_trunc returns TIMESTAMP (LTZ) even
+        # for NTZ input, routing the value through the session timezone.
+        # Field extraction + make_timestamp_ntz is zone-free on NTZ.
+        F.expr(
+            "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+        ).alias("bar"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "bar").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = v.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "bar").agg(
+        F.sum(F.when(F.col("rn_a") == 1, F.col("cents"))).cast("long").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.sum(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

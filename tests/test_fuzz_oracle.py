@@ -752,3 +752,12 @@ def test_fuzz_skyline(spark, rows):
     equal prices with distinct sizes (only the min size survives),
     negative prices (bucket arithmetic on negative cents)."""
     _check(spark, "q_skyline", {"part": lambda p: _write_part(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_ohlc_bars(spark, rows):
+    """OHLC bars on tie-heavy events: same-timestamp ticks (the
+    (ts, event_id) tiebreak decides open/close), single-event bars
+    (open = high = low = close), negative values (floor toward -inf)."""
+    _check(spark, "q_ohlc_bars", {"events": lambda p: _write_events(rows, p)})
