@@ -981,3 +981,76 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn_d") == 1, F.col("cents"))).cast("long").alias("close_c"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# ------------------------------------------------- regression aggregate
+_REGR_EPOCH = "2024-01-01 00:00:00"  # x origin (events start here)
+
+
+@query(
+    "q_regr_slope",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '{_REGR_EPOCH}', ts) AS BIGINT) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           CASE WHEN (n * sxx - sx * sx) // 1000000 = 0 THEN NULL
+                ELSE (n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000000) END
+             AS slope_u
+    FROM s
+    """,
+    tags=("window", "agg", "timeseries"),
+)
+def q_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression slope (value trend over time, the
+    regr_slope aggregate family) — computed EXACTLY in integers from
+    the five classical sufficient statistics (n, Σx, Σy, Σxy, Σx²):
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), emitted as exact
+    numerator/denominator plus a micro-unit quotient. Native
+    regr_slope is float and partition-order-dependent; the sufficient
+    statistics are integer sums, so they merge associatively and the
+    result is bit-identical on any engine or partitioning. x is hours
+    from a fixed NTZ origin via zone-free timestamp difference
+    (NEVER unix_timestamp — session-tz-dependent).
+
+    Scale shape: ONE map-side-combined groupBy carrying five BIGINTs
+    of state per group — the textbook mergeable aggregate; degenerate
+    groups (all x equal → den 0) yield NULL. Integer headroom: with
+    x ≤ 10³ and cents ≤ 10⁶, nΣxy stays in BIGINT to n ≈ 10⁹ rows per
+    group; beyond that, center x on the group mean with a first pass
+    (the standard two-pass stabilization) or widen to DECIMAL."""
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"timestampdiff(HOUR, TIMESTAMP_NTZ '{_REGR_EPOCH}', ts)"
+        ).cast("long").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) div 1000000 = 0 THEN NULL"
+            " ELSE (n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000) END"
+        ).alias("slope_u"),
+    )

@@ -761,3 +761,12 @@ def test_fuzz_ohlc_bars(spark, rows):
     (ts, event_id) tiebreak decides open/close), single-event bars
     (open = high = low = close), negative values (floor toward -inf)."""
     _check(spark, "q_ohlc_bars", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_regr_slope(spark, rows):
+    """OLS slope on tiny groups: single-point groups and all-same-x
+    groups (den = 0 -> NULL via the guard on both engines), negative
+    values, duplicate (x, y) points."""
+    _check(spark, "q_regr_slope", {"events": lambda p: _write_events(rows, p)})
