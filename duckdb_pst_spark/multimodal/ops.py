@@ -342,3 +342,33 @@ def scene_cuts(videos: DataFrame, threshold_u: int = 40_000) -> DataFrame:
             )
 
     return src.mapInPandas(batches, schema=SCENE_SCHEMA)
+
+
+SHIFT_SCHEMA = "media_id long, kind string, bytes binary, meta struct<" \
+    "format string, width int, height int, channels int, " \
+    "sample_rate int, n_samples long, n_frames int>"
+
+
+def shift_brightness(images: DataFrame, delta: int) -> DataFrame:
+    """RAW RGB payload → clip(px + delta) payload, same shape/meta —
+    the re-encoded-copy generator: every byte of the payload changes
+    (so content digests differ) while the image is visually the same
+    (so perceptual hashes agree). Used by q_pipeline_media's probe
+    re-crawl."""
+    src = images.select("media_id", "kind", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, kind, raw, meta in zip(
+                b["media_id"], b["kind"], b["bytes"], b["meta"]
+            ):
+                _require_raw(meta["format"], "raw-rgb8")
+                px = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+                shifted = np.clip(px + delta, 0, 255).astype(np.uint8)
+                out.append((mid, kind, shifted.tobytes(), meta))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "bytes", "meta"])
+
+    return src.mapInPandas(batches, schema=SHIFT_SCHEMA)

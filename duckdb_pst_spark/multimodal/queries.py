@@ -336,3 +336,90 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mad_u").alias("max_mad_u"),
         F.expr("CAST(sum(mad_u) div count(*) AS BIGINT)").alias("mean_mad_u"),
     )
+
+
+@query(
+    "q_pipeline_media",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship multimodal pipeline — the media twin of
+    q_pipeline_pretrain, as ONE lazy program: ingest (the corpus plus a
+    brightness-shifted re-crawl of every image under new ids — every
+    payload byte differs), exact content-digest dedup (catches nothing
+    on the shifted copies, by design), perceptual near-dup removal
+    (dHash block index + popcount; keep-smallest-id policy drops every
+    shifted copy), then per-kind survivor statistics. The point of the
+    composition is the ordering a real pipeline needs: cheap exact
+    digest FIRST (it collapses true re-uploads for free), perceptual
+    SECOND (it pays the kernel only for digest-distinct media), stats
+    LAST on survivors only.
+
+    Scale shape: digests are scan-local JVM sha2; the phash kernel is
+    one Arrow hop; both dedup joins key on 8-byte values (payload
+    bytes never cross an exchange); the near-dup drop is a left-anti
+    join against the pair set's larger ids. Rows-only (the dHash
+    kernel has no SQL twin) — pinned by the golden test asserting the
+    shifted re-crawl is removed entirely while audio/video pass
+    through untouched."""
+    m = ops.media_table(spark).select("media_id", "kind", "bytes", "meta")
+    imgs = ops.of_kind(m, "image")
+    # the probe re-crawl: payload bytes ACTUALLY shifted (clip(px+16)),
+    # so every digest differs — stage 1 must not catch these; only the
+    # perceptual stage can (a re-encoded copy, not a re-upload)
+    recrawl = ops.shift_brightness(imgs, 16).select(
+        (F.col("media_id") + 200_000).alias("media_id"),
+        "kind",
+        "bytes",
+        "meta",
+    )
+    corpus = m.unionByName(recrawl)
+
+    # stage 1 — exact digest dedup (keep smallest id per digest)
+    keyed = corpus.withColumn("digest", F.sha2(F.hex("bytes"), 256))
+    keep1 = keyed.groupBy("digest").agg(F.min("media_id").alias("keep_id"))
+    s1 = keyed.join(keep1, "digest").filter(
+        F.col("media_id") == F.col("keep_id")
+    ).select("media_id", "kind", "bytes", "meta")
+
+    # stage 2 — perceptual near-dup removal over digest-distinct images
+    s1_imgs = ops.of_kind(s1, "image")
+    ph = ops.phash_image(s1_imgs).localCheckpoint(eager=True)
+    blocks = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftrightunsigned(phash, {8 * j}) & 255")
+                    for j in range(8)
+                ]
+            )
+        ).alias("j", "bv"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("b.media_id").alias("drop_id"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .filter(F.expr("bit_count(pa ^ pb) <= 6"))
+        .select("drop_id")
+        .distinct()
+    )
+    survivors = s1.join(
+        cand.withColumnRenamed("drop_id", "media_id"), "media_id", "left_anti"
+    )
+
+    # stage 3 — survivor stats per kind
+    return survivors.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.octet_length("bytes")).cast("long").alias("total_bytes"),
+    )

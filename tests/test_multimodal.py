@@ -260,3 +260,29 @@ def test_scene_cuts_golden(spark, media):
            load_all()["q_media_scene_cuts"].builder(spark, "unused").collect()}
     assert agg[row.media_id].n_transitions == nf - 1
     assert agg[row.media_id].max_mad_u == max(expect.values())
+
+
+def test_pipeline_media_golden(spark, media):
+    """The media pipeline end to end: the brightness-shifted re-crawl
+    is removed entirely by the perceptual stage (digests all differ, so
+    stage 1 keeps them), audio/video pass through untouched, and the
+    survivor set equals the original corpus."""
+    from duckdb_pst_spark.registry import load_all
+
+    rows = {r.kind: r for r in
+            load_all()["q_pipeline_media"].builder(spark, "unused").collect()}
+    orig = {k: (n, b) for k, n, b in
+            media.groupBy("kind").agg(F.count(F.lit(1)), F.sum(F.octet_length("bytes")))
+                 .collect()}
+    for kind, (n, b) in orig.items():
+        assert rows[kind].n == n, (kind, rows[kind].n, n)
+        assert rows[kind].total_bytes == b
+
+    # the re-crawl's bytes genuinely differ (stage 1 digest CANNOT have
+    # removed the copies — only the perceptual stage can have)
+    from duckdb_pst_spark.multimodal import ops as _ops
+
+    one = _ops.of_kind(media, "image").orderBy("media_id").limit(1)
+    raw = bytes(one.collect()[0].bytes)
+    shifted = bytes(_ops.shift_brightness(one, 16).collect()[0].bytes)
+    assert shifted != raw and len(shifted) == len(raw)
