@@ -1960,3 +1960,120 @@ def _install_dsir_resample_oracle() -> None:
 
 
 _install_dsir_resample_oracle()
+
+
+# ------------------------------------------------------- BPE training
+_BPE_ITERS = 6
+_BPE_SAMPLE = 500  # doc_id bound for the training sample
+_SEP = "\x1f"  # unambiguous pair key separator
+
+
+def _merge_pair_fold(a: str, b: str):
+    """Column fold: greedy left-to-right non-overlapping merge of the
+    adjacent symbol pair (a, b) -> a+b inside an array<string> column.
+    The accumulator carries (out, pend); identical semantics to the
+    reference python in tests/test_bpe_train.py."""
+    ab = a + b
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc.pend == "", F.struct(acc.out.alias("out"), x.alias("pend"))
+            )
+            .when(
+                (acc.pend == a) & (x == b),
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(ab))).alias("out"),
+                    F.lit("").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc.pend == "", acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))
+        )
+
+    return lambda col: F.aggregate(
+        col,
+        F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit("").alias("pend"),
+        ),
+        step,
+        finish,
+    )
+
+
+@query(
+    "q_bpe_train",
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training [Sennrich et al., 2016] — not just
+    the pair statistics (q_bpe_pairs) but the full greedy loop: {6}
+    iterations of count-all-adjacent-pairs → take the most frequent →
+    merge it left-to-right non-overlapping into every word. Training
+    runs on the DISTINCT word-frequency table (multiplicity rides the
+    count column — the collapse that makes BPE trainable at corpus
+    scale: the state is vocabulary-sized, never corpus-sized), words
+    from a doc_id sample the way real tokenizers train on a corpus
+    sample. Pair identity uses a separator key, never concatenation
+    ('ab'+'c' vs 'a'+'bc' must not collide). Deterministic tie-break:
+    count desc, then pair key asc. Output: the learned merge table
+    (rank, left, right, pair_count) — the artifact a tokenizer ships.
+
+    Scale shape per iteration: one pair explode over the vocab-sized
+    state + one map-side-combined groupBy + a 1-row TakeOrdered
+    collect (the k-means driver-loop pattern), then the merge fold is
+    a scan-local array kernel; state re-materializes per iteration
+    behind a checkpoint barrier (6 bounded jobs total). Rows-only:
+    the iterative argmax isn't one SQL query — numeric behavior is
+    pinned by tests/test_bpe_train.py's pure-python reference BPE
+    producing the identical merge table."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    words = (
+        spread(table(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") < _BPE_SAMPLE)
+        .select(F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.expr("split(w, '')").alias("cs"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    state = words
+    for rank in range(_BPE_ITERS):
+        pairs = (
+            state.filter(F.size("cs") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(cs) - 1),"
+                        f" i -> concat(cs[i-1], '{_SEP}', cs[i]))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("p")).limit(1).collect()
+        if not top:
+            break
+        pkey, cnt = top[0].p, top[0].cnt
+        a, b = pkey.split(_SEP)
+        merges.append((rank, a, b, cnt))
+        state = state.select(
+            _merge_pair_fold(a, b)(F.col("cs")).alias("cs"), "n"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
