@@ -2037,6 +2037,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative argmax isn't one SQL query — numeric behavior is
     pinned by tests/test_bpe_train.py's pure-python reference BPE
     producing the identical merge table."""
+    merges = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The training loop shared by q_bpe_train and q_bpe_encode:
+    returns [(rank, left, right, pair_count)]."""
     from duckdb_pst_spark.functions.partitioning import spread
 
     words = (
@@ -2074,6 +2083,54 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = state.select(
             _merge_pair_fold(a, b)(F.col("cs")).alias("cs"), "n"
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+    return merges
+
+
+@query(
+    "q_bpe_encode",
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale — the shape every training
+    pipeline runs after q_bpe_train: train the merge list on a sample
+    (driver loop), then encode the WHOLE corpus by applying the merges
+    in rank order. The load-bearing design: encoding happens once per
+    DISTINCT (lang, word) — vocabulary-sized work however big the
+    corpus — and per-document multiplicity rides a count column into
+    the per-language rollup (words repeat Zipfianly; encoding each
+    instance would redo >99% of the fold work). Output per language:
+    word instances, total characters, total BPE symbols, and the
+    chars→symbols compression in ppm — the fertility metric tokenizer
+    teams actually track per language.
+
+    Scale shape: one corpus pass builds the (lang, word, count) vocab
+    [one shuffle]; the 6 merge folds are a scan-local column chain
+    over the vocab table; the rollup is a |langs|-group aggregate.
+    Rows-only (the trained merges are a runtime artifact) — pinned by
+    tests/test_bpe_train.py encoding the same corpus in pure python."""
+    merges = _train_bpe(spark, sf_dir)
+    dw = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    cs = F.expr("split(w, '')")
+    for _, a, b, _cnt in merges:
+        cs = _merge_pair_fold(a, b)(cs)
+    enc = dw.select(
+        "lang",
+        "n",
+        F.length("w").cast("long").alias("n_chars"),
+        F.size(cs).cast("long").alias("n_syms"),
+    )
+    return enc.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("word_instances"),
+        F.sum(F.col("n") * F.col("n_chars")).cast("long").alias("total_chars"),
+        F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("total_syms"),
+        F.expr(
+            "1000000 * CAST(sum(n * n_syms) AS BIGINT)"
+            " div CAST(sum(n * n_chars) AS BIGINT)"
+        ).alias("compression_ppm"),
     )
