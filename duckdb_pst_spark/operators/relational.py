@@ -1273,3 +1273,91 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
+
+
+# ----------------------------------------------------- multiset set ops
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT text AS t FROM documents WHERE doc_id % 2 = 0
+    EXCEPT ALL
+    SELECT text FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("relational", "setop"),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-semantics difference: each duplicate of a row
+    survives as many times as (count_left − count_right), unlike
+    EXCEPT's set semantics which q_except covers. On a corpus with
+    duplicated documents the two differ materially (the whole reason
+    dedup pipelines must reason in multisets); both engines implement
+    the identical SQL-standard multiset arithmetic. Spark compiles
+    exceptAll to a tagged union + count aggregate + generator replay —
+    one shuffle on the row value, no join."""
+    d = table(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0).select(F.col("text").alias("t"))
+    right = d.filter(F.col("doc_id") % 3 == 0).select(F.col("text").alias("t"))
+    return left.exceptAll(right)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT text AS t FROM documents WHERE doc_id % 2 = 0
+    INTERSECT ALL
+    SELECT text FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("relational", "setop"),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection: each row appears
+    min(count_left, count_right) times. The multiset twin of
+    q_intersect; same single-shuffle tagged-count compilation as
+    q_except_all."""
+    d = table(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") % 2 == 0).select(F.col("text").alias("t"))
+    right = d.filter(F.col("doc_id") % 3 == 0).select(F.col("text").alias("t"))
+    return left.intersectAll(right)
+
+
+# ------------------------------------------------------ null-safe join
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey % 7, 0) AS k FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, nullif(s_nationkey % 7, 0) AS k FROM supplier
+    )
+    SELECT CAST(count(*) AS BIGINT) AS nullsafe_pairs,
+           CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_key_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+    tags=("relational", "join"),
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    semantics every plain equi-join silently drops: NULL = NULL is
+    UNKNOWN, so rows with null keys vanish from an inner join, the
+    classic silent-data-loss bug when joining on nullable business
+    keys. The null-safe operator treats NULL as a joinable value;
+    the output counts how many matched pairs exist and how many of
+    them joined on the NULL key — exactly the rows a plain join
+    would have lost. Crucially `<=>` is still an EQUI-join predicate:
+    Catalyst hash-joins on it (no nested loop), same single-shuffle
+    plan as `=`."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey % 7, 0)").alias("ck")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("nullif(s_nationkey % 7, 0)").alias("sk")
+    )
+    j = c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("nullsafe_pairs"),
+        F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_key_pairs"),
+    )

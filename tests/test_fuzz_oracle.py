@@ -779,3 +779,18 @@ def test_fuzz_dsir_resample(spark, docs):
     clamp makes keep certain), sub-bigram docs excluded identically,
     single-language corpora."""
     _check(spark, "q_dsir_resample", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_except_all(spark, docs):
+    """EXCEPT ALL multiset arithmetic on duplicate-heavy corpora: each
+    duplicate survives count_left - count_right times; empty sides."""
+    _check(spark, "q_except_all", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_intersect_all(spark, docs):
+    """INTERSECT ALL: min(count_left, count_right) copies survive."""
+    _check(spark, "q_intersect_all", {"documents": lambda p: _write_rich_documents(docs, p)})
