@@ -1361,3 +1361,30 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("null_key_pairs"),
     )
+
+
+# ---------------------------------------------------- null ordering
+@query(
+    "q_orderby_nulls",
+    oracle="""
+    SELECT o_orderkey, nullif(o_custkey % 11, 0) AS nk
+    FROM orders
+    ORDER BY nk ASC NULLS LAST, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("relational", "sort"),
+)
+def q_orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering — pinned because the engine
+    DEFAULTS silently disagree: Spark sorts ascending NULLS FIRST,
+    DuckDB (and Postgres) NULLS LAST, so any ORDER BY on a nullable
+    key that omits the placement produces different row sets under
+    LIMIT on different engines. The fix is discipline, not cleverness:
+    always state NULLS FIRST/LAST on nullable sort keys; this query is
+    the regression canary for that rule (asc_nulls_last + the unique
+    orderkey tiebreak → identical top-25 everywhere). Plan: still
+    TakeOrderedAndProject — null placement costs nothing."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("nullif(o_custkey % 11, 0)").alias("nk")
+    )
+    return o.orderBy(F.asc_nulls_last("nk"), F.asc("o_orderkey")).limit(25)

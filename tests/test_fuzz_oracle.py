@@ -794,3 +794,11 @@ def test_fuzz_except_all(spark, docs):
 def test_fuzz_intersect_all(spark, docs):
     """INTERSECT ALL: min(count_left, count_right) copies survive."""
     _check(spark, "q_intersect_all", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_orderby_nulls(spark, rows):
+    """NULLS LAST pinning on adversarial orders: all-null keys, no-null
+    keys, ties at the limit boundary broken by the unique orderkey."""
+    _check(spark, "q_orderby_nulls", {"orders": lambda p: _write_orders(rows, p)})
