@@ -2134,3 +2134,59 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(sum(n * n_chars) AS BIGINT)"
         ).alias("compression_ppm"),
     )
+
+
+# ------------------------------------------------------- corpus card
+@query(
+    "q_corpus_card",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT)
+             AS total_tokens,
+           CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+           1000000 * CAST(count(DISTINCT text) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS distinct_ppm,
+           1000000 * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS en_share_ppm,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card — the per-source one-row health summary
+    every shipped training corpus carries (datasheets-for-datasets
+    operationalized): volume (docs, tokens), duplication
+    (distinct-text share — the inverse of the exact-dup rate),
+    language mix (target-language share), and length extremes. This
+    is the table an ingest run publishes after the pipeline, and the
+    one q_histogram_drift/q_embedding_drift alarm against between
+    runs; every figure is exact-integer so cards from different
+    engines or cluster sizes are bit-comparable.
+
+    Scale shape: ONE groupBy(source). count(DISTINCT text) is the one
+    expensive member — Spark expands it to a two-level aggregate
+    ((source, text) partial dedup, then count), which is exactly the
+    scalable form: no state ever holds a source's full text set; at
+    100 TB you'd swap text for xxhash64(text) to shrink the dedup
+    shuffle (same plan, 8-byte keys)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))"))
+        .cast("long")
+        .alias("total_tokens"),
+        F.countDistinct("text").cast("long").alias("distinct_texts"),
+        F.expr(
+            "1000000 * CAST(count(DISTINCT text) AS BIGINT) div count(*)"
+        ).alias("distinct_ppm"),
+        F.expr(
+            "1000000 * CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
+            " div count(*)"
+        ).alias("en_share_ppm"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

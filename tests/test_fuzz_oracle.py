@@ -802,3 +802,11 @@ def test_fuzz_orderby_nulls(spark, rows):
     """NULLS LAST pinning on adversarial orders: all-null keys, no-null
     keys, ties at the limit boundary broken by the unique orderkey."""
     _check(spark, "q_orderby_nulls", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_corpus_card(spark, docs):
+    """Corpus card on tiny corpora: single-doc sources (distinct_ppm =
+    10^6), fully duplicated sources, no-English corpora."""
+    _check(spark, "q_corpus_card", {"documents": lambda p: _write_rich_documents(docs, p)})
