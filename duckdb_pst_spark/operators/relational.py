@@ -1325,15 +1325,19 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_nullsafe_join",
     oracle="""
     WITH c AS (
-      SELECT c_custkey, nullif(c_nationkey % 7, 0) AS k FROM customer
+      SELECT c_custkey,
+             CASE WHEN c_custkey < 3 THEN NULL ELSE c_custkey END AS k
+      FROM customer
     ),
-    s AS (
-      SELECT s_suppkey, nullif(s_nationkey % 7, 0) AS k FROM supplier
+    o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey < 3 THEN NULL ELSE o_custkey END AS k
+      FROM orders
     )
     SELECT CAST(count(*) AS BIGINT) AS nullsafe_pairs,
            CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS null_key_pairs
-    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
     """,
     tags=("relational", "join"),
 )
@@ -1347,12 +1351,23 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     them joined on the NULL key — exactly the rows a plain join
     would have lost. Crucially `<=>` is still an EQUI-join predicate:
     Catalyst hash-joins on it (no nested loop), same single-shuffle
-    plan as `=`."""
+    plan as `=`.
+
+    Scale caution baked into the shape: under `<=>` ALL null keys join
+    each other, so the null class is a quadratic hot key — a demo with
+    a fat null share (first cut: a 7-value key) measured 194 s at
+    100× replica volume on BOTH engines. The production-faithful form
+    nulls a BOUNDED key set (here: custkeys < 3) over an otherwise
+    high-cardinality equi-key, so the null bucket is O(1) pairs and
+    the join stays linear — which is also the only regime where a
+    null-safe join is sane to run at 100 TB."""
     c = table(spark, sf_dir, "customer").select(
-        "c_custkey", F.expr("nullif(c_nationkey % 7, 0)").alias("ck")
+        "c_custkey",
+        F.expr("CASE WHEN c_custkey < 3 THEN NULL ELSE c_custkey END").alias("ck"),
     )
-    s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.expr("nullif(s_nationkey % 7, 0)").alias("sk")
+    s = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CASE WHEN o_custkey < 3 THEN NULL ELSE o_custkey END").alias("sk"),
     )
     j = c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
     return j.agg(
