@@ -1403,3 +1403,62 @@ def q_orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.expr("nullif(o_custkey % 11, 0)").alias("nk")
     )
     return o.orderBy(F.asc_nulls_last("nk"), F.asc("o_orderkey")).limit(25)
+
+
+# --------------------------------------------- NOT IN three-valued logic
+@query(
+    "q_not_in_nulls",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+        AS not_in_count,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+            AS BIGINT)
+        AS not_exists_count
+    """,
+    tags=("relational", "subquery"),
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned on both engines: when the subquery
+    list contains a single NULL, `x NOT IN (list)` is never TRUE under
+    three-valued logic (x <> NULL is UNKNOWN), so NOT IN returns ZERO
+    rows while the NOT EXISTS form — which most authors actually mean —
+    returns the real anti-join count. The output carries both counts
+    side by side (0 vs the true count), making the footgun visible in
+    data rather than folklore; both engines implement the identical
+    SQL-standard semantics, which is exactly why the discipline is
+    'NOT EXISTS for nullable subqueries', everywhere.
+
+    Plan note: Spark compiles NOT IN over a nullable subquery to a
+    null-aware anti-join (a broadcast variant at scale) — correct but
+    costlier than the plain left-anti the NOT EXISTS form produces;
+    semantics AND plan both favor NOT EXISTS."""
+    spark_probe = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.expr(
+                "CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END"
+            ).alias("k")
+        )
+    )
+    spark_probe.createOrReplaceTempView("v_nin_probe")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_nin_customer")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM v_nin_customer
+                WHERE c_custkey NOT IN (SELECT k FROM v_nin_probe)) AS BIGINT)
+            AS not_in_count,
+          CAST((SELECT count(*) FROM v_nin_customer c
+                WHERE NOT EXISTS (SELECT 1 FROM v_nin_probe p
+                                  WHERE p.k = c.c_custkey)) AS BIGINT)
+            AS not_exists_count
+        """
+    )

@@ -810,3 +810,12 @@ def test_fuzz_corpus_card(spark, docs):
     """Corpus card on tiny corpora: single-doc sources (distinct_ppm =
     10^6), fully duplicated sources, no-English corpora."""
     _check(spark, "q_corpus_card", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_not_in_nulls(spark, rows):
+    """The NOT IN trap under fuzz: probe sets with and without NULLs
+    (without, NOT IN == NOT EXISTS; with, NOT IN collapses to 0),
+    empty probe sets (NOT IN keeps everything)."""
+    _check(spark, "q_not_in_nulls", {"orders": lambda p: _write_orders(rows, p)})
