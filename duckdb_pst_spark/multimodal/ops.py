@@ -372,3 +372,52 @@ def shift_brightness(images: DataFrame, delta: int) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "kind", "bytes", "meta"])
 
     return src.mapInPandas(batches, schema=SHIFT_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp long"
+
+
+def audio_fingerprint(audio: DataFrame, gain_num: int = 1, gain_den: int = 1) -> DataFrame:
+    """PCM16 → 64-bit energy-envelope fingerprint (dHash for audio):
+    the signal splits into 65 equal windows; one bit per adjacent
+    window pair, set where energy INCREASES. Loudness-invariant by
+    construction — scaling every sample by a constant gain scales all
+    window energies equally and leaves every comparison unchanged —
+    which is what catches the re-encoded / re-normalized copy whose
+    bytes (and content digest) all differ. Integer energies
+    (Σ sample², exact), so the hash is bit-deterministic.
+
+    ``gain_num/gain_den`` applies a gain (floor division, int16
+    clipping) before hashing — the probe knob q_media_audio_dup uses
+    to build re-normalized copies. Invariance is EXACT for integer
+    gains below clipping (energies scale by gain² uniformly);
+    fractional gains floor per sample and are only approximately
+    invariant — near-tied window energies can flip a bit, which is the
+    realistic lossy-re-encode regime a Hamming-tolerant match absorbs."""
+    src = audio.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-pcm16")
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if (gain_num, gain_den) != (1, 1):
+                    x = np.clip(x * gain_num // gain_den, -32768, 32767)
+                n = x.shape[0]
+                bounds = [(i * n) // 65 for i in range(66)]
+                e = np.array(
+                    [int((x[bounds[i]:bounds[i + 1]] ** 2).sum()) for i in range(65)],
+                    dtype=object,  # exact python ints: sums exceed int64 at high gain
+                )
+                ph = 0
+                for i in range(64):
+                    ph = (ph << 1) | int(e[i + 1] > e[i])
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                out.append((mid, ph))
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return src.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)

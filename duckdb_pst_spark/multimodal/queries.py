@@ -423,3 +423,37 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.octet_length("bytes")).cast("long").alias("total_bytes"),
     )
+
+
+@query(
+    "q_media_audio_dup",
+    tags=("multimodal", "dedup"),
+)
+def q_media_audio_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection by energy-envelope fingerprint —
+    the audio member of the perceptual family (images: q_media_phash_
+    pairs; text: simhash/minhash): every audio re-ingested through a
+    clip-free x2 gain (every sample byte changes, every digest
+    differs), then matched back by fingerprint equality — for integer
+    gains the envelope hash is EXACTLY loudness-invariant (all window
+    energies scale by gain², preserving every comparison), so each
+    re-normalized copy collides with its original. Output: per-match rows (orig_id, copy_id,
+    afp) — deterministic set.
+
+    Scale shape: fingerprints are computed scan-local in one Arrow hop
+    and the match is an 8-byte-key equi-join — payload bytes never
+    cross an exchange, the same contract as every media dedup here."""
+    aud = ops.of_kind(ops.media_table(spark), "audio")
+    base = ops.audio_fingerprint(aud)
+    copies = ops.audio_fingerprint(aud, gain_num=2, gain_den=1).select(
+        (F.col("media_id") + 300_000).alias("media_id"), "afp"
+    )
+    return (
+        base.alias("a")
+        .join(copies.alias("b"), F.col("a.afp") == F.col("b.afp"))
+        .select(
+            F.col("a.media_id").alias("orig_id"),
+            F.col("b.media_id").alias("copy_id"),
+            F.col("a.afp").alias("afp"),
+        )
+    )

@@ -286,3 +286,24 @@ def test_pipeline_media_golden(spark, media):
     raw = bytes(one.collect()[0].bytes)
     shifted = bytes(_ops.shift_brightness(one, 16).collect()[0].bytes)
     assert shifted != raw and len(shifted) == len(raw)
+
+
+def test_audio_fingerprint_gain_invariance(spark, media):
+    """The envelope hash is loudness-invariant: a clip-free x2-gain
+    copy (all bytes differ) produces the identical fingerprint for
+    every audio, and q_media_audio_dup matches every copy to its
+    original. (Integer gain => exact invariance; fractional gains
+    floor per sample and may flip near-tied windows.)"""
+    from duckdb_pst_spark.multimodal import ops
+    from duckdb_pst_spark.registry import load_all
+
+    aud = ops.of_kind(media, "audio")
+    n = aud.count()
+    a = {r.media_id: r.afp for r in ops.audio_fingerprint(aud).collect()}
+    g = {r.media_id: r.afp for r in
+         ops.audio_fingerprint(aud, gain_num=2, gain_den=1).collect()}
+    assert a == g  # exact invariance (peak 11999 < 16384: no clipping)
+    rows = load_all()["q_media_audio_dup"].builder(spark, "unused").collect()
+    self_pairs = {(r.orig_id, r.copy_id) for r in rows
+                  if r.copy_id == r.orig_id + 300_000}
+    assert len(self_pairs) == n
