@@ -819,3 +819,12 @@ def test_fuzz_not_in_nulls(spark, rows):
     (without, NOT IN == NOT EXISTS; with, NOT IN collapses to 0),
     empty probe sets (NOT IN keeps everything)."""
     _check(spark, "q_not_in_nulls", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_decimal_money(spark, rows):
+    """Native DECIMAL aggregation on adversarial prices: negative
+    values, centi-boundary values (the class that exposes rounding-rule
+    divergence if any cast reduces scale), duplicate keys."""
+    _check(spark, "q_decimal_money", {"orders": lambda p: _write_orders(rows, p)})
