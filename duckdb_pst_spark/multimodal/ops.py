@@ -421,3 +421,52 @@ def audio_fingerprint(audio: DataFrame, gain_num: int = 1, gain_den: int = 1) ->
             yield pd.DataFrame(out, columns=["media_id", "afp"])
 
     return src.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+VIDEO_PHASH_SCHEMA = "media_id long, frame_idx int, phash long"
+
+
+def video_frame_phashes(
+    videos: DataFrame, every_k: int = 2, brightness_shift: int = 0
+) -> DataFrame:
+    """RAW video → 64-bit dHash per k-th frame (the image kernel's bit
+    math applied per frame) — the per-frame signature set that makes
+    video near-dup detection a frame-level join instead of a payload
+    comparison. Integer-exact; ``brightness_shift`` is the re-encoded-
+    copy probe knob (clip(px + delta) per frame)."""
+    src = videos.select("media_id", "bytes", "meta")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in it:
+            out = []
+            for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
+                _require_raw(meta["format"], "raw-vid8")
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                nf = int(meta["n_frames"])
+                fl = w * h * c
+                ys = [(i * h) // 8 for i in range(9)]
+                xs = [(j * w) // 9 for j in range(10)]
+                for fi in range(0, nf, every_k):
+                    px = np.frombuffer(
+                        raw[fi * fl : (fi + 1) * fl], dtype=np.uint8
+                    ).reshape(h, w, c).astype(np.int64)
+                    if brightness_shift:
+                        px = np.clip(px + brightness_shift, 0, 255)
+                    luma = (px @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+                    g = np.empty((8, 9), dtype=np.int64)
+                    for i in range(8):
+                        for j in range(9):
+                            blk = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                            g[i, j] = int(blk.sum()) // blk.size
+                    bits = (g[:, 1:] < g[:, :-1]).flatten()
+                    ph = 0
+                    for bit in bits:
+                        ph = (ph << 1) | int(bit)
+                    if ph >= 1 << 63:
+                        ph -= 1 << 64
+                    out.append((mid, fi, ph))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "phash"])
+
+    return src.mapInPandas(batches, schema=VIDEO_PHASH_SCHEMA)

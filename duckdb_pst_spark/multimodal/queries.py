@@ -457,3 +457,84 @@ def q_media_audio_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.afp").alias("afp"),
         )
     )
+
+
+_VID_MATCH_PPM = 800_000  # >=80% of sampled frames must match
+
+
+@query(
+    "q_media_video_dup",
+    tags=("multimodal", "dedup"),
+)
+def q_media_video_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection — the third modality of the
+    perceptual family (image dHash, audio envelope, now video): every
+    video re-ingested brightness-shifted (every payload byte and
+    digest differs), per-frame candidates found by the pigeonhole
+    block index keyed ON THE FRAME (frame_idx, 16-bit block, value —
+    distance-3 guarantee with 4 blocks), verified by popcount ≤ 3
+    (measured: true re-encoded frames land at hamming 0-3 on this
+    fixture, never above), and a pair declared a near-dup when ≥80% of
+    its sampled frames match — the two-level tolerance (bit-level per
+    frame, vote across frames) that lossy re-encodes require. Output (orig_id, copy_id, n_frames, n_matched,
+    match_ppm), a deterministic set.
+
+    Scale shape: frame hashing is one Arrow hop per video; the block
+    join keys on (frame_idx, block, value) so candidates exist only
+    where a frame pair shares an exact 16-bit block — frame payloads
+    never cross an exchange, and fan-out is bounded by block
+    collisions within a frame index, not by video count."""
+    vids = ops.of_kind(ops.media_table(spark), "video")
+    base = ops.video_frame_phashes(vids)
+    copies = ops.video_frame_phashes(vids, brightness_shift=16).select(
+        (F.col("media_id") + 400_000).alias("media_id"), "frame_idx", "phash"
+    )
+    n_frames = base.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+
+    def blocks(df):
+        return df.select(
+            "media_id",
+            "frame_idx",
+            "phash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(f"shiftrightunsigned(phash, {16 * j}) & 65535")
+                        for j in range(4)
+                    ]
+                )
+            ).alias("j", "bv"),
+        )
+
+    matched = (
+        blocks(base).alias("a")
+        .join(
+            blocks(copies).alias("b"),
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv")),
+        )
+        .select(
+            F.col("a.media_id").alias("orig_id"),
+            F.col("b.media_id").alias("copy_id"),
+            F.col("a.frame_idx").alias("fi"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .filter(F.expr("bit_count(pa ^ pb) <= 3"))
+        .select("orig_id", "copy_id", "fi")
+        .distinct()
+        .groupBy("orig_id", "copy_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        matched.join(n_frames, F.col("orig_id") == F.col("media_id"))
+        .drop("media_id")
+        .withColumn(
+            "match_ppm", F.expr("1000000 * n_matched div n_frames")
+        )
+        .filter(F.col("match_ppm") >= _VID_MATCH_PPM)
+        .select("orig_id", "copy_id", "n_frames", "n_matched", "match_ppm")
+    )

@@ -307,3 +307,18 @@ def test_audio_fingerprint_gain_invariance(spark, media):
     self_pairs = {(r.orig_id, r.copy_id) for r in rows
                   if r.copy_id == r.orig_id + 300_000}
     assert len(self_pairs) == n
+
+
+def test_video_dup_golden(spark, media):
+    """Every brightness-shifted video re-ingest matches its original
+    with >=80% of sampled frames (usually all), and no cross-video
+    false pairs survive the frame-vote threshold."""
+    from duckdb_pst_spark.registry import load_all
+
+    rows = load_all()["q_media_video_dup"].builder(spark, "unused").collect()
+    vids = media.filter("kind = 'video'").count()
+    self_pairs = {(r.orig_id, r.copy_id) for r in rows
+                  if r.copy_id == r.orig_id + 400_000}
+    assert len(self_pairs) == vids
+    cross = [r for r in rows if r.copy_id != r.orig_id + 400_000]
+    assert cross == [], cross
