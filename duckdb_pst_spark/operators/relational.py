@@ -12,7 +12,7 @@ identically in the DataFrame code and the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.registry import query
@@ -1508,4 +1508,152 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("discounted"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------- higher-order functions
+@query(
+    "q_hof_parity",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT) AS n_long,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                (a, x) -> a + x) AS BIGINT) AS total_len,
+           CAST(list_max(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+                AS BIGINT) AS max_len,
+           CASE WHEN len(list_filter(toks, t -> t = 'the')) > 0
+                THEN 1 ELSE 0 END AS has_the
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 200
+    ) t
+    """,
+    tags=("relational", "nested"),
+)
+def q_hof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function parity pack — filter / transform /
+    aggregate(fold) / array_max / exists over a nested column, the
+    SQL:2016 lambda surface both engines implement (Spark HOFs ↔
+    DuckDB list_* functions). These are the primitives every array
+    kernel in this repo is built from (shingles, signatures, vector
+    folds); this query pins their semantics head-to-head on one row
+    set: per doc, the long-token count, the exact total token length
+    (a left fold, engine-identical), the max length, and an exists
+    flag. All JVM codegen on the Spark side — per-row nested algebra,
+    zero shuffles beyond the scan."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("toks")
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(toks, t -> length(t) > 3))").cast("long").alias("n_long"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(length(t) AS BIGINT))"
+        ).alias("total_len"),
+        F.expr("array_max(transform(toks, t -> CAST(length(t) AS BIGINT)))").alias(
+            "max_len"
+        ),
+        F.expr("CASE WHEN exists(toks, t -> t = 'the') THEN 1 ELSE 0 END").alias(
+            "has_the"
+        ),
+    )
+
+
+# -------------------------------------------------- sequence gap audit
+@query(
+    "q_sequence_gaps",
+    oracle="""
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM (
+      SELECT event_id,
+             lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0) d
+    ) w
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+    tags=("relational", "quality"),
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit — the ingest data-quality check that catches
+    dropped batches: contiguous runs of missing ids reported as
+    (gap_start, gap_end, n_missing) ranges, one row per HOLE rather
+    than per missing id (a 10⁶-row hole is one row). Probe workload
+    drops every 97th event id; the lag-over-sorted-ids islands
+    complement finds exactly those holes.
+
+    Scale note: the demo window is unpartitioned (ordered by the id —
+    fine at audit scale); at 100 TB you run the identical lag inside
+    id-range partitions and stitch the ≤1-per-partition boundary gaps
+    with a tiny per-partition (min, max) table — the same distributed
+    prefix-scan stitching as q_skyline's bucket table."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 != 0)
+        .select("event_id")
+        .distinct()
+    )
+    w = Window.orderBy("event_id")
+    g = ev.withColumn("prev_id", F.lag("event_id").over(w)).filter(
+        F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1)
+    )
+    return g.select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
+
+
+# --------------------------------------------------- Benford digit audit
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS cnt,
+           1000000 * CAST(count(*) AS BIGINT) // (SELECT total FROM n) AS share_ppm
+    FROM d GROUP BY digit
+    """,
+    tags=("relational", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) distribution of order totals — the audit
+    analytics classic: naturally-occurring multiplicative amounts lead
+    with 1 ~30% of the time, and a flat or spiked first-digit share is
+    the standard fabricated-data / broken-generator tell. Shares in
+    exact ppm (digit extraction and integer division only — no float
+    log anywhere), so the audit table is engine-identical.
+
+    Scale shape: scan-local digit projection, one 9-group map-side-
+    combined aggregate, a 1-row count broadcast for the share — the
+    cheapest possible full-corpus audit, which is why financial
+    pipelines run it on everything."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)"
+                " AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    n = F.broadcast(d.agg(F.count(F.lit(1)).cast("long").alias("total")))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(n)
+        .select(
+            "digit", "cnt",
+            F.expr("1000000 * cnt div total").alias("share_ppm"),
+        )
     )

@@ -828,3 +828,28 @@ def test_fuzz_decimal_money(spark, rows):
     values, centi-boundary values (the class that exposes rounding-rule
     divergence if any cast reduces scale), duplicate keys."""
     _check(spark, "q_decimal_money", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_sequence_gaps(spark, rows):
+    """Gap audit on tiny id spaces: no gaps (empty result), one id
+    (no lag), every id filtered (empty distinct set)."""
+    _check(spark, "q_sequence_gaps", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(rows=orders_st)
+@settings(**_SETTINGS)
+def test_fuzz_benford(spark, rows):
+    """Benford digits on adversarial prices: sub-1 values excluded
+    identically, negative values excluded by the >= 1 gate, single-row
+    tables (share 10^6)."""
+    _check(spark, "q_benford", {"orders": lambda p: _write_orders(rows, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_hof_parity(spark, docs):
+    """HOF parity on tiny docs: empty token arrays (max over empty ->
+    NULL on both engines), no long tokens, exists-miss rows."""
+    _check(spark, "q_hof_parity", {"documents": lambda p: _write_rich_documents(docs, p)})
