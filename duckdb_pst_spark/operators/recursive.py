@@ -408,3 +408,55 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+# --------------------------------------------- degree distribution audit
+@query(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_PR_OFF} AS v FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + {_PR_OFF} AS u, l_partkey AS v FROM lineitem
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+    b AS (
+      SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket, d FROM deg
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM b GROUP BY bucket
+    """,
+    tags=("graph", "quality"),
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier graph in log2 buckets —
+    the graph-health audit run before any propagation algorithm
+    (PageRank, connected components, label propagation): a power-law
+    tail says hub-skew mitigation is needed, a truncated head says the
+    crawl/join dropped edges. Uses the SAME symmetrized edge set as
+    q_pagerank so the audit describes exactly the graph the algorithms
+    run on. log2(d) of a BIGINT is exact for d < 2^53 in both engines'
+    float, and floor of it is the bucket both compute identically.
+
+    Scale shape: one distinct on edges, one groupBy(u) with map-side
+    partial counts, then a ≤64-group rollup — the cheapest possible
+    whole-graph statistic, which is why it is the first thing to run
+    on a 100 TB edge list."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    fwd = li.select(
+        F.col("l_partkey").alias("u"), (F.col("l_suppkey") + _PR_OFF).alias("v")
+    )
+    rev = li.select(
+        (F.col("l_suppkey") + _PR_OFF).alias("u"), F.col("l_partkey").alias("v")
+    )
+    edges = fwd.union(rev).distinct()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    b = deg.select(F.expr("CAST(floor(log2(d)) AS BIGINT)").alias("bucket"), "d")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )

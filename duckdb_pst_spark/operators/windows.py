@@ -1054,3 +1054,94 @@ def q_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000) END"
         ).alias("slope_u"),
     )
+
+
+# --------------------------------------------------- touch attribution
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH tt AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS t_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT CASE WHEN t.ts IS NOT NULL AND p.ts - t.ts <= INTERVAL 1 HOUR
+                  THEN t.t_type ELSE 'none' END AS attributed,
+             p.value
+      FROM p ASOF LEFT JOIN tt t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    ) a
+    GROUP BY attributed
+    """,
+    tags=("window", "asof", "pipeline"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics workload the
+    as-of join exists for: every purchase credited to the user's most
+    recent click/view within the 1-hour window, else 'none'; revenue
+    rolled up per attributed channel. Determinism where engines would
+    otherwise diverge: simultaneous touches collapse to ONE per
+    (user, ts) by arg_max on the unique event id BEFORE the as-of
+    (both engines make the identical pick), and the equal-timestamp
+    rule (a touch at exactly the purchase ts counts) is the `>=` both
+    sides implement.
+
+    Plan: same union-merge shape as q_asof_join — one shuffle on
+    user_id carries the last touch forward inside a sorted window, no
+    range join — then a |channels|-group rollup. The 100 TB story is
+    q_asof_join's unchanged."""
+    e = table(spark, sf_dir, "events")
+    tt = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.struct("event_id", "event_type")).getField("event_type").alias(
+                "t_type"
+            )
+        )
+        .select("user_id", "ts", "t_type", F.lit(0).alias("is_left"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("string").alias("t_type"),
+            F.lit(1).alias("is_left"),
+            "value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tt.unionByName(p).select(
+        "user_id", "ts", "is_left", "value",
+        F.last(F.when(F.col("is_left") == 0, F.col("t_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_type"),
+        F.last(F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_ts"),
+    )
+    attributed = carried.filter(F.col("is_left") == 1).select(
+        F.when(
+            F.col("last_ts").isNotNull()
+            & (F.col("ts") <= F.col("last_ts") + F.expr("INTERVAL 1 HOUR")),
+            F.col("last_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("attributed"),
+        "value",
+    )
+    return attributed.groupBy("attributed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias(
+            "revenue_cents"
+        ),
+    )

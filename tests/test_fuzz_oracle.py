@@ -853,3 +853,23 @@ def test_fuzz_hof_parity(spark, docs):
     """HOF parity on tiny docs: empty token arrays (max over empty ->
     NULL on both engines), no long tokens, exists-miss rows."""
     _check(spark, "q_hof_parity", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+@given(rows=events_st)
+@settings(**_SETTINGS)
+def test_fuzz_attribution(spark, rows):
+    """Last-touch attribution on tie-heavy events: simultaneous touches
+    (collapsed by arg_max on the unique event id), touch exactly at the
+    purchase ts (>= counts), purchases with no prior touch ('none'),
+    touches outside the 1h window."""
+    _check(spark, "q_attribution_last_touch", {"events": lambda p: _write_events(rows, p)})
+
+
+@given(edges=st.lists(st.tuples(st.integers(min_value=0, max_value=6),
+                                st.integers(min_value=0, max_value=6)),
+                      min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_fuzz_degree_distribution(spark, edges):
+    """Degree buckets on tiny graphs: degree-1 nodes (bucket 0),
+    duplicate edges collapsed by the distinct, self-loop-ish pairs."""
+    _check(spark, "q_degree_distribution", {"lineitem": lambda p: _write_lineitem(edges, p)})
