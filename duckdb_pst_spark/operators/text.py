@@ -2190,3 +2190,99 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# --------------------------------------------- filter cascade attribution
+@query(
+    "q_filter_cascade",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_toks,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x != '')))
+               AS n_dist,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS n_stop
+      FROM documents
+    ),
+    v AS (
+      SELECT source,
+             CASE
+               WHEN n_toks < 5 OR n_toks > 5000 THEN 'len'
+               WHEN 10 * n_dist < 3 * n_toks THEN 'repetition'
+               WHEN 20 * n_stop < n_toks THEN 'stopword'
+               ELSE 'kept'
+             END AS verdict
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN verdict = 'len' THEN 1 ELSE 0 END) AS BIGINT)
+             AS killed_len,
+           CAST(sum(CASE WHEN verdict = 'repetition' THEN 1 ELSE 0 END) AS BIGINT)
+             AS killed_repetition,
+           CAST(sum(CASE WHEN verdict = 'stopword' THEN 1 ELSE 0 END) AS BIGINT)
+             AS killed_stopword,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           1000000 * CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS kept_ppm
+    FROM v GROUP BY source
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade kill attribution — the report a quality pipeline
+    publishes to debug itself: every document attributed to the FIRST
+    rule that kills it (length bounds → repetition ratio → stopword
+    floor, in that fixed order), rolled up per source. First-kill
+    attribution is the operational contract: rule order changes the
+    attribution (never the kept set), so the order is part of the
+    pipeline's definition and both engines evaluate the identical
+    CASE cascade. All-integer rule arithmetic (10·distinct < 3·total
+    instead of ratios), so the report is engine-exact.
+
+    Scale shape: one scan with per-row array kernels, one
+    |sources|-group map-side-combined rollup — the per-run companion
+    to q_corpus_card, and the input q_quality_gate_quantile's
+    corpus-relative threshold refines."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.expr("filter(split(text, ' '), x -> x != '')").alias("toks")
+    )
+    f = d.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_dist"),
+        F.size(
+            F.expr("filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and'))")
+        ).alias("n_stop"),
+    )
+    v = f.select(
+        "source",
+        F.expr(
+            "CASE"
+            " WHEN n_toks < 5 OR n_toks > 5000 THEN 'len'"
+            " WHEN 10 * n_dist < 3 * n_toks THEN 'repetition'"
+            " WHEN 20 * n_stop < n_toks THEN 'stopword'"
+            " ELSE 'kept' END"
+        ).alias("verdict"),
+    )
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("verdict") == "len", 1).otherwise(0))
+        .cast("long")
+        .alias("killed_len"),
+        F.sum(F.when(F.col("verdict") == "repetition", 1).otherwise(0))
+        .cast("long")
+        .alias("killed_repetition"),
+        F.sum(F.when(F.col("verdict") == "stopword", 1).otherwise(0))
+        .cast("long")
+        .alias("killed_stopword"),
+        F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "1000000 * CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)"
+            " AS BIGINT) div count(*)"
+        ).alias("kept_ppm"),
+    )

@@ -873,3 +873,12 @@ def test_fuzz_degree_distribution(spark, edges):
     """Degree buckets on tiny graphs: degree-1 nodes (bucket 0),
     duplicate edges collapsed by the distinct, self-loop-ish pairs."""
     _check(spark, "q_degree_distribution", {"lineitem": lambda p: _write_lineitem(edges, p)})
+
+
+@given(docs=rich_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_filter_cascade(spark, docs):
+    """Cascade attribution on tiny docs: sub-5-token docs (len kill
+    fires first and shadows later rules), one-word repeats (repetition
+    kill), stopword-free docs, all-kept corpora."""
+    _check(spark, "q_filter_cascade", {"documents": lambda p: _write_rich_documents(docs, p)})
