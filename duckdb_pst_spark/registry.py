@@ -56,48 +56,64 @@ def query(
 # The driver's correctness gate checks a PREFIX of the registered queries
 # (round 1 recorded exactly the first 50 in registration order). To get
 # every declared query hash-verified across rounds, load_all() serves the
-# registry re-ordered: names listed here come first (in this order), the
-# rest follow in registration order.
+# registry re-ordered: names listed here come first (in this order), then
+# the remaining oracle-bearing specs in registration order, then the
+# rows-only specs LAST — a rows-only spec can never produce a green row,
+# so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 3 window = every query never yet inside a driver window (the
-# flagship pipeline, the binary-PST and golden-PST families, streaming,
-# GEMM ANN, BPE/ngram text), the round-1 ERR pair q_dedup_minhash_fast /
-# q_dedup_minhash_vec (fixed in r2, never re-proven), the round-2 ERR
-# q_embedding_quantize (output reshaped to scalar columns this round) —
-# 37 must-prove slots — plus 13 canaries from already-green families
-# this round's diff touches (heavy-hitters MG rewrite, kernel rebatching
-# in dedup/gemm, multimodal codec work) and the float-heavy flagships,
-# so a regression in previously-verified code stays visible to the
-# external gate (ADVICE r2).
+# Round 4 window (per VERDICT r3): all 50 slots proveable — the fixed
+# q_pstbin_dlist_ids (r3 ERR: array output column vs the driver's pandas
+# canonicalizer; now posexploded to scalar rows) + 49 of the 73
+# oracle-bearing queries that have never been inside any driver window,
+# leading with the LLM-pipeline flagships, then relational additions.
 VERIFY_FIRST: tuple[str, ...] = (
-    # flagship chain + the two stale-ERR minhash hot paths
-    "q_pipeline_pretrain", "q_dedup_minhash_vec", "q_dedup_minhash_fast",
-    # round-2 ERR, output shape fixed this round
-    "q_embedding_quantize",
-    # never-windowed: ANN hot path, text, multimodal (probe_real is new
-    # this round: real JPEG header decode over the golden archive)
-    "q_knn_gemm", "q_text_tokens_bpe", "q_lang_ngram",
-    "q_image_decode", "q_audio_features", "q_media_doc_join",
-    "q_media_probe_real",
-    # never-windowed: binary PST reader surface (14)
-    "q_pstbin_folders", "q_pstbin_class_counts", "q_pstbin_sticky_geometry",
-    "q_pstbin_appointment", "q_pstbin_dlist_members", "q_pstbin_task",
-    "q_pstbin_dlist_ids", "q_pstbin_counts", "q_pstbin_count_stats",
-    "q_pstbin_body_truncate", "q_pstbin_read_limit",
-    "q_pstbin_attachment_gate", "q_pstbin_folder_tree", "q_pstbin_parent_tree",
-    # never-windowed: golden-PST bridge surface (9)
-    "q_pst_folders_scan", "q_pst_class_counts", "q_pst_folder_tree",
-    "q_pst_recipients_explode", "q_pst_body_truncate", "q_pst_read_limit",
-    "q_pst_attachment_gate", "q_pst_dlist_members", "q_pst_folder_invariants",
-    # never-windowed: streaming (4)
-    "q_stream_dedup", "q_stream_window_counts", "q_stream_stream_join",
-    "q_stream_stateful_sessions",
-    # canaries: families touched by this round's diff
-    "q_heavy_hitters", "q_knn_brute", "q_dedup_exact", "q_minhash_sig",
-    "q_dedup_minhash", "q_dedup_cluster", "q_media_stats",
-    "q_image_resize_bytes",
-    # canaries: float-heavy flagships from the round-1/2 windows
-    "q_tpch_q1", "q_join_agg_topn", "q_multi_join", "q_agg_stats",
+    # r3 ERR, output shape fixed this round (A16 proof)
+    "q_pstbin_dlist_ids",
+    # never-windowed: dedup family (6)
+    "q_dedup_incremental", "q_setsim_prefix", "q_dedup_simhash_hamming",
+    "q_dedup_cluster_star", "q_dedup_keep_best", "q_lsh_recall",
+    # never-windowed: ANN / similarity (10)
+    "q_kmeans_iter", "q_knn_ivf_trained", "q_knn_pq", "q_knn_recall_pq",
+    "q_knn_recall_ivf", "q_ann_rerank", "q_auc", "q_hybrid_rrf",
+    "q_dedup_semantic", "q_embedding_drift",
+    # never-windowed: text analysis (16)
+    "q_bm25", "q_dsir_weights", "q_dsir_resample", "q_phrase_pmi",
+    "q_chi2_terms", "q_passage_dedup", "q_substring_spans",
+    "q_bigram_surprise", "q_quality_gate_quantile", "q_token_histogram",
+    "q_quality_gopher", "q_winnowing", "q_bpe_pairs", "q_histogram_drift",
+    "q_corpus_card", "q_filter_cascade",
+    # never-windowed: multimodal / sketches / sampling (8)
+    "q_media_dedup",
+    "q_kmv_jaccard", "q_countmin", "q_source_overlap", "q_exact_median_2pass",
+    "q_source_mix", "q_source_cap", "q_global_shuffle",
+    # never-windowed: join strategies / graph (4)
+    "q_bloom_prune", "q_fuzzy_blocking", "q_pagerank", "q_degree_distribution",
+    # never-windowed: relational additions (5)
+    "q_tpch_q19", "q_tpch_q13", "q_lateral_topk", "q_nullsafe_join",
+    "q_not_in_nulls",
+)
+
+# Round 5 window plan (keep the rotation math visible): the remaining 24
+# oracle-bearing never-windowed queries —
+#   relational: q_zorder_stats q_jsonl_ingest q_except_all q_intersect_all
+#     q_orderby_nulls q_decimal_money q_hof_parity q_sequence_gaps q_benford
+#   windows: q_window_count_distinct q_anomaly_zscore q_events_funnel
+#     q_retention_cohorts q_cdc_apply q_scd2_intervals q_merge_upsert
+#     q_skyline q_ohlc_bars q_regr_slope q_attribution_last_touch
+#   streaming: q_stream_closed_windows q_stream_topk q_stream_cdc_merge
+#     q_stream_sessions_native
+# — plus any round-4 additions, plus regression canaries for every query
+# whose plan the round-4/5 diffs touch (heavy_hitters, bigram_surprise,
+# phrase_pmi, substring_spans, semantic dedup) and r1/r2 family canaries.
+ROUND5_PLANNED: tuple[str, ...] = (
+    "q_zorder_stats", "q_jsonl_ingest", "q_except_all", "q_intersect_all",
+    "q_orderby_nulls", "q_decimal_money", "q_hof_parity", "q_sequence_gaps",
+    "q_benford",
+    "q_window_count_distinct", "q_anomaly_zscore", "q_events_funnel",
+    "q_retention_cohorts", "q_cdc_apply", "q_scd2_intervals", "q_merge_upsert",
+    "q_skyline", "q_ohlc_bars", "q_regr_slope", "q_attribution_last_touch",
+    "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
+    "q_stream_sessions_native",
 )
 
 
@@ -125,5 +141,15 @@ def load_all() -> dict[str, QuerySpec]:
     if missing:
         raise KeyError(f"VERIFY_FIRST names not registered: {missing}")
     head = {n: REGISTRY[n] for n in VERIFY_FIRST}
-    tail = {n: s for n, s in REGISTRY.items() if n not in head}
-    return {**head, **tail}
+    rows_only_in_window = [n for n, s in head.items() if s.oracle is None]
+    if rows_only_in_window:
+        raise ValueError(
+            f"rows-only specs may not occupy window slots: {rows_only_in_window}"
+        )
+    # Oracle-bearing specs before rows-only ones, each group in
+    # registration order — rows-only specs can never produce a green
+    # driver row, so they must sort behind every proveable query.
+    tail = [(n, s) for n, s in REGISTRY.items() if n not in head]
+    tail_oracle = {n: s for n, s in tail if s.oracle is not None}
+    tail_rows_only = {n: s for n, s in tail if s.oracle is None}
+    return {**head, **tail_oracle, **tail_rows_only}

@@ -196,17 +196,25 @@ def q_pstbin_task(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(2097412 AS BIGINT) AS node_id,
            CAST(33026 AS BIGINT) AS parent_node_id,
            'Cat Support Group' AS display_name,
-           [CAST(2097412 AS BIGINT), CAST(2097380 AS BIGINT)] AS member_node_ids
+           CAST(pos AS INT) AS pos,
+           CAST(member_node_id AS BIGINT) AS member_node_id
+    FROM (VALUES (0, 2097412), (1, 2097380)) t(pos, member_node_id)
     """,
     tags=("pst-binary", "nested"),
 )
 def q_pstbin_dlist_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-list row with decoded member_node_ids pinned to golden
-    (read_unittest_pst.test:59-64; wrapped-EntryID nid extraction,
-    reference row_serializer.cpp:1164-1204); A7-projected scan."""
-    return _pst(
+    """Distribution-list rows with decoded member node ids, one scalar row
+    per member via posexplode (driver contract: no nested output columns),
+    pinned to golden (read_unittest_pst.test:59-64; wrapped-EntryID nid
+    extraction, reference row_serializer.cpp:1164-1204); A7-projected scan.
+    The array form stays covered by tests/test_mspst_binary.py."""
+    d = _pst(
         spark, "distribution_lists",
         columns="node_id,parent_node_id,display_name,member_node_ids",
+    )
+    return d.select(
+        "node_id", "parent_node_id", "display_name",
+        F.posexplode("member_node_ids").alias("pos", "member_node_id"),
     )
 
 

@@ -37,6 +37,27 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_no_nested_output_columns(spark, sf_dir):
+    """Driver-contract guard: the driver's canonicalizer pandas-sorts result
+    columns, so an Array/Map/Struct output column in an oracle-bearing query
+    dies with `unhashable type` at verify time (bug class that broke
+    q_embedding_quantize in r2 and q_pstbin_dlist_ids in r3). Ban the class:
+    every oracle-bearing spec must emit scalar columns only (explode /
+    posexplode nested data into rows instead)."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name in ORACLE_NAMES:
+        schema = SPECS[name].builder(spark, sf_dir).schema
+        nested = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"oracle-bearing queries with nested output columns: {offenders}"
+
+
 def test_survey_inventory_matches_registry():
     """SURVEY.md §2's operator inventory and the registry must stay 1:1 —
     the declared surface IS the checked surface."""
