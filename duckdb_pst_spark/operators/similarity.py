@@ -681,8 +681,15 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 np.add.at(counts, rows, 1)
                 np.add.at(sums, rows, Xi)
             nz = np.nonzero(counts)[0]
+            # explicit dtypes: an empty partition would otherwise infer
+            # float64 ndarray columns, which pyarrow cannot convert to
+            # list<int64> on the Arrow output path
             yield pd.DataFrame(
-                {"cid": ids[nz], "n": counts[nz], "sums": list(sums[nz])}
+                {
+                    "cid": pd.Series(ids[nz].tolist(), dtype="int64"),
+                    "n": pd.Series(counts[nz].tolist(), dtype="int64"),
+                    "sums": pd.Series(sums[nz].tolist(), dtype="object"),
+                }
             )
 
         return kernel

@@ -35,6 +35,7 @@ EAGER = {
     "q_dedup_cluster_star": "ITER",
     "q_kmeans_iter": "ITER",
     "q_knn_ivf_trained": "ITER",
+    "q_dedup_semantic_scaled": "ITER",
     "q_stream_window_counts": "STREAM",
     "q_stream_stateful_sessions": "STREAM",
 }
