@@ -344,3 +344,36 @@ def test_tpch_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     assert any("p_brand" in x for x in pushed), pushed
     assert pi.broadcast_join_count(df) == 1
     assert pi.shuffle_count(df) == 1
+
+
+def test_bigram_surprise_broadcast_lm(spark, sf_dir):
+    """The r4 rewrite's contract: the pruned sample-trained LM joins by
+    BROADCAST into the scoring scan, and the only groupBy-keyed
+    exchanges are the sample LM build + the per-doc aggregate — never a
+    corpus-wide bigram-keyed shuffle (r3's plan: 16.2 s vs 7.8 s at
+    100×)."""
+    df = SPECS["q_bigram_surprise"].builder(spark, sf_dir)
+    assert pi.broadcast_join_count(df) >= 1, pi.executed_plan(df)
+    assert pi.shuffle_count(df) <= 2, pi.executed_plan(df)
+    assert pi.has_take_ordered(df)
+
+
+def test_substring_spans_single_shingle_window(spark, sf_dir):
+    """The r4 fusion: cross-doc duplication detection is one window over
+    the shingle (min/max doc_id), not groupBy + self-join — so the plan
+    holds exactly two keyed exchanges (shingle window, per-doc window)
+    and NO join."""
+    df = SPECS["q_substring_spans"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 2, pi.executed_plan(df)
+    assert pi.broadcast_join_count(df) == 0
+    assert pi.sort_merge_join_count(df) == 0
+
+
+def test_heavy_hitters_sketch_is_arrow_on_hashes(spark, sf_dir):
+    """The r4 sketch contract: the Misra-Gries pass runs over xxhash64
+    int64 keys (no token strings enter Python), via mapInArrow; the
+    verify pass semi-joins on the broadcast candidate hash set."""
+    df = SPECS["q_heavy_hitters"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "xxhash64" in plan, plan
+    assert pi.broadcast_join_count(df) >= 1, plan
