@@ -1861,7 +1861,13 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins hit the broadcast table — so the only big shuffle is the
     bigram groupBy, and TakeOrderedAndProject picks the top. The same
     plan iterates for trigrams by re-running over the phrase-merged
-    corpus (the word2phrase loop).
+    corpus (the word2phrase loop). A distinct-text collapse (the
+    q_dedup_incremental trick) was also measured and NOT shipped:
+    6.0 → 7.7 s at 100× — map-side partial aggregation ALREADY
+    deduplicates repeated pairs within each partition, so for
+    count-shaped ops the collapse only adds a corpus-text shuffle;
+    the collapse wins only for JOIN-shaped ops, where no map-side
+    combine exists.
 
     Key-space note (measured r4): because c(x,y) ≤ min(c(x), c(y)), a
     broadcast semi-filter on the ≥{5}-count unigram set before the
