@@ -1643,17 +1643,22 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition is one document, never the corpus."""
     W = _SPAN_W
     d = _docs_with_tokens(spark, sf_dir).filter(F.size("toks") >= W)
+    # the shingle text never survives past duplicate detection, so the
+    # exchange carries xxhash64(shingle) — 8-byte sort keys instead of
+    # ~50-byte strings through the corpus-sized window exchange (the
+    # docstring's 100 TB prescription, applied); a hash collision would
+    # need ~2^32 distinct shingles to reach coin-flip odds
     sh = d.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, size(toks) - {W} + 1),"
-                f" i -> concat_ws(' ', slice(toks, i, {W})))"
+                f" i -> xxhash64(concat_ws(' ', slice(toks, i, {W}))))"
             )
-        ).alias("s", "g"),
+        ).alias("s", "h"),
     ).withColumn("s", F.col("s").cast("long"))
-    wg = Window.partitionBy("g")
+    wg = Window.partitionBy("h")
     hits = (
         sh.withColumn("dmin", F.min("doc_id").over(wg))
         .withColumn("dmax", F.max("doc_id").over(wg))
