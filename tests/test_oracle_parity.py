@@ -58,6 +58,23 @@ def test_no_nested_output_columns(spark, sf_dir):
     assert not offenders, f"oracle-bearing queries with nested output columns: {offenders}"
 
 
+def test_verify_window_rotation_consistent():
+    """The driver checks the first 50 of load_all(): every window slot
+    must be oracle-bearing (a rows-only spec can never go green), the
+    rows-only specs must sort last, and ROUND5_PLANNED must name real
+    oracle-bearing queries so the next rotation stays executable."""
+    from duckdb_pst_spark.registry import ROUND5_PLANNED, VERIFY_FIRST
+
+    names = list(SPECS)
+    assert names[: len(VERIFY_FIRST)] == list(VERIFY_FIRST)
+    assert all(SPECS[n].oracle is not None for n in VERIFY_FIRST)
+    rows_only = [n for n, s in SPECS.items() if s.oracle is None]
+    assert names[-len(rows_only):] == rows_only
+    assert all(
+        n in SPECS and SPECS[n].oracle is not None for n in ROUND5_PLANNED
+    )
+
+
 def test_survey_inventory_matches_registry():
     """SURVEY.md §2's operator inventory and the registry must stay 1:1 —
     the declared surface IS the checked surface."""
