@@ -16,9 +16,11 @@ code testable without image/audio libraries:
 - audio: mono PCM16LE, ``len = 2*n_samples``
 - video: ``n_frames`` concatenated RAW images, ``len = n*w*h*3``
 
-Real container formats (JPEG/PNG/WAV/MP4) are delegated to optional
-libraries behind import-guards in ``multimodal.ops`` and raise
-``NotImplementedError`` when absent (this container ships none of them).
+Real PNG/WAV containers are fully decodable via the pure-stdlib codecs
+(``multimodal.codecs``) and live in the separate ``media_real`` fixture
+below; JPEG/MP4 are delegated to optional libraries behind import-guards
+in ``multimodal.ops`` and raise ``NotImplementedError`` when absent
+(this container ships none of them).
 """
 
 from __future__ import annotations
@@ -118,3 +120,93 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
     pq.write_table(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA), out / "media.parquet")
     marker.touch()
     return str(out)
+
+
+# --------------------------------------------- REAL container fixtures
+# A second table, `media_real`, holds REAL PNG and WAV container bytes
+# produced by the pure-stdlib codecs (multimodal/codecs.py) from
+# deterministic per-id arrays — so full pixel/sample decode of real
+# container formats is exercised AND oracle-checkable: the golden stats
+# are recomputed from the pre-encode arrays at registration time, which
+# makes the driver's hash compare verify encoder → bytes → decoder →
+# stats end to end. Kept separate from `media` so the RAW-codec oracle
+# queries keep their pinned values.
+
+REAL_VERSION = "v1"
+DEFAULT_N_REAL = 80
+
+REAL_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # 'image' | 'audio'
+        ("fmt", pa.string()),  # 'png' | 'wav'
+        ("bytes", pa.binary()),
+    ]
+)
+
+
+def real_items(n: int = DEFAULT_N_REAL):
+    """Yield (media_id, kind, fmt, payload_array, sample_rate, container
+    bytes); deterministic per id. PNGs sweep 1/3/4 channels and all five
+    scanline filters; WAVs sweep mono/stereo."""
+    from duckdb_pst_spark.multimodal import codecs
+
+    for mid in range(n):
+        rng = np.random.default_rng(10_000 + mid)
+        if mid % 2 == 0:
+            c = (1, 3, 4)[(mid // 2) % 3]
+            w = 12 + (mid % 6) * 7
+            h = 10 + (mid % 5) * 5
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            yield mid, "image", "png", px, None, codecs.png_encode(
+                px, filter_type=mid % 5
+            )
+        else:
+            ch = 1 if mid % 4 == 1 else 2
+            n_s = 3_000 + (mid % 7) * 500
+            shape = (n_s,) if ch == 1 else (n_s, ch)
+            s = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+            rate = 16_000 if mid % 3 else 8_000
+            yield mid, "audio", "wav", s, rate, codecs.wav_encode(s, rate)
+
+
+def real_media_dir(n: int = DEFAULT_N_REAL) -> str:
+    return str(_CACHE_ROOT / f"real_{REAL_VERSION}_{n}")
+
+
+def generate_real(n: int = DEFAULT_N_REAL, *, force: bool = False) -> str:
+    out = Path(real_media_dir(n))
+    marker = out / "_SUCCESS"
+    if marker.exists() and not force:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"media_id": mid, "kind": kind, "fmt": fmt, "bytes": raw}
+        for mid, kind, fmt, _arr, _rate, raw in real_items(n)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=REAL_SCHEMA), out / "media_real.parquet")
+    marker.touch()
+    return str(out)
+
+
+def real_golden_rows(n: int = DEFAULT_N_REAL) -> list[tuple]:
+    """Expected decode stats per item, computed from the PRE-ENCODE
+    arrays (integer-exact): (media_id, fmt, width, height, channels,
+    n_samples, sample_rate, sum_v, min_v, max_v); None where a field
+    does not apply to the modality."""
+    rows = []
+    for mid, _kind, fmt, arr, rate, _raw in real_items(n):
+        if fmt == "png":
+            h, w, c = arr.shape
+            rows.append(
+                (mid, fmt, w, h, c, None, None,
+                 int(arr.sum(dtype=np.int64)), int(arr.min()), int(arr.max()))
+            )
+        else:
+            ch = 1 if arr.ndim == 1 else arr.shape[1]
+            n_s = arr.shape[0]
+            rows.append(
+                (mid, fmt, None, None, ch, n_s, rate,
+                 int(np.abs(arr.astype(np.int64)).sum()), int(arr.min()), int(arr.max()))
+            )
+    return rows

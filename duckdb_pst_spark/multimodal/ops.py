@@ -16,9 +16,12 @@ Execution model (the 100 TB design):
   is the session default in ``session.get_spark``; ``media_table`` also
   one-way-lowers a vanilla session's 10k default — with ~1 MB payloads
   10k rows/batch would be a 10 GB Arrow allocation per task).
-- Real container formats (JPEG/PNG/WAV) are gated behind optional
-  imports and raise ``NotImplementedError`` here (libs absent in this
-  container); the RAW path is the tested, fully-real implementation.
+- Real PNG and WAV containers decode fully via the pure-stdlib codecs
+  in ``multimodal.codecs`` (zlib + numpy un-filtering / struct chunk
+  walk — no image/audio library needed); JPEG pixels and other formats
+  stay behind the optional-import gate and raise ``NotImplementedError``
+  (libs absent in this container). The RAW path remains the simplest
+  fully-real implementation.
 """
 
 from __future__ import annotations
@@ -47,9 +50,11 @@ def _require_raw(fmt: str, expected: str) -> None:
         return
     if not _HAS_PIL:
         raise NotImplementedError(
-            f"container format {fmt!r} needs an image/audio codec library "
-            "(PIL/soundfile), which is not installed; only the RAW formats "
-            "('raw-rgb8', 'raw-pcm16', 'raw-vid8') are decodable here"
+            f"container format {fmt!r} is not decodable here: RAW formats "
+            "('raw-rgb8', 'raw-pcm16', 'raw-vid8') plus real PNG/WAV "
+            "(pure-stdlib codecs in multimodal/codecs.py) are built in; "
+            "anything else (JPEG pixels, MP4, ...) needs an image/audio "
+            "codec library (PIL/soundfile), which is not installed"
         )
 
 
@@ -74,9 +79,19 @@ def decode_image(images: DataFrame) -> DataFrame:
         for b in it:
             out = []
             for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
-                _require_raw(meta["format"], "raw-rgb8")
-                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
-                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+                if meta["format"] == "png":
+                    # real container: geometry comes from the bytes
+                    from duckdb_pst_spark.multimodal import codecs
+
+                    px = codecs.png_decode(bytes(raw))
+                    if px.shape[2] < 3:  # gray / gray+alpha → replicate
+                        px = np.repeat(px[:, :, :1], 3, axis=2)
+                    px = px[:, :, :3]
+                    h, w, c = px.shape
+                else:
+                    _require_raw(meta["format"], "raw-rgb8")
+                    w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
                 luma = px @ np.array([0.299, 0.587, 0.114])
                 out.append((mid, w, h, c, float(luma.mean()), int(px.min()), int(px.max())))
             yield pd.DataFrame(
@@ -211,13 +226,22 @@ def audio_features(audio: DataFrame) -> DataFrame:
         for b in it:
             out = []
             for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
-                _require_raw(meta["format"], "raw-pcm16")
-                wave = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                sr = int(meta["sample_rate"])
+                if meta["format"] == "wav":
+                    # real container: rate/width come from the bytes
+                    from duckdb_pst_spark.multimodal import codecs
+
+                    samples, sr = codecs.wav_decode(bytes(raw))
+                    frames = samples.shape[0]  # stereo: frames, not values
+                    wave = samples.astype(np.float64).reshape(-1)
+                else:
+                    _require_raw(meta["format"], "raw-pcm16")
+                    wave = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    sr = int(meta["sample_rate"])
+                    frames = len(wave)
                 out.append(
                     (
                         mid,
-                        len(wave) / sr,
+                        frames / sr,
                         float(np.sqrt((wave**2).mean())) if len(wave) else 0.0,
                         int(np.abs(wave).max()) if len(wave) else 0,
                     )

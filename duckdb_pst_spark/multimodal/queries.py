@@ -18,6 +18,37 @@ from duckdb_pst_spark.registry import query
 
 _DIR = fixtures.generate()  # idempotent; absolute path for oracle SQL
 _MEDIA = f"read_parquet('{_DIR}/media.parquet')"
+_REAL_DIR = fixtures.generate_real()
+
+
+def _real_decode_oracle() -> str:
+    """Golden VALUES oracle for q_media_decode_real: expected stats are
+    recomputed from the PRE-ENCODE arrays (fixtures.real_golden_rows),
+    so the driver's hash compare proves codecs.png_encode → container
+    bytes → codecs.png_decode → stats (and the WAV pair) end to end —
+    DuckDB cannot decode the containers, but it can pin the answer."""
+
+    def lit(v, typ: str) -> str:
+        return f"CAST({'NULL' if v is None else v} AS {typ})"
+
+    values = ",\n      ".join(
+        "("
+        + ", ".join(
+            [
+                lit(mid, "BIGINT"), f"'{fmt}'", lit(w, "INT"), lit(h, "INT"),
+                lit(c, "INT"), lit(ns, "BIGINT"), lit(sr, "INT"),
+                lit(sv, "BIGINT"), lit(mn, "INT"), lit(mx, "INT"),
+            ]
+        )
+        + ")"
+        for mid, fmt, w, h, c, ns, sr, sv, mn, mx in fixtures.real_golden_rows()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) t(media_id, fmt, width, height, channels, n_samples, sample_rate,
+        sum_v, min_v, max_v)
+    """
 
 
 @query(
@@ -140,6 +171,69 @@ def q_media_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         att.select("media_id", "filename", F.octet_length("bytes").cast("long").alias("nbytes"))
         .join(probed, "media_id")
         .select("filename", "format", "width", "height", "channels", "nbytes")
+    )
+
+
+@query(
+    "q_media_decode_real",
+    oracle=_real_decode_oracle(),
+    tags=("multimodal", "udf", "pipeline"),
+)
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container pixel/sample decode, ORACLE-CHECKED — the round-4
+    close of the 'real codec decode' gap within what the sandbox
+    permits: the media_real table holds genuine PNG (all five scanline
+    filters, gray/RGB/RGBA) and RIFF/WAVE PCM16 (mono/stereo) container
+    bytes, decoded here by the pure-stdlib codecs
+    (multimodal/codecs.py — zlib inflate + numpy un-filtering per the
+    public PNG spec; struct chunk-walk for WAV), with geometry taken
+    from the CONTAINER, not metadata. The oracle pins every stat to
+    values recomputed from the pre-encode arrays, so a hash match
+    proves the full encode→decode round trip inside the Spark operator.
+    JPEG stays header-probe only (q_media_probe_real) — entropy decode
+    is a codec library's job.
+
+    Scale shape: one scan, one Arrow hop, stats emitted per row —
+    map-only (the q_image_decode plan, now on real containers)."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    src = spark.read.parquet(f"{_REAL_DIR}/media_real.parquet").select(
+        "media_id", "fmt", "bytes"
+    )
+
+    def kern(it):
+        import pandas as pd
+
+        from duckdb_pst_spark.multimodal import codecs
+
+        for b in it:
+            out = []
+            for mid, fmt, raw in zip(b["media_id"], b["fmt"], b["bytes"]):
+                if fmt == "png":
+                    px = codecs.png_decode(bytes(raw))
+                    h, w, c = px.shape
+                    out.append(
+                        (mid, fmt, w, h, c, None, None,
+                         int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
+                    )
+                else:
+                    s, rate = codecs.wav_decode(bytes(raw))
+                    ch = 1 if s.ndim == 1 else s.shape[1]
+                    out.append(
+                        (mid, fmt, None, None, ch, int(s.shape[0]), rate,
+                         int(np.abs(s.astype(np.int64)).sum()),
+                         int(s.min()), int(s.max()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "fmt", "width", "height", "channels",
+                         "n_samples", "sample_rate", "sum_v", "min_v", "max_v"],
+            )
+
+    return src.mapInPandas(
+        kern,
+        "media_id long, fmt string, width int, height int, channels int, "
+        "n_samples long, sample_rate int, sum_v long, min_v int, max_v int",
     )
 
 

@@ -114,6 +114,8 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_skyline", "q_ohlc_bars", "q_regr_slope", "q_attribution_last_touch",
     "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
     "q_stream_sessions_native",
+    # round-4 additions (oracle-bearing, never windowed)
+    "q_media_decode_real",
 )
 
 

@@ -322,3 +322,93 @@ def test_video_dup_golden(spark, media):
     assert len(self_pairs) == vids
     cross = [r for r in rows if r.copy_id != r.orig_id + 400_000]
     assert cross == [], cross
+
+
+def test_png_wav_codecs_roundtrip():
+    """Pure-stdlib codecs: every PNG scanline filter × channel count and
+    WAV mono/stereo must round-trip pixel/sample-exact, including a
+    multi-IDAT-chunk stream (real encoders split IDAT freely)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        for f in range(5):
+            px = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+            assert np.array_equal(C.png_decode(C.png_encode(px, filter_type=f)), px)
+    s = rng.integers(-32768, 32768, size=4001).astype(np.int16)
+    d, r = C.wav_decode(C.wav_encode(s, 16000))
+    assert r == 16000 and np.array_equal(d, s)
+    st = rng.integers(-32768, 32768, size=(1000, 2)).astype(np.int16)
+    d2, r2 = C.wav_decode(C.wav_encode(st, 44100))
+    assert r2 == 44100 and np.array_equal(d2, st)
+    # split the IDAT into two chunks; decoder must concatenate
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    raw = C.png_encode(px, 2)
+    sig, rest = raw[:8], raw[8:]
+    chunks, pos = [], 0
+    while pos < len(rest):
+        (ln,) = struct.unpack(">I", rest[pos:pos + 4])
+        chunks.append((rest[pos + 4:pos + 8], rest[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    idat = dict(chunks)[b"IDAT"]
+
+    def mk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    two = (sig + mk(b"IHDR", dict(chunks)[b"IHDR"]) + mk(b"IDAT", idat[:10])
+           + mk(b"IDAT", idat[10:]) + mk(b"IEND", b""))
+    assert np.array_equal(C.png_decode(two), px)
+
+
+def test_media_decode_real_matches_golden(spark):
+    """q_media_decode_real's Spark output must equal the pre-encode
+    golden stats row-for-row (the registered oracle pins the same)."""
+    from duckdb_pst_spark.multimodal import fixtures
+    from duckdb_pst_spark.registry import load_all
+
+    rows = load_all()["q_media_decode_real"].builder(spark, "unused").collect()
+    got = {
+        r.media_id: (r.fmt, r.width, r.height, r.channels, r.n_samples,
+                     r.sample_rate, r.sum_v, r.min_v, r.max_v)
+        for r in rows
+    }
+    want = {
+        mid: (fmt, w, h, c, ns, sr, sv, mn, mx)
+        for mid, fmt, w, h, c, ns, sr, sv, mn, mx in fixtures.real_golden_rows()
+    }
+    assert got == want
+
+
+def test_ops_decode_real_containers(spark, media):
+    """The generic decode_image / audio_features operators accept real
+    PNG/WAV payloads (meta.format routed to the stdlib codecs), with
+    geometry derived from the CONTAINER bytes."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    s = rng.integers(-32768, 32768, size=1600).astype(np.int16)
+    rows = [
+        (1, 0, "image", bytearray(codecs.png_encode(px, 4)),
+         {"format": "png", "width": None, "height": None, "channels": None,
+          "sample_rate": None, "n_samples": None, "n_frames": None}),
+        (2, 0, "audio", bytearray(codecs.wav_encode(s, 8000)),
+         {"format": "wav", "width": None, "height": None, "channels": None,
+          "sample_rate": None, "n_samples": None, "n_frames": None}),
+    ]
+    df = spark.createDataFrame(rows, media.schema)
+    img = ops.decode_image(df.filter(F.col("kind") == "image")).collect()[0]
+    assert (img.width, img.height, img.channels) == (8, 10, 3)
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    assert abs(img.mean_luma - float(luma.mean())) < 1e-9
+    aud = ops.audio_features(df.filter(F.col("kind") == "audio")).collect()[0]
+    assert abs(aud.duration_s - 1600 / 8000) < 1e-9
+    assert aud.peak == int(np.abs(s.astype(np.int64)).max())
