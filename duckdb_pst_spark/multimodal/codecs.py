@@ -1,6 +1,6 @@
-"""Pure-stdlib real container codecs: PNG (zlib + numpy un-filtering)
-and WAV (RIFF PCM16) — full pixel/sample decode with NO optional
-image/audio library.
+"""Pure-stdlib real container codecs: PNG (zlib + numpy un-filtering),
+BMP (uncompressed 24-bpp DIB), and WAV (RIFF PCM16) — full pixel/sample
+decode with NO optional image/audio library.
 
 This closes the sandbox half of the "real codec decode" gap (VERDICT r3
 missing item 2): PIL/soundfile are absent in this container, but PNG and
@@ -167,6 +167,47 @@ def png_decode(raw: bytes) -> np.ndarray:
         out[y] = row
         prev = row
     return out
+
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bpp BITMAPINFOHEADER BMP
+    (bottom-up rows, BGR byte order, 4-byte row padding — the public
+    Windows DIB layout)."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("need (h, w, 3) uint8")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = px[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def bmp_decode(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp BMP bytes → (h, w, 3) uint8 RGB. Top-down
+    (negative height) and bottom-up layouts both handled."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", raw[10:14])
+    hdr_size, w, h_signed = struct.unpack("<Iii", raw[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", raw[26:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed "
+            "24-bpp decoded here"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    data = raw[data_off : data_off + stride * h]
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up → top-down
+    return np.ascontiguousarray(px)
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -132,7 +132,7 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 # stats end to end. Kept separate from `media` so the RAW-codec oracle
 # queries keep their pinned values.
 
-REAL_VERSION = "v1"
+REAL_VERSION = "v2"  # v2: every third image is a 24-bpp BMP
 DEFAULT_N_REAL = 80
 
 REAL_SCHEMA = pa.schema(
@@ -154,13 +154,18 @@ def real_items(n: int = DEFAULT_N_REAL):
     for mid in range(n):
         rng = np.random.default_rng(10_000 + mid)
         if mid % 2 == 0:
-            c = (1, 3, 4)[(mid // 2) % 3]
             w = 12 + (mid % 6) * 7
             h = 10 + (mid % 5) * 5
-            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
-            yield mid, "image", "png", px, None, codecs.png_encode(
-                px, filter_type=mid % 5
-            )
+            idx = (mid // 2) % 4
+            if idx == 3:  # 24-bpp BMP (RGB by format definition)
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                yield mid, "image", "bmp", px, None, codecs.bmp_encode(px)
+            else:
+                c = (1, 3, 4)[idx]
+                px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+                yield mid, "image", "png", px, None, codecs.png_encode(
+                    px, filter_type=mid % 5
+                )
         else:
             ch = 1 if mid % 4 == 1 else 2
             n_s = 3_000 + (mid % 7) * 500
@@ -196,7 +201,7 @@ def real_golden_rows(n: int = DEFAULT_N_REAL) -> list[tuple]:
     does not apply to the modality."""
     rows = []
     for mid, _kind, fmt, arr, rate, _raw in real_items(n):
-        if fmt == "png":
+        if fmt in ("png", "bmp"):
             h, w, c = arr.shape
             rows.append(
                 (mid, fmt, w, h, c, None, None,

@@ -364,6 +364,14 @@ def test_png_wav_codecs_roundtrip():
     two = (sig + mk(b"IHDR", dict(chunks)[b"IHDR"]) + mk(b"IDAT", idat[:10])
            + mk(b"IDAT", idat[10:]) + mk(b"IEND", b""))
     assert np.array_equal(C.png_decode(two), px)
+    # BMP: round-trip with non-multiple-of-4 stride, plus top-down form
+    bpx = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    braw = C.bmp_encode(bpx)
+    assert np.array_equal(C.bmp_decode(braw), bpx)
+    neg = bytearray(braw)
+    neg[22:26] = struct.pack("<i", -7)  # top-down: negate height
+    rows_td = C.bmp_decode(bytes(neg))
+    assert np.array_equal(rows_td, bpx[::-1])
 
 
 def test_media_decode_real_matches_golden(spark):
