@@ -210,6 +210,177 @@ def bmp_decode(raw: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+# ------------------------------------------------------------------ GIF
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap) over a flat index array."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitlen = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for v in indices.tolist():
+        k = prefix + bytes([v])
+        if k in table:
+            prefix = k
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[k] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:  # table full → reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([v])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    bitbuf = 0
+    bitlen = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < n_expected and pos <= len(data):
+        while bitlen < width and pos < len(data):
+            bitbuf |= data[pos] << bitlen
+            bitlen += 8
+            pos += 1
+        if bitlen < width:
+            break
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitlen -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (n≤256, 3) uint8 palette → GIF89a
+    bytes (single image, global color table, real LZW)."""
+    if indices.dtype != np.uint8 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("need uint8 indices and (n, 3) palette")
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    gct_size = 1 << bits
+    pal = np.zeros((gct_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    mcs = max(2, bits)
+    lzw = _lzw_compress(indices.reshape(-1), mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)  # GCT flag+size
+        + pal.tobytes()
+        + b","  # image descriptor
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
+        + bytes([mcs])
+        + bytes(blocks)
+        + b";"
+    )
+
+
+def gif_decode(raw: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (h, w, 3) uint8 RGB (first image frame;
+    global or local color table; non-interlaced)."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while raw[pos]:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            mcs = raw[pos]
+            pos += 1
+            lzw = bytearray()
+            while raw[pos]:
+                ln = raw[pos]
+                lzw.extend(raw[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decompress(bytes(lzw), mcs, iw * ih)
+            if len(idx) != iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            return pal[idx.reshape(ih, iw)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    raise ValueError("GIF contains no image")
+
+
 def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
     """int16 (n,) mono or (n, 2) stereo → RIFF/WAVE PCM16 bytes."""
     if samples.dtype != np.int16:

@@ -16,7 +16,7 @@ code testable without image/audio libraries:
 - audio: mono PCM16LE, ``len = 2*n_samples``
 - video: ``n_frames`` concatenated RAW images, ``len = n*w*h*3``
 
-Real PNG/WAV containers are fully decodable via the pure-stdlib codecs
+Real PNG/BMP/GIF/WAV containers are fully decodable via the pure-stdlib codecs
 (``multimodal.codecs``) and live in the separate ``media_real`` fixture
 below; JPEG/MP4 are delegated to optional libraries behind import-guards
 in ``multimodal.ops`` and raise ``NotImplementedError`` when absent
@@ -123,7 +123,7 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 
 
 # --------------------------------------------- REAL container fixtures
-# A second table, `media_real`, holds REAL PNG and WAV container bytes
+# A second table, `media_real`, holds REAL PNG/BMP/GIF/WAV container bytes
 # produced by the pure-stdlib codecs (multimodal/codecs.py) from
 # deterministic per-id arrays — so full pixel/sample decode of real
 # container formats is exercised AND oracle-checkable: the golden stats
@@ -132,14 +132,14 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 # stats end to end. Kept separate from `media` so the RAW-codec oracle
 # queries keep their pinned values.
 
-REAL_VERSION = "v2"  # v2: every third image is a 24-bpp BMP
+REAL_VERSION = "v3"  # v3: image cycle = PNG gray/RGB/RGBA, BMP, GIF
 DEFAULT_N_REAL = 80
 
 REAL_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("kind", pa.string()),  # 'image' | 'audio'
-        ("fmt", pa.string()),  # 'png' | 'wav'
+        ("fmt", pa.string()),  # 'png' | 'bmp' | 'gif' | 'wav'
         ("bytes", pa.binary()),
     ]
 )
@@ -148,7 +148,8 @@ REAL_SCHEMA = pa.schema(
 def real_items(n: int = DEFAULT_N_REAL):
     """Yield (media_id, kind, fmt, payload_array, sample_rate, container
     bytes); deterministic per id. PNGs sweep 1/3/4 channels and all five
-    scanline filters; WAVs sweep mono/stereo."""
+    scanline filters; BMP is 24-bpp; GIFs sweep palette sizes through
+    real LZW; WAVs sweep mono/stereo."""
     from duckdb_pst_spark.multimodal import codecs
 
     for mid in range(n):
@@ -156,10 +157,15 @@ def real_items(n: int = DEFAULT_N_REAL):
         if mid % 2 == 0:
             w = 12 + (mid % 6) * 7
             h = 10 + (mid % 5) * 5
-            idx = (mid // 2) % 4
+            idx = (mid // 2) % 5
             if idx == 3:  # 24-bpp BMP (RGB by format definition)
                 px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 yield mid, "image", "bmp", px, None, codecs.bmp_encode(px)
+            elif idx == 4:  # GIF: palette indices, real LZW
+                npal = 8 + (mid % 4) * 32
+                pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+                ind = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+                yield mid, "image", "gif", pal[ind], None, codecs.gif_encode(ind, pal)
             else:
                 c = (1, 3, 4)[idx]
                 px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
@@ -201,7 +207,7 @@ def real_golden_rows(n: int = DEFAULT_N_REAL) -> list[tuple]:
     does not apply to the modality."""
     rows = []
     for mid, _kind, fmt, arr, rate, _raw in real_items(n):
-        if fmt in ("png", "bmp"):
+        if fmt in ("png", "bmp", "gif"):
             h, w, c = arr.shape
             rows.append(
                 (mid, fmt, w, h, c, None, None,

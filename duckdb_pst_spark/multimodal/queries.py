@@ -183,9 +183,10 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container pixel/sample decode, ORACLE-CHECKED — the round-4
     close of the 'real codec decode' gap within what the sandbox
     permits: the media_real table holds genuine PNG (all five scanline
-    filters, gray/RGB/RGBA), uncompressed 24-bpp BMP, and RIFF/WAVE
-    PCM16 (mono/stereo) container bytes, decoded here by the
-    pure-stdlib codecs
+    filters, gray/RGB/RGBA), uncompressed 24-bpp BMP, GIF89a (real
+    variable-width LZW incl. table resets), and RIFF/WAVE PCM16
+    (mono/stereo) container bytes, decoded here by the pure-stdlib
+    codecs
     (multimodal/codecs.py — zlib inflate + numpy un-filtering per the
     public PNG spec; struct chunk-walk for WAV), with geometry taken
     from the CONTAINER, not metadata. The oracle pins every stat to
@@ -210,12 +211,10 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in it:
             out = []
             for mid, fmt, raw in zip(b["media_id"], b["fmt"], b["bytes"]):
-                if fmt in ("png", "bmp"):
-                    px = (
-                        codecs.png_decode(bytes(raw))
-                        if fmt == "png"
-                        else codecs.bmp_decode(bytes(raw))
-                    )
+                if fmt in ("png", "bmp", "gif"):
+                    decode = {"png": codecs.png_decode, "bmp": codecs.bmp_decode,
+                              "gif": codecs.gif_decode}[fmt]
+                    px = decode(bytes(raw))
                     h, w, c = px.shape
                     out.append(
                         (mid, fmt, w, h, c, None, None,

@@ -420,3 +420,23 @@ def test_ops_decode_real_containers(spark, media):
     aud = ops.audio_features(df.filter(F.col("kind") == "audio")).collect()[0]
     assert abs(aud.duration_s - 1600 / 8000) < 1e-9
     assert aud.peak == int(np.abs(s.astype(np.int64)).max())
+
+
+def test_gif_codec_roundtrip():
+    """GIF89a round trip: palette sizes sweep code widths; repetitive
+    data exercises KwKwK and width growth; a large random image forces
+    the 4096-entry table reset."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(5)
+    for npal in (4, 17, 64, 256):
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, size=(23, 31), dtype=np.uint8)
+        assert np.array_equal(C.gif_decode(C.gif_encode(idx, pal)), pal[idx])
+        rep = np.tile(np.arange(min(npal, 7), dtype=np.uint8), 300)[:1024].reshape(32, 32)
+        assert np.array_equal(C.gif_decode(C.gif_encode(rep, pal)), pal[rep])
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    assert np.array_equal(C.gif_decode(C.gif_encode(big, pal)), pal[big])
