@@ -132,14 +132,14 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 # stats end to end. Kept separate from `media` so the RAW-codec oracle
 # queries keep their pinned values.
 
-REAL_VERSION = "v3"  # v3: image cycle = PNG gray/RGB/RGBA, BMP, GIF
+REAL_VERSION = "v4"  # v4: image cycle = PNG gray/RGB/RGBA, BMP, GIF, JPEG
 DEFAULT_N_REAL = 80
 
 REAL_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
         ("kind", pa.string()),  # 'image' | 'audio'
-        ("fmt", pa.string()),  # 'png' | 'bmp' | 'gif' | 'wav'
+        ("fmt", pa.string()),  # 'png' | 'bmp' | 'gif' | 'jpeg' | 'wav'
         ("bytes", pa.binary()),
     ]
 )
@@ -157,8 +157,18 @@ def real_items(n: int = DEFAULT_N_REAL):
         if mid % 2 == 0:
             w = 12 + (mid % 6) * 7
             h = 10 + (mid % 5) * 5
-            idx = (mid // 2) % 5
-            if idx == 3:  # 24-bpp BMP (RGB by format definition)
+            idx = (mid // 2) % 6
+            if idx == 5:  # baseline JPEG (lossy: golden pins the decode)
+                from duckdb_pst_spark.multimodal import jpegc
+
+                base = np.mgrid[0:h, 0:w][1] * 255.0 / w
+                px = np.clip(
+                    np.stack([base, 255 - base, (base + 3 * mid) % 256], axis=2)
+                    + rng.normal(0, 4, (h, w, 3)),
+                    0, 255,
+                ).astype(np.uint8)
+                yield mid, "image", "jpeg", px, None, jpegc.jpeg_encode(px, 90)
+            elif idx == 3:  # 24-bpp BMP (RGB by format definition)
                 px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 yield mid, "image", "bmp", px, None, codecs.bmp_encode(px)
             elif idx == 4:  # GIF: palette indices, real LZW
@@ -207,7 +217,15 @@ def real_golden_rows(n: int = DEFAULT_N_REAL) -> list[tuple]:
     does not apply to the modality."""
     rows = []
     for mid, _kind, fmt, arr, rate, _raw in real_items(n):
-        if fmt in ("png", "bmp", "gif"):
+        if fmt == "jpeg":
+            # lossy codec: the golden pins the DETERMINISTIC decode (the
+            # codec pair's fidelity is bounded by the round-trip test);
+            # the query then proves the executor path reproduces the
+            # local decode bit-for-bit
+            from duckdb_pst_spark.multimodal import jpegc
+
+            arr = jpegc.jpeg_decode(_raw)
+        if fmt in ("png", "bmp", "gif", "jpeg"):
             h, w, c = arr.shape
             rows.append(
                 (mid, fmt, w, h, c, None, None,

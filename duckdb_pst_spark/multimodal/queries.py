@@ -184,9 +184,11 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     close of the 'real codec decode' gap within what the sandbox
     permits: the media_real table holds genuine PNG (all five scanline
     filters, gray/RGB/RGBA), uncompressed 24-bpp BMP, GIF89a (real
-    variable-width LZW incl. table resets), and RIFF/WAVE PCM16
-    (mono/stereo) container bytes, decoded here by the pure-stdlib
-    codecs
+    variable-width LZW incl. table resets), baseline JPEG (pure-numpy
+    Huffman + IDCT, multimodal/jpegc.py; lossy, so its golden pins the
+    deterministic decode while the round-trip test bounds fidelity),
+    and RIFF/WAVE PCM16 (mono/stereo) container bytes, decoded here by
+    the pure-stdlib codecs
     (multimodal/codecs.py — zlib inflate + numpy un-filtering per the
     public PNG spec; struct chunk-walk for WAV), with geometry taken
     from the CONTAINER, not metadata. The oracle pins every stat to
@@ -211,9 +213,12 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in it:
             out = []
             for mid, fmt, raw in zip(b["media_id"], b["fmt"], b["bytes"]):
-                if fmt in ("png", "bmp", "gif"):
+                if fmt in ("png", "bmp", "gif", "jpeg"):
+                    from duckdb_pst_spark.multimodal import jpegc
+
                     decode = {"png": codecs.png_decode, "bmp": codecs.bmp_decode,
-                              "gif": codecs.gif_decode}[fmt]
+                              "gif": codecs.gif_decode,
+                              "jpeg": jpegc.jpeg_decode}[fmt]
                     px = decode(bytes(raw))
                     h, w, c = px.shape
                     out.append(
