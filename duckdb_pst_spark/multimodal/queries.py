@@ -175,6 +175,63 @@ def q_media_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_salvage_real",
+    oracle="""
+    SELECT 'MEDIUM~2.JPG' AS filename,
+           CAST(16 AS BIGINT) AS mcus_decoded,
+           CAST(130 AS BIGINT) AS mcus_total,
+           CAST(200 AS INT) AS width, CAST(150 AS INT) AS height,
+           CAST(12288135 AS BIGINT) AS px_sum
+    """,
+    tags=("multimodal", "pst-binary", "udf", "pipeline"),
+)
+def q_media_salvage_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden archive's REAL camera JPEG pixel-decoded inside a Spark
+    operator — mail archive → attachment explode → pure-numpy baseline
+    JPEG decode (multimodal/jpegc.py), in SALVAGE mode because the
+    stored stream carries in-file corruption at byte ~2127 (repairable
+    only per-position, provably NOT expressible as any byte
+    substitution — the evidence that closed the permute-cipher
+    derivation, crypt.py): 16 of 130 MCUs decode cleanly before the
+    first entropy error, the remainder stays mid-gray, and the oracle
+    pins geometry, MCU counts, and the exact pixel sum of the salvaged
+    image. This is the crawl-pipeline behavior for corrupt assets:
+    salvage and quantify, don't drop."""
+    import numpy as np  # noqa: PLC0415 — executor-side import
+
+    from duckdb_pst_spark.multimodal.pst_bridge import pst_attachments
+
+    att = pst_attachments(spark, "/root/reference/test/unittest.pst").filter(
+        F.upper("filename").endswith(".JPG")
+    )
+
+    def kern(it):
+        import pandas as pd
+
+        from duckdb_pst_spark.multimodal import jpegc
+
+        for b in it:
+            out = []
+            for fn, raw in zip(b["filename"], b["bytes"]):
+                img, done, total = jpegc.jpeg_salvage(bytes(raw))
+                h, w, _ = img.shape
+                out.append(
+                    (fn, done, total, w, h, int(img.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["filename", "mcus_decoded", "mcus_total",
+                         "width", "height", "px_sum"],
+            )
+
+    return att.select("filename", "bytes").mapInPandas(
+        kern,
+        "filename string, mcus_decoded long, mcus_total long, "
+        "width int, height int, px_sum long",
+    )
+
+
+@query(
     "q_media_decode_real",
     oracle=_real_decode_oracle(),
     tags=("multimodal", "udf", "pipeline"),

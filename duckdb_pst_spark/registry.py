@@ -115,7 +115,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
     "q_stream_sessions_native",
     # round-4 additions (oracle-bearing, never windowed)
-    "q_media_decode_real",
+    "q_media_decode_real", "q_media_salvage_real",
 )
 
 
