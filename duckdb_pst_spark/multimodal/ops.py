@@ -16,12 +16,14 @@ Execution model (the 100 TB design):
   is the session default in ``session.get_spark``; ``media_table`` also
   one-way-lowers a vanilla session's 10k default — with ~1 MB payloads
   10k rows/batch would be a 10 GB Arrow allocation per task).
-- Real PNG and WAV containers decode fully via the pure-stdlib codecs
-  in ``multimodal.codecs`` (zlib + numpy un-filtering / struct chunk
-  walk — no image/audio library needed); JPEG pixels and other formats
-  stay behind the optional-import gate and raise ``NotImplementedError``
-  (libs absent in this container). The RAW path remains the simplest
-  fully-real implementation.
+- Real PNG/BMP/GIF/WAV containers decode fully via the pure-stdlib
+  codecs in ``multimodal.codecs``, and baseline JPEG via the pure-numpy
+  codec in ``multimodal.jpegc`` (Huffman + IDCT; ``jpeg_salvage`` for
+  the corrupt streams crawls contain) — no image/audio library needed
+  anywhere. Remaining formats (MP4, progressive JPEG) stay behind the
+  optional-import gate and raise ``NotImplementedError`` (libs absent
+  in this container). The RAW path remains the simplest fully-real
+  implementation.
 """
 
 from __future__ import annotations
@@ -51,10 +53,11 @@ def _require_raw(fmt: str, expected: str) -> None:
     if not _HAS_PIL:
         raise NotImplementedError(
             f"container format {fmt!r} is not decodable here: RAW formats "
-            "('raw-rgb8', 'raw-pcm16', 'raw-vid8') plus real PNG/WAV "
-            "(pure-stdlib codecs in multimodal/codecs.py) are built in; "
-            "anything else (JPEG pixels, MP4, ...) needs an image/audio "
-            "codec library (PIL/soundfile), which is not installed"
+            "('raw-rgb8', 'raw-pcm16', 'raw-vid8') plus real PNG/BMP/GIF/"
+            "WAV (multimodal/codecs.py) and baseline JPEG "
+            "(multimodal/jpegc.py, incl. jpeg_salvage for corrupt "
+            "streams) are built in; anything else (MP4, progressive "
+            "JPEG, ...) needs a codec library, which is not installed"
         )
 
 
@@ -79,11 +82,15 @@ def decode_image(images: DataFrame) -> DataFrame:
         for b in it:
             out = []
             for mid, raw, meta in zip(b["media_id"], b["bytes"], b["meta"]):
-                if meta["format"] == "png":
+                if meta["format"] in ("png", "bmp", "gif", "jpeg"):
                     # real container: geometry comes from the bytes
-                    from duckdb_pst_spark.multimodal import codecs
+                    from duckdb_pst_spark.multimodal import codecs, jpegc
 
-                    px = codecs.png_decode(bytes(raw))
+                    decode = {"png": codecs.png_decode,
+                              "bmp": codecs.bmp_decode,
+                              "gif": codecs.gif_decode,
+                              "jpeg": jpegc.jpeg_decode}[meta["format"]]
+                    px = decode(bytes(raw))
                     if px.shape[2] < 3:  # gray / gray+alpha → replicate
                         px = np.repeat(px[:, :, :1], 3, axis=2)
                     px = px[:, :, :3]

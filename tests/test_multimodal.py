@@ -99,8 +99,24 @@ def test_audio_features_golden(spark, media):
 
 
 def test_container_formats_are_stubbed(spark, media):
-    """Non-RAW formats must fail loudly, not silently mis-decode."""
+    """Formats outside the built-in codec set must fail loudly at the
+    optional-import gate, and mislabeled real-container formats must
+    fail in their decoder — never silently mis-decode."""
     bad = media.filter(F.col("kind") == "image").withColumn(
+        "meta",
+        F.struct(
+            F.lit("mp4").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.channels").alias("channels"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_samples").alias("n_samples"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        ops.decode_image(bad).collect()
+    mislabeled = bad.withColumn(
         "meta",
         F.struct(
             F.lit("jpeg").alias("format"),
@@ -112,8 +128,8 @@ def test_container_formats_are_stubbed(spark, media):
             F.col("meta.n_frames").alias("n_frames"),
         ),
     )
-    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
-        ops.decode_image(bad).collect()
+    with pytest.raises(Exception, match="(?i)jpeg"):
+        ops.decode_image(mislabeled).collect()
 
 
 def test_decode_prunes_payloadless_columns(spark, media):
@@ -141,11 +157,13 @@ def test_pst_attachment_media_bridge(spark):
     # raw payload is non-empty and bounded by it
     assert jpg and all(0 < len(r.bytes) <= r.size for r in jpg)
     assert all(r.meta["format"] for r in rows)
-    # container decode is stubbed without codec libs: the Arrow kernel
-    # must fail with the explicit gate, not garbage output
+    # the real JPEG attachment now routes to the pure-numpy baseline
+    # decoder; its stored stream is corrupt mid-entropy (see
+    # test_real_pst_jpeg_pixel_decode), so STRICT decode must fail
+    # loudly — never emit garbage — while salvage mode recovers a prefix
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="codec library|raw-rgb8"):
+    with _pytest.raises(Exception, match="(?i)AC run|huffman|jpeg|codec"):
         decode_image(media).collect()
 
 
