@@ -1657,3 +1657,126 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * cnt div total").alias("share_ppm"),
         )
     )
+
+
+# ------------------------------------------------------- TPC-H Q3 shape
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           o_orderdate
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority top-10): the canonical
+    filter→join→join→agg→top-n chain the reference runs through DuckDB
+    (`/root/reference/README.md` positions the engine as full TPC-H-class
+    SQL on message exports). Revenue uses the repo's floor-scaled
+    integer-cents discipline so both engines agree bit-for-bit, and the
+    ORDER BY carries (o_orderdate, l_orderkey) tie-breaks — at sf0.01
+    revenue ties exist and an underspecified top-10 is not
+    hash-checkable.
+
+    Scale shape: the segment filter keeps ~1/5 of customers — still far
+    smaller than lineitem, so customers broadcast into orders (no
+    shuffle), the date filters are pushed into BOTH parquet scans
+    (row-group pruning on o_orderdate / l_shipdate), and the only
+    corpus-sized exchange is the orderkey-keyed join+agg, whose
+    partitioning the groupBy reuses (join key == group key, no second
+    shuffle). The top-10 is a TakeOrderedAndProject — O(10) per
+    partition, never a global sort of the aggregate."""
+    cutoff = F.lit("1995-03-15").cast("date")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+                 .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).cast("long").alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderdate").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------ TPC-H Q18 shape
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): find orders whose total quantity
+    exceeds a threshold, then rebuild the full customer/order detail for
+    just those. The interesting plan property is that the HAVING
+    subquery is itself lineitem-sized — the naive form aggregates
+    lineitem TWICE; the right form aggregates once and semi-joins the
+    survivor keys back.
+
+    Scale shape: one orderkey-keyed aggregate over lineitem produces the
+    `big` key set (tiny: threshold survivors), which broadcasts as a
+    LEFT SEMI into the second lineitem pass — so the detail join only
+    ever sees survivor rows, and orders/customer attach by broadcast of
+    the already-semi-filtered orders. At 100 TB the survivor set stays
+    KB-sized while the naive double aggregate would shuffle the full
+    fact table twice; quantity sums ride the repo's integer discipline
+    (l_quantity is integral in this dataset, cast before summing)."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li_big = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    o_big = o.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    return (
+        li_big.join(F.broadcast(o_big), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "sum_qty",
+        )
+    )
