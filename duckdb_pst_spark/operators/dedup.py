@@ -1500,3 +1500,165 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
         F.max("jaccard_u").alias("max_jaccard_u"),
     )
+
+
+# ----------------------------------- production-width SimHash (60-bit)
+_SHPROD_BITS = 60  # 2 x 30-bit portable hashes -> 4 blocks x 15 bits
+_SHPROD_BLOCK_BITS = 15
+_SHPROD_BLOCKS = 4
+_SHPROD_HAMMING = 3
+_SHPROD_CAP = 64
+
+
+def _simhash_prod_oracle() -> str:
+    votes = ",\n             ".join(
+        (
+            f"sum(CASE WHEN (h1 // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+            if i < 30
+            else f"sum(CASE WHEN (h2 // {1 << (i - 30)}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        )
+        for i in range(_SHPROD_BITS)
+    )
+    s_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_SHPROD_BITS)
+    )
+    offs = ", ".join(str(1 << (_SHPROD_BLOCK_BITS * j)) for j in range(_SHPROD_BLOCKS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents
+    ),
+    th AS (
+      SELECT doc_id, {duck_poly_hash('t')} AS h1 FROM tok
+    ),
+    th2 AS (
+      SELECT doc_id, h1, {duck_poly_hash_long('h1')} AS h2 FROM th
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th2 GROUP BY doc_id
+    ),
+    sim AS (SELECT doc_id, {s_expr} AS s FROM votes),
+    blocks AS (
+      SELECT doc_id, s, j, (s // ([{offs}][j + 1])) % {1 << _SHPROD_BLOCK_BITS} AS bv
+      FROM sim, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    ok AS (
+      SELECT j, bv FROM blocks GROUP BY j, bv HAVING count(*) <= {_SHPROD_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s AS sa, b.s AS sb
+      FROM blocks a
+      JOIN ok ON ok.j = a.j AND ok.bv = a.bv
+      JOIN blocks b ON b.j = a.j AND b.bv = a.bv AND b.doc_id > a.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SHPROD_HAMMING}
+    """
+
+
+@query(
+    "q_dedup_simhash_prod",
+    oracle=_simhash_prod_oracle(),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash near-dup pairs: 60-bit fingerprints in
+    4 x 15-bit pigeonhole blocks (Hamming <= 3 => >= 1 whole block
+    agrees), the width regime Manku et al. [WWW'07] actually ran at
+    web scale. The 16-bit `q_dedup_simhash_hamming` demo degenerates
+    once the corpus exceeds ~2^16 near-clusters (every block bucket
+    overflows the cap); 15-bit blocks give 32k bucket values PER BLOCK
+    INDEX, so buckets stay sparse until genuine near-dup mass fills
+    them — this query is the scale path, the 16-bit twin stays as the
+    compact teaching/oracle demo.
+
+    Portable bit source: two chained 30-bit polynomial hashes per token
+    (h1 = poly(token), h2 = Knuth-remix(h1)) supply 60 engine-identical
+    vote bits (bit 29 of each carries slight bias since P < 2^30 —
+    irrelevant for near-dup banding, noted for honesty). Votes are
+    computed by explode -> groupBy(doc_id) with 60 codegen'd
+    conditional sums rather than 60 interpreted array folds: each
+    source row holds one whole document, so partial aggregation
+    collapses every doc to ONE 60-counter row before the exchange —
+    the shuffle carries |docs| x ~0.5 KB, never corpus tokens. The
+    block join then shuffles (j, bv)-keyed fingerprint rows with the
+    same deterministic degenerate-bucket cap as the 16-bit twin, and
+    verification is one popcount per candidate.
+
+    Parity note: DuckDB power-of-two offsets ride a BIGINT literal
+    table (`//` on DOUBLE is plain division — the q_dedup_simhash_hamming
+    gotcha), and vote sums never reach the output so HUGEINT widening
+    stays internal."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    th = tok.select("doc_id", poly_hash(F.col("t")).alias("h1")).withColumn(
+        "h2", poly_hash_long(F.col("h1"))
+    )
+    vote_cols = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(h1 div {1 << i}) % 2" if i < 30 else f"(h2 div {1 << (i - 30)}) % 2"
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(_SHPROD_BITS)
+    ]
+    votes = th.groupBy("doc_id").agg(*vote_cols)
+    s_col = None
+    for i in range(_SHPROD_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        s_col = term if s_col is None else s_col + term
+    sim = votes.select("doc_id", s_col.alias("s"))
+    blocks = sim.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(s div {1 << (_SHPROD_BLOCK_BITS * j)})"
+                        f" % {1 << _SHPROD_BLOCK_BITS}"
+                    )
+                    for j in range(_SHPROD_BLOCKS)
+                ]
+            )
+        ).alias("j", "bv"),
+    )
+    ok = (
+        blocks.groupBy("j", "bv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") <= _SHPROD_CAP)
+        .select("j", "bv")
+    )
+    gated = blocks.join(ok, ["j", "bv"])
+    cand = (
+        gated.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(F.col("hamming") <= _SHPROD_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -116,7 +116,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_stream_sessions_native",
     # round-4 additions (oracle-bearing, never windowed)
     "q_media_decode_real", "q_media_salvage_real",
-    "q_tpch_q3", "q_tpch_q18",
+    "q_tpch_q3", "q_tpch_q18", "q_dedup_simhash_prod",
 )
 
 
