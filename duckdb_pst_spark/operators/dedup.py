@@ -1662,3 +1662,88 @@ def q_dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SHPROD_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# -------------------------------------- dedup cluster-size histogram
+@query(
+    "q_cluster_size_histogram",
+    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified
+    ),
+    reach AS (
+      SELECT DISTINCT u AS node, u AS label FROM edges
+      UNION
+      SELECT e.v AS node, r.label AS label
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.label < e.v
+    ),
+    clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      FROM clusters GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY sz
+    ),
+    single AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT CAST(count(*) AS BIGINT) FROM documents)
+               - (SELECT CAST(count(*) AS BIGINT) FROM clusters) AS n_clusters
+    )
+    SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs
+    FROM (
+      SELECT * FROM hist
+      UNION ALL
+      SELECT * FROM single WHERE n_clusters > 0
+    ) h
+    """,
+    tags=("dedup", "pipeline", "quality"),
+)
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution — the dedup QA dashboard
+    number: how much of the corpus sits in duplicate clusters, and how
+    big they get. A healthy crawl shows a long-tailed histogram with
+    most docs singleton; a template-stamped or mirror-heavy crawl shows
+    mass in large clusters, and THIS table is how you see it before
+    deciding keep-one-per-cluster costs you 2% or 40% of the corpus.
+    Composes the verified MinHash-LSH pair chain → connected components
+    (min-label propagation, the q_dedup_cluster fixpoint) → per-cluster
+    size → count-of-sizes, and re-adds the docs that never appeared in
+    any candidate pair as size-1 clusters so the histogram partitions
+    the WHOLE corpus (Σ n_docs = |documents|).
+
+    Scale shape: everything after the pair chain is key-collapsing —
+    |docs-in-components| → |clusters| → |distinct sizes| (a handful of
+    rows); the singleton count is two scalar aggregates. The expensive
+    part is the component fixpoint, which is the audited
+    q_dedup_cluster plan unchanged (banded candidates, capped buckets,
+    O(diameter) rounds)."""
+    labels = q_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    docs_n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    in_comp = labels.agg(F.count(F.lit(1)).cast("long").alias("clustered"))
+    single = (
+        docs_n.crossJoin(in_comp)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("total") - F.col("clustered")).cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(single).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )

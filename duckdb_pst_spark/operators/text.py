@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.portable import (
     duck_poly_hash_long,
+    duck_tokens,
     poly_hash,
     poly_hash_long,
     tokens,
@@ -2329,4 +2330,217 @@ def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 * CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)"
             " AS BIGINT) div count(*)"
         ).alias("kept_ppm"),
+    )
+
+
+# --------------------------------------- char-diversity quality gate
+_SIMPSON_LOW_U = 200_000  # Simpson repeat-probability >= 0.2 -> low diversity
+
+
+@query(
+    "q_char_diversity",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, distinct_chars, n AS n_chars_counted,
+           (s2 * 1000000) // (n * n) AS simpson_u,
+           (s2 * 1000000) // (n * n) >= {_SIMPSON_LOW_U} AS is_low_diversity
+    FROM agg
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality gate via the Simpson (Rényi-2 /
+    collision) index: the probability that two randomly drawn
+    characters of the document match, in exact ppm —
+    ``simpson_u = Σ cᵢ² · 10⁶ div n²``. High collision probability is
+    the standard gibberish/keyboard-mash/repeated-filler tell (the same
+    signal Shannon character entropy carries), but unlike entropy it
+    needs NO transcendental function, so the score is bit-identical
+    across engines under the repo's integer-only oracle discipline
+    (float `ln` differs in the last bit engine-to-engine — the q_tfidf
+    / q_bm25 rule).
+
+    Scale shape: chars explode scan-local; the first aggregate's
+    map-side combine collapses each document (one source row ⇒ one
+    partition) to one row per (doc, char) BEFORE the exchange, so the
+    shuffle carries |docs| × |alphabet| rows — corpus characters never
+    cross an exchange. The second, doc-keyed aggregate touches that
+    alphabet-bounded set only. At 100 TB this is a one-scan,
+    alphabet-bounded-shuffle corpus audit, the same exchange discipline
+    as q_token_histogram."""
+    ch = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))).alias("c"),
+        )
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    agg = cc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    simpson = F.expr("(s2 * 1000000) div (n * n)")
+    return agg.select(
+        "doc_id",
+        "distinct_chars",
+        F.col("n").alias("n_chars_counted"),
+        simpson.alias("simpson_u"),
+        (simpson >= F.lit(_SIMPSON_LOW_U)).alias("is_low_diversity"),
+    )
+
+
+# ------------------------------------------ token-frequency Gini index
+@query(
+    "q_token_gini",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({duck_tokens('text')}) AS t FROM documents
+    ),
+    tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+    g AS (SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM tc GROUP BY cnt),
+    ranked AS (
+      SELECT cnt, m,
+             CAST(sum(m) OVER (ORDER BY cnt ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m
+               AS r0
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(m) AS BIGINT) AS v,
+             CAST(sum(cnt * m) AS BIGINT) AS s0,
+             CAST(sum(cnt * (m * r0 + (m * (m + 1)) // 2)) AS BIGINT) AS s1
+      FROM ranked
+    )
+    SELECT v AS vocab, s0 AS total_tokens,
+           ((2 * s1 - (v + 1) * s0) * 1000000) // (v * s0) AS gini_u
+    FROM s
+    """,
+    tags=("text", "quality"),
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution in
+    exact ppm — the one-number concentration audit (natural corpora sit
+    near Zipf's ~0.95+; a synthetic or template-stamped corpus shows up
+    immediately as an out-of-band Gini). Uses the rank formula
+    G = (2·Σᵢ i·cᵢ − (V+1)·Σ cᵢ) / (V·Σ cᵢ) with counts ascending —
+    but NEVER ranks individual tokens: within a tie group of m tokens
+    sharing count c, the rank-sum is fixed (m·r₀ + m(m+1)/2) no matter
+    how ties order, so ranking collapses to a window over DISTINCT
+    count values. That removes both the nondeterminism of tie ordering
+    and the vocab-sized single-partition sort a per-token row_number
+    would force.
+
+    Scale shape: corpus → vocab via one map-side-combined groupBy, vocab
+    → distinct-count groups (≲ thousands, Zipf) via a second tiny
+    groupBy; the only windowed set is those count groups. All integer
+    arithmetic; numerator magnitude ≤ 2·V·S0·10⁶ — int64-safe through
+    ~10¹² token corpora, beyond which the two sums ride DECIMAL(38)
+    (noted, not needed at bench scale)."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    )
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = tc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy(F.col("cnt").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = g.withColumn("r0", F.sum("m").over(w).cast("long") - F.col("m"))
+    s = ranked.agg(
+        F.sum("m").cast("long").alias("v"),
+        F.sum(F.col("cnt") * F.col("m")).cast("long").alias("s0"),
+        F.sum(F.expr("cnt * (m * r0 + (m * (m + 1)) div 2)"))
+        .cast("long")
+        .alias("s1"),
+    )
+    return s.select(
+        F.col("v").alias("vocab"),
+        F.col("s0").alias("total_tokens"),
+        F.expr("((2 * s1 - (v + 1) * s0) * 1000000) div (v * s0)").alias("gini_u"),
+    )
+
+
+# --------------------------------------- robust length outliers (MAD)
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    h AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ),
+    ch AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h
+    ),
+    med AS (SELECT CAST(min(v) AS BIGINT) AS med FROM ch, n WHERE cum >= (n + 1) // 2),
+    d AS (
+      SELECT doc_id, n_chars, CAST(abs(n_chars - med) AS BIGINT) AS dev
+      FROM documents, med
+    ),
+    h2 AS (SELECT dev AS v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY dev),
+    ch2 AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h2
+    ),
+    mad AS (SELECT CAST(min(v) AS BIGINT) AS mad FROM ch2, n WHERE cum >= (n + 1) // 2)
+    SELECT doc_id, n_chars, dev, mad
+    FROM d, mad
+    WHERE dev > 3 * mad
+    """,
+    tags=("text", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust document-length outliers via exact lower-median + MAD
+    (median absolute deviation), the rule that survives the exact
+    pathology mean±k·stddev dies on: a few megabyte documents drag the
+    mean past every normal doc, while the median doesn't move. Flags
+    docs with |n_chars − median| > 3·MAD — all integer arithmetic, and
+    the LOWER median (first value whose cumulative count reaches
+    ⌈n/2⌉) so both engines agree exactly without interpolation.
+
+    Scale shape: the same two-pass histogram-median trick as
+    q_exact_median_2pass, but with BOTH medians riding it: n_chars has
+    bounded cardinality (Heaps-bounded lengths, not corpus rows), so
+    each median is a corpus-scan → tiny value-histogram → cumulative
+    window over DISTINCT values. Two scans + two alphabet-sized
+    windows; the per-doc deviation pass broadcasts the two scalars.
+    Nothing corpus-sized is ever sorted or windowed — a global
+    row_number median would single-partition the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        h = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
+        ch = h.withColumn("cum", F.sum("c").over(w).cast("long"))
+        return (
+            ch.crossJoin(n)
+            .where(F.expr("cum >= (n + 1) div 2"))
+            .agg(F.min("v").cast("long").alias("m"))
+        )
+
+    med = F.broadcast(lower_median(docs, "n_chars").withColumnRenamed("m", "med"))
+    d = docs.crossJoin(med).select(
+        "doc_id", "n_chars", F.abs(F.col("n_chars") - F.col("med")).cast("long").alias("dev")
+    )
+    mad = F.broadcast(lower_median(d, "dev").withColumnRenamed("m", "mad"))
+    return d.crossJoin(mad).where(F.col("dev") > 3 * F.col("mad")).select(
+        "doc_id", "n_chars", "dev", "mad"
     )

@@ -117,6 +117,8 @@ ROUND5_PLANNED: tuple[str, ...] = (
     # round-4 additions (oracle-bearing, never windowed)
     "q_media_decode_real", "q_media_salvage_real",
     "q_tpch_q3", "q_tpch_q18", "q_dedup_simhash_prod",
+    "q_char_diversity", "q_token_gini", "q_mad_outliers",
+    "q_cluster_size_histogram",
 )
 
 

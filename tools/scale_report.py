@@ -33,6 +33,7 @@ EAGER = {
     "q_pst_folder_tree": "ITER",
     "q_dedup_cluster": "ITER",
     "q_dedup_cluster_star": "ITER",
+    "q_cluster_size_histogram": "ITER",
     "q_kmeans_iter": "ITER",
     "q_knn_ivf_trained": "ITER",
     "q_dedup_semantic_scaled": "ITER",
