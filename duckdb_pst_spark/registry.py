@@ -118,7 +118,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_media_decode_real", "q_media_salvage_real",
     "q_tpch_q3", "q_tpch_q18", "q_dedup_simhash_prod",
     "q_char_diversity", "q_token_gini", "q_mad_outliers",
-    "q_cluster_size_histogram",
+    "q_cluster_size_histogram", "q_stream_late_data",
 )
 
 

@@ -483,3 +483,145 @@ def q_stream_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         return finalize_complete(sess, "stream_sessions_native")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q_stream_late_data",
+    oracle="""
+    WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    mx AS (SELECT max(ts) AS m FROM a),
+    wm1 AS (
+      SELECT date_trunc('milliseconds', m) - INTERVAL 30 MINUTE AS w FROM mx
+    ),
+    b2 AS (
+      SELECT b.* FROM events b, mx WHERE b.event_id % 2 = 1 AND b.ts <= mx.m
+    ),
+    admitted AS (
+      SELECT e.ts, e.event_type FROM events e, mx
+      WHERE e.event_id % 2 = 0 OR e.ts > mx.m
+      UNION ALL
+      SELECT b2.ts, b2.event_type FROM b2, wm1
+      WHERE time_bucket(INTERVAL '1 hour', b2.ts) + INTERVAL 1 HOUR > wm1.w
+    ),
+    wm2 AS (
+      SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM events
+    ),
+    g AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM admitted GROUP BY 1, 2
+    )
+    SELECT g.window_start, g.event_type, g.cnt
+    FROM g, wm2
+    WHERE g.window_start + INTERVAL 1 HOUR <= wm2.w
+    """,
+    tags=("streaming",),
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP accounting — the one watermark behavior
+    q_stream_closed_windows' single-batch replay cannot exhibit. The
+    events table is staged as THREE files with strictly-ordered mtimes
+    and replayed under ``maxFilesPerTrigger=1``: A = even event_ids,
+    B1 = odd ids with ts AFTER A's max event time, B2 = odd ids at or
+    before it. Three files are load-bearing: Spark's late-input filter
+    runs one batch BEHIND the planned watermark (batch N filters with
+    batch N-1's planned value — pinned by
+    tests/test_streaming_watermark.py::test_two_batch_replay_cannot_drop),
+    so a two-file replay can never drop anything; batch 2 here is the
+    first batch whose filter watermark is nonzero, and it equals
+    max(ts over A) ms-truncated minus the 30-minute delay. Every B2 row
+    whose 1-hour window that watermark already closed is DROPPED
+    (window-end-based, not row-time: a row older than the watermark
+    whose window is still open is admitted — also pinned); on an
+    id-parity split that is most of B2, which is exactly the point: the
+    emitted closed-window counts visibly diverge from the full batch
+    answer, and the oracle prices the divergence deterministically
+    (admitted = A ∪ B1 ∪ {B2 rows with window_end > wm_A}).
+
+    The drop rule, the filter's one-batch lag, and the
+    window_end ≤ final-watermark closure are the empirically pinned
+    semantics of tests/test_streaming_watermark.py; event time rides
+    the NTZ→LTZ numeric bridge (no session-timezone cast, DST-immune)
+    from q_stream_closed_windows.
+
+    Scale: this is the accounting you run BEFORE trusting a continuous
+    pipeline's numbers — how much arriving data the chosen delay
+    actually discards. Per micro-batch the plan is the production one:
+    (window, type)-keyed shuffle with map-side partials, state bounded
+    by the watermark horizon."""
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
+        import time as _time
+
+        # Scalar threshold (1-row collect): max event time of the even-id
+        # file — batch 2's effective filter watermark derives from it.
+        # Integer epoch-micros via the NTZ bridge: no tz-dependent casts.
+        ts_us = (
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        max_a_us = (
+            ev.where("event_id % 2 = 0")
+            .agg(F.max(F.expr(ts_us)))
+            .collect()[0][0]
+        )
+        now = _time.time()
+        preds = [
+            F.expr("event_id % 2 = 0"),
+            F.expr(f"event_id % 2 = 1 AND {ts_us} > {max_a_us}"),
+            F.expr(f"event_id % 2 = 1 AND {ts_us} <= {max_a_us}"),
+        ]
+        for i, pred in enumerate(preds):
+            part_dir = os.path.join(staging, f"b{i}")
+            ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            dst = os.path.join(staging, f"part-{i}.parquet")
+            shutil.move(os.path.join(part_dir, files[0]), dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            mt = now - 100 + i  # strictly increasing mtimes = batch order
+            os.utime(dst, (mt, mt))
+        schema = spark.read.parquet(os.path.join(staging, "part-0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
+        stream = stream.withColumn(
+            "ltz",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        ).withWatermark("ltz", "30 minutes")
+        back_to_ntz = (
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0,"
+            " CAST(unix_micros(w.start) AS DECIMAL(20,0)) / 1000000)"
+        )
+        agg = (
+            stream.groupBy(F.window("ltz", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(F.expr(back_to_ntz).alias("window_start"), "event_type", "cnt")
+        )
+        return finalize_append(agg, "stream_late")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -5,15 +5,16 @@ results equal the batch answer over the full bounded input. These tests
 pin the empirical Spark 4.1 facts that make that the only sound design —
 if a Spark upgrade changes them, the streaming family needs re-auditing:
 
-1. The late-input filter runs against the watermark the batch was
-   PLANNED with, which lags the data by one batch: rows late relative
-   to the previous batch's watermark are dropped; rows only-late
-   relative to data in their own or the immediately preceding batch are
-   admitted and merge into state. Corollary: in a single-file replay
-   (all data in batch 0, planned with watermark 0) NOTHING can be
-   dropped — which is exactly why q_stream_closed_windows stages its
-   input as one file and why its oracle is the complete batch count
-   over closed windows.
+1. The late-input filter lags the PLANNED watermark by one more batch:
+   batch N is planned (and reports progress) with the watermark derived
+   from data through batch N-1, but its input filter runs against batch
+   N-1's PLANNED value — i.e. data through batch N-2. And the filter is
+   window-END-based for windowed aggregation: a row older than the
+   filter watermark whose window is still open is admitted. Corollaries:
+   a single-file replay (all data in batch 0) and even a TWO-file replay
+   can never drop anything — which is exactly why q_stream_closed_windows
+   stages its input as one file with a complete-batch oracle, and why
+   q_stream_late_data needs THREE files to exhibit a real drop.
 2. Eviction/emission uses the advancing watermark: append mode emits a
    window when window_end <= ms-truncated(max event time) - delay
    (inclusive), complete as of that batch.
@@ -163,3 +164,64 @@ def test_replayed_duplicates_stay_suppressed(spark, two_file_stage):
     # state never shrinks during the drained replay (no eviction batch)
     assert all(removed == 0 for _, removed in state), state
     assert state[-1][0] == 4, state
+
+
+def test_two_batch_replay_cannot_drop(spark, two_file_stage):
+    """The late-input filter lags the PLANNED watermark by one batch:
+    batch N filters with batch N-1's planned value, so batch 1 — though
+    planned (and reported in progress) with wm 09:35 — still filters
+    with batch 0's planned wm of 0 and admits a 05:00 straggler.
+    Corollary: a two-file replay can never drop anything; staging a
+    drop scenario takes THREE files (q_stream_late_data relies on
+    this). The admitted straggler's window closes under the final
+    watermark (10:00), so it emits with count 1."""
+    stage = two_file_stage(
+        [
+            [(1, T(2024, 1, 1, 10, 0)), (2, T(2024, 1, 1, 10, 5))],
+            [(3, T(2024, 1, 1, 5, 0)), (4, T(2024, 1, 1, 10, 30))],
+        ]
+    )
+    agg = (
+        _stream(spark, stage)
+        .groupBy(F.window("ltz", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.expr("unix_micros(w.start)").alias("ws_us"), "cnt")
+    )
+    q = _run(agg, "wm_twofile")
+    planned = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p["eventTime"].get("watermark")
+    ]
+    # batch 1 really was planned with a nonzero watermark …
+    assert any(w.startswith("2024-01-01T09:35") for w in planned), planned
+    # … and the straggler was still admitted (filter lagged to wm 0).
+    rows = [(r.ws_us // 3_600_000_000 % 24, r.cnt) for r in spark.table("wm_twofile").collect()]
+    assert rows == [(5, 1)], rows
+
+
+def test_late_filter_is_window_end_based(spark, two_file_stage):
+    """Batch 2 filters with batch 1's planned wm (09:35). A row at
+    09:10 — OLDER than that watermark but belonging to the still-open
+    [09:00, 10:00) window — is ADMITTED (the filter compares window
+    end, not row time), while an 08:50 row whose window end 09:00 is
+    at/before the watermark is dropped. Final wm 11:30 closes both
+    surviving windows."""
+    stage = two_file_stage(
+        [
+            [(1, T(2024, 1, 1, 10, 0)), (2, T(2024, 1, 1, 10, 5))],
+            [(3, T(2024, 1, 1, 10, 30))],
+            [(4, T(2024, 1, 1, 9, 10)), (5, T(2024, 1, 1, 8, 50)), (6, T(2024, 1, 1, 12, 0))],
+        ]
+    )
+    agg = (
+        _stream(spark, stage)
+        .groupBy(F.window("ltz", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.expr("unix_micros(w.start)").alias("ws_us"), "cnt")
+    )
+    _run(agg, "wm_wend")
+    rows = sorted(
+        (r.ws_us // 3_600_000_000 % 24, r.cnt) for r in spark.table("wm_wend").collect()
+    )
+    assert rows == [(9, 1), (10, 3)], rows
