@@ -2373,26 +2373,50 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float `ln` differs in the last bit engine-to-engine — the q_tfidf
     / q_bm25 rule).
 
-    Scale shape: chars explode scan-local; the first aggregate's
-    map-side combine collapses each document (one source row ⇒ one
-    partition) to one row per (doc, char) BEFORE the exchange, so the
-    shuffle carries |docs| × |alphabet| rows — corpus characters never
-    cross an exchange. The second, doc-keyed aggregate touches that
-    alphabet-bounded set only. At 100 TB this is a one-scan,
-    alphabet-bounded-shuffle corpus audit, the same exchange discipline
-    as q_token_histogram."""
-    ch = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))).alias("c"),
-        )
-    )
-    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    agg = cc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
-        F.sum("cnt").cast("long").alias("n"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    Scale shape: ZERO shuffles — the per-doc character histogram is a
+    scan-local Arrow kernel (one ``np.unique`` per batch over int64
+    ``doc_idx << 21 | codepoint`` composite keys; a codepoint is
+    < 2^21, so the pack is collision-free), emitting exactly one row
+    of exact-integer stats per document. The explode-and-aggregate
+    twin this replaced pushed one row PER CHARACTER (~1e9 at 100×)
+    through the hash aggregate; same-session min-of-2 at 100×:
+    23.0 s explode-agg vs 2.3 s kernel (DuckDB 2.6 s on the same
+    parquet). At 100 TB this is a one-scan corpus audit whose only
+    exchange is the sink's."""
+    import numpy as np
+    import pyarrow as pa
+
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    def char_stats(batches):
+        for rb in batches:
+            doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            texts = rb.column(1).to_pylist()
+            texts = ["" if t is None else t for t in texts]
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+            codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+            keys, counts = np.unique((doc_idx << 21) | codes.astype(np.int64), return_counts=True)
+            owner = (keys >> 21).astype(np.int64)
+            distinct = np.bincount(owner, minlength=len(texts)).astype(np.int64)
+            n = np.bincount(owner, weights=counts, minlength=len(texts)).astype(np.int64)
+            s2 = np.bincount(
+                owner, weights=counts.astype(np.float64) ** 2, minlength=len(texts)
+            ).astype(np.int64)
+            keep = n > 0  # empty/NULL text yields no rows, like unnest('')
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+                    "distinct_chars": pa.array(distinct[keep], type=pa.int64()),
+                    "n": pa.array(n[keep], type=pa.int64()),
+                    "s2": pa.array(s2[keep], type=pa.int64()),
+                }
+            )
+
+    agg = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInArrow(char_stats, "doc_id long, distinct_chars long, n long, s2 long")
     )
     simpson = F.expr("(s2 * 1000000) div (n * n)")
     return agg.select(
@@ -2445,14 +2469,25 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the vocab-sized single-partition sort a per-token row_number
     would force.
 
-    Scale shape: corpus → vocab via one map-side-combined groupBy, vocab
+    Scale shape: corpus → vocab via one map-side-combined groupBy — on
+    ``xxhash64(t)`` int64 keys, not token strings: only counts survive
+    the aggregate, so 8-byte fixed keys replace variable-length string
+    exchange/agg state (the q_substring_spans rule; vocab-collision odds
+    ~V²/2⁶⁵). The scan rides :func:`spread` so the map-side partial agg
+    fills every core when the corpus arrives as few giant row groups
+    (measured 4.1 → 2.1 s at 100×, 0.86 → 0.69 s at sf0.1, same-session
+    min-of-3, for the two changes together). Vocab
     → distinct-count groups (≲ thousands, Zipf) via a second tiny
     groupBy; the only windowed set is those count groups. All integer
     arithmetic; numerator magnitude ≤ 2·V·S0·10⁶ — int64-safe through
     ~10¹² token corpora, beyond which the two sums ride DECIMAL(38)
     (noted, not needed at bench scale)."""
-    tok = table(spark, sf_dir, "documents").select(
-        F.explode(tokens(F.col("text"))).alias("t")
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    tok = (
+        spread(table(spark, sf_dir, "documents"))
+        .select(F.explode(tokens(F.col("text"))).alias("t0"))
+        .select(F.xxhash64("t0").alias("t"))
     )
     tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     g = tc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
