@@ -500,25 +500,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape. The oracle is the equivalent recursive-CTE closure
     over DOC-level pairs with the label < node pruning — parity proves
     the collapse exact."""
-    dkeys = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.xxhash64("text").alias("th"))
-    )
-    grp = (
-        dkeys.groupBy("th")
-        .agg(
-            F.min("doc_id").alias("rep_id"),
-            F.count(F.lit(1)).cast("long").alias("grp_sz"),
-        )
-        .localCheckpoint(eager=True)  # one row per distinct text
-    )
-    reps = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
-    )
-    sigs = signatures_for(reps)
-    pairs = verified_pairs_from_sigs(sigs).select("doc_a", "doc_b")
+    return _collapsed_cluster(spark, sf_dir, _min_label_components)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) verified pairs → (node, label = component min) via
+    iterative min-label propagation (see q_dedup_cluster)."""
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -545,6 +532,35 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:  # labels only decrease → equal sum = fixpoint
             break
         prev_sum = cur_sum
+    return labels
+
+
+def _collapsed_cluster(spark, sf_dir, components_fn) -> DataFrame:
+    """Distinct-text collapse around any component engine:
+    ``components_fn`` maps rep-level verified pairs (doc_a, doc_b) to
+    (node, label = component-min rep). Shared by q_dedup_cluster
+    (min-label propagation) and q_dedup_cluster_star (large-star/
+    small-star) so both ride the same exact collapse."""
+    dkeys = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.xxhash64("text").alias("th"))
+    )
+    grp = (
+        dkeys.groupBy("th")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("grp_sz"),
+        )
+        .localCheckpoint(eager=True)  # one row per distinct text
+    )
+    reps = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .join(grp.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi")
+    )
+    sigs = signatures_for(reps)
+    pairs = verified_pairs_from_sigs(sigs).select("doc_a", "doc_b")
+    labels = components_fn(pairs)
     # Expand rep labels back to documents: a doc is clustered iff its
     # rep joined the pair graph (cross-text near-dups) OR its text group
     # has ≥2 members whose rep actually shingles (same-text clique).
@@ -620,13 +636,16 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     every component is a star centered at its min doc_id; the final
     groupBy-min reads the answer off the star edges. Output and oracle
     are identical to q_dedup_cluster — same closure, different engine
-    path, both hash-checked against the recursive-CTE oracle."""
-    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    comp = star_components(pairs.toDF("u", "v"))
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        "cluster_id",
-        F.when(F.col("cluster_id") == F.col("node"), 1).otherwise(0).alias("is_canonical"),
+    path, both hash-checked against the recursive-CTE oracle. Rides the
+    same distinct-text collapse (`_collapsed_cluster`): the star engine
+    handles adversarial component SHAPES, the collapse handles
+    duplicate-heavy component SIZES — at 100 TB you need both."""
+    return _collapsed_cluster(
+        spark,
+        sf_dir,
+        lambda pairs: star_components(pairs.toDF("u", "v")).select(
+            "node", F.col("cluster_id").alias("label")
+        ),
     )
 
 
