@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.portable import (
+    duck_poly_hash,
     duck_poly_hash_long,
     duck_tokens,
     poly_hash,
@@ -2578,4 +2579,87 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = F.broadcast(lower_median(d, "dev").withColumnRenamed("m", "mad"))
     return d.crossJoin(mad).where(F.col("dev") > 3 * F.col("mad")).select(
         "doc_id", "n_chars", "dev", "mad"
+    )
+
+
+# ------------------------------------- hashed linear quality classifier
+_QL_BUCKETS = 4096  # hashed feature space (fasttext-style bag of buckets)
+_QL_MULT = 2654435761 % 1_000_000_007  # Knuth multiplier, the model "weights"
+
+
+@query(
+    "q_quality_linear",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ({duck_poly_hash('t')}) % {_QL_BUCKETS} AS bucket FROM tok
+    ),
+    w AS (
+      SELECT doc_id, ((bucket * {_QL_MULT}) % 1000000007) % 1001 AS w FROM b
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS score
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score,
+           (score * 1000000) // n_tokens AS quality_u,
+           (score * 1000000) // n_tokens >= 500000 AS is_keep
+    FROM agg
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear quality classifier — the model-based
+    quality filter every modern pretraining corpus runs (a fasttext-type
+    linear scorer over hashed token features: DCLM's fasttext filter,
+    FineWeb-Edu's regression head). Tokens hash into a fixed
+    4096-bucket feature space; the per-bucket weight table is
+    the trained model, joined in as a BROADCAST dimension; the document
+    score is the weight sum and the keep decision thresholds the
+    per-token average in exact ppm. The weights here are a deterministic
+    Knuth-multiplicative spread over buckets (values 0..1000, mean ~500)
+    so the oracle is reproducible without shipping a binary model — the
+    plan is exactly what a real exported linear model would run.
+
+    Scale shape: THE broadcast-model inference pattern. The model
+    (|buckets| rows, a few KB — real fasttext quality filters use 2M
+    buckets, still MBs) broadcasts to every executor; scoring is
+    scan-local explode → hash → broadcast-hash-join → one doc-keyed
+    map-side-combined aggregate — the corpus crosses exactly one
+    exchange, as (doc_id, partial sums). Bucket hashing here is the
+    portable polynomial (oracle-checked); a production deployment keys
+    the model on xxhash64 and skips the string hash entirely."""
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    weights = F.broadcast(
+        spark.range(_QL_BUCKETS).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * F.lit(_QL_MULT)) % F.lit(1_000_000_007) % F.lit(1001))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    tok = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .select("doc_id", (poly_hash(F.col("t")) % F.lit(_QL_BUCKETS)).alias("bucket"))
+    )
+    agg = (
+        tok.join(weights, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("score"),
+        )
+    )
+    q = F.expr("(score * 1000000) div n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        q.alias("quality_u"),
+        (q >= F.lit(500_000)).alias("is_keep"),
     )

@@ -625,3 +625,75 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         return finalize_append(agg, "stream_late")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q_stream_dedup_wm",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark``, the production form of
+    q_stream_dedup: plain ``dropDuplicates`` keeps one state row per key
+    forever (a continuous 100 TB/day ingest leaks state without bound),
+    while the within-watermark variant evicts a key's state once the
+    watermark passes its event time + delay, so steady-state store size
+    is O(keys per 30-minute horizon), not O(keys ever seen). The
+    contract it trades away: a duplicate arriving AFTER its original's
+    state expired is re-emitted — exactly right for at-least-once
+    upstream retries, which cluster within seconds of the original.
+
+    Replayed as two event_id-parity files with ordered mtimes
+    (maxFilesPerTrigger=1) so cross-batch suppression is exercised; per
+    the pinned facts of tests/test_streaming_watermark.py, no state
+    evicts and the late filter cannot drop within a two-batch drained
+    replay, so the emitted set is EXACTLY the distinct key set — the
+    deterministic oracle. Only key columns are output so the
+    surviving-row choice cannot leak nondeterminism."""
+    from duckdb_pst_spark.streaming.finalize import finalize_append
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        import time as _time
+
+        now = _time.time()
+        for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
+            part_dir = os.path.join(staging, f"b{i}")
+            ev.where(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(part_dir)
+            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            dst = os.path.join(staging, f"part-{i}.parquet")
+            shutil.move(os.path.join(part_dir, files[0]), dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            mt = now - 100 + i  # strictly increasing mtimes = batch order
+            os.utime(dst, (mt, mt))
+        schema = spark.read.parquet(os.path.join(staging, "part-0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn(
+                "ts",
+                F.expr(
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
+        stream = stream.withColumn(
+            "ltz",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        ).withWatermark("ltz", "30 minutes")
+        deduped = stream.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ).select("user_id", "event_type")
+        return finalize_append(deduped, "stream_dedup_wm")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
