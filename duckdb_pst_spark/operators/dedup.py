@@ -1827,3 +1827,161 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
     )
+
+
+# ----------------------------------- asymmetric containment dedup
+_CONT_TAU_U = 800_000  # keep pairs where >= 80% of A's tokens appear in B
+
+
+@query(
+    "q_containment_prefix",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS s
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS t FROM sets),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tok GROUP BY t),
+    ordered AS (
+      SELECT tok.doc_id, list(tok.t ORDER BY df.dfc, tok.t) AS toks_o
+      FROM tok JOIN df ON df.t = tok.t
+      GROUP BY tok.doc_id
+    ),
+    apfx AS (
+      SELECT doc_id, CAST(len(toks_o) AS BIGINT) AS n,
+             CAST((8 * len(toks_o) + 9) // 10 AS BIGINT) AS m,
+             CAST(i AS BIGINT) AS p, toks_o[i] AS t
+      FROM ordered,
+           unnest(range(1, len(toks_o) - (8 * len(toks_o) + 9) // 10 + 2)) AS u(i)
+    ),
+    ball AS (
+      SELECT doc_id, CAST(len(toks_o) AS BIGINT) AS n,
+             CAST(i AS BIGINT) AS q, toks_o[i] AS t
+      FROM ordered, unnest(range(1, len(toks_o) + 1)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, a.m AS m
+      FROM apfx a JOIN ball b ON b.t = a.t
+      WHERE (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+        AND 1 + least(a.n - a.p, b.n - b.q) >= a.m
+    ),
+    verified AS (
+      SELECT c.doc_a,
+             (CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 1000000) // c.n_a
+               AS cont_u
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE (CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 1000000) // c.n_a
+              >= {_CONT_TAU_U}
+    )
+    SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_containers,
+           max(cont_u) AS max_containment_u
+    FROM verified GROUP BY doc_a
+    """,
+    tags=("dedup", "join", "pipeline"),
+)
+def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment self-join at C(A→B) = |A∩B|/|A| ≥
+    0.8 — the subset-duplication detector Jaccard-based dedup
+    structurally misses: a short document quoted whole inside a long
+    one has Jaccard |A|/|B| ≈ 0 but containment 1.0 (press-release
+    reuse, boilerplate-wrapped articles, quoted posts — the classic
+    contaminators that survive MinHash).
+
+    Same prefix-filter machinery as q_setsim_prefix [Bayardo et al.,
+    WWW'07], adapted to the asymmetric threshold: tokens order globally
+    by ascending document frequency; the CONTAINED side exposes only
+    its first n − ⌈0.8n⌉ + 1 rarest tokens as join keys (missing all of
+    them caps the intersection at ⌈0.8n⌉ − 1, below threshold), while
+    the CONTAINER side is the full inverted index — containment puts no
+    lower bound on how deep the shared token sits in B. The PPJoin
+    positional filter transfers because the global order is total and
+    shared: for the first common token at (p, q), every other common
+    token sits after BOTH positions, so 1 + min(n_a−p, n_b−q) bounds
+    the intersection. Ordering (n_a, doc_id) orients pairs smaller→
+    larger; exact set intersection verifies survivors. Output is
+    per-contained-doc stats (n_containers, max containment), O(docs) —
+    the raw pair list is output-quadratic on duplicate-heavy corpora,
+    the q_setsim_prefix rule, and per-doc stats are what the keep/drop
+    policy consumes.
+
+    Scale shape: df table = one map-side-combined vocabulary aggregate,
+    broadcast back; per-doc ordering is scan-local sort_array; the one
+    corpus-keyed shuffle is the prefix-vs-index equi-join, where hot
+    (stopword) keys pair only with the rare-leading prefixes that
+    almost never contain them. Like q_setsim_prefix, not benched on the
+    100× replica: replicated corpora make the TRUE pair set quadratic
+    (an output property, not a plan property)."""
+    sets = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("s"))
+        .localCheckpoint(eager=True)  # feeds df, ordering, and verification
+    )
+    tok = sets.select("doc_id", F.explode("s").alias("t"))
+    df_tbl = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+    ordered = (
+        tok.join(F.broadcast(df_tbl), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(dfc, t))), x -> x.t)").alias(
+                "toks_o"
+            )
+        )
+        .select(
+            "doc_id",
+            "toks_o",
+            F.size("toks_o").cast("long").alias("n"),
+            F.expr("CAST((8 * size(toks_o) + 9) div 10 AS BIGINT)").alias("m"),
+        )
+        .localCheckpoint(eager=True)  # feeds both join sides
+    )
+    apfx = ordered.select(
+        "doc_id",
+        "n",
+        "m",
+        F.posexplode(F.expr("slice(toks_o, 1, size(toks_o) - (8 * size(toks_o) + 9) div 10 + 1)")).alias(
+            "p0", "t"
+        ),
+    ).select("doc_id", "n", "m", (F.col("p0") + 1).cast("long").alias("p"), "t")
+    ball = ordered.select(
+        "doc_id", "n", F.posexplode("toks_o").alias("q0", "t")
+    ).select("doc_id", "n", (F.col("q0") + 1).cast("long").alias("q"), "t")
+    cand = (
+        apfx.alias("a")
+        .join(
+            ball.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (
+                (F.col("a.n") < F.col("b.n"))
+                | ((F.col("a.n") == F.col("b.n")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            )
+            & (
+                1 + F.least(F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.q"))
+                >= F.col("a.m")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+        )
+        .distinct()
+    )
+    cont = F.expr(
+        "(CAST(size(array_intersect(sa_s, sb_s)) AS BIGINT) * 1000000) div n_a"
+    )
+    verified = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "n_a",
+            F.col("sa.s").alias("sa_s"), F.col("sb.s").alias("sb_s"),
+        )
+        .select("doc_a", cont.alias("cont_u"))
+        .filter(F.col("cont_u") >= _CONT_TAU_U)
+    )
+    return verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+        F.max("cont_u").alias("max_containment_u"),
+    )

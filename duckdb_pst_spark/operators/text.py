@@ -1895,7 +1895,11 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     table measured 5.3 → 8.1 s (the un-checkpointed plan already
     single-passes: both unigram broadcasts and the total reuse one
     exchange). Re-introduce the semi-filter when the corpus's hapax
-    share makes the shuffle, not per-row CPU, the binding constraint."""
+    share makes the shuffle, not per-row CPU, the binding constraint.
+    Also measured and not shipped (r4): xxhash64-keyed bigram counting
+    (4.49 → 4.38 s at 100× for the bigram pass alone — the cost is the
+    per-instance struct explode, not key width, and recovering the
+    top-25 strings would add a second corpus pass)."""
     d = _docs_with_tokens(spark, sf_dir)
     uni = (
         d.select(F.explode("toks").alias("t"))
