@@ -52,12 +52,13 @@ def two_file_stage(spark):
     d = tempfile.mkdtemp(prefix="dps_wm_")
 
     def build(file_rows: list[list[tuple[int, datetime.datetime]]]) -> str:
-        stage = os.path.join(d, "stream")
-        os.makedirs(stage)
+        stage = tempfile.mkdtemp(prefix="stream_", dir=d)  # fresh per call
         now = time.time()
         for i, rows in enumerate(file_rows):
             p = os.path.join(d, f"gen_{i}")
-            spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(p)
+            spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(p)
             dst = os.path.join(stage, f"f{i}.parquet")
             shutil.copy(glob.glob(p + "/*.parquet")[0], dst)
             mt = now - 100 + i  # strictly increasing mtimes = batch order
@@ -225,3 +226,51 @@ def test_late_filter_is_window_end_based(spark, two_file_stage):
         (r.ws_us // 3_600_000_000 % 24, r.cnt) for r in spark.table("wm_wend").collect()
     )
     assert rows == [(9, 1), (10, 3)], rows
+
+
+def test_dedup_within_watermark_reemission(spark, two_file_stage):
+    """dropDuplicatesWithinWatermark state-expiry semantics, both sides:
+
+    - A duplicate arriving IN THE SAME BATCH that evicts its original's
+      state is still suppressed — the dedup probe runs before eviction,
+      so {key 1 at 10:00, wm-bump to 13:30, dup 1 at 10:20} emits key 1
+      once even though batch 2 removes its state row.
+    - A duplicate arriving a batch AFTER the eviction is RE-EMITTED —
+      the bounded-state trade the API documents. Same stage plus one
+      spacer batch: key 1 emits twice.
+
+    q_stream_dedup_wm's two-batch replay sits strictly inside the
+    no-evict regime these probes bracket, which is what makes its
+    DISTINCT oracle exact."""
+    from collections import Counter
+
+    def run(files, name):
+        stage = two_file_stage(files)
+        dedup = (
+            _stream(spark, stage)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        _run(dedup, name)
+        return Counter(r.event_id for r in spark.table(name).collect())
+
+    same_batch = run(
+        [
+            [(1, T(2024, 1, 1, 10, 0))],
+            [(2, T(2024, 1, 1, 14, 0))],
+            [(1, T(2024, 1, 1, 10, 20))],
+        ],
+        "wmdd_same",
+    )
+    assert same_batch == {1: 1, 2: 1}, same_batch
+
+    later_batch = run(
+        [
+            [(1, T(2024, 1, 1, 10, 0))],
+            [(2, T(2024, 1, 1, 14, 0))],
+            [(3, T(2024, 1, 1, 14, 5))],
+            [(1, T(2024, 1, 1, 14, 10))],
+        ],
+        "wmdd_later",
+    )
+    assert later_batch == {1: 2, 2: 1, 3: 1}, later_batch
