@@ -2365,6 +2365,7 @@ _SIMPSON_LOW_U = 200_000  # Simpson repeat-probability >= 0.2 -> low diversity
     FROM agg
     """,
     tags=("text", "quality", "pipeline"),
+    bench=True,
 )
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-diversity quality gate via the Simpson (Rényi-2 /
@@ -2614,6 +2615,7 @@ _QL_MULT = 2654435761 % 1_000_000_007  # Knuth multiplier, the model "weights"
     FROM agg
     """,
     tags=("text", "quality", "pipeline"),
+    bench=True,
 )
 def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bag-of-words linear quality classifier — the model-based
