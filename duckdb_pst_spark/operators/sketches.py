@@ -726,3 +726,82 @@ def q_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cents").alias("median_cents"))
     )
     return kth.select(F.lit(n).cast("long").alias("n"), "median_cents")
+
+
+@query(
+    "q_kmv_grouped",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {duck_poly_hash_long('user_id')} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS kc, max(hv) AS hk
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.kc AS k_used,
+           CASE WHEN s.kc < {KMV_K} THEN s.kc
+                ELSE CAST(FLOOR((s.kc - 1) * CAST({P_HASH} AS DOUBLE) / s.hk)
+                          AS BIGINT) END AS kmv_estimate,
+           x.exact_distinct
+    FROM s JOIN x ON x.event_type = s.event_type
+    """,
+    tags=("sketch", "agg"),
+)
+def q_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct sketch — q_kmv_distinct rolled up by key
+    (distinct users per event_type), the dashboard/cube shape where
+    sketches actually live in production: one mergeable O(k) summary
+    per group, re-mergeable upward to coarser groupings without
+    touching raw data. Same portable multiplicative hash, so each
+    group's estimate is bit-identical across engines and the oracle
+    hash-checks the SKETCH, not just the true count (carried alongside
+    as exact_distinct for the error audit).
+
+    Scale shape: one distinct-collapse of (group, hash) with map-side
+    combine, then a group-partitioned rank keeps the k smallest per
+    group — the sort rides the exchange's own sort machinery and
+    spills; group count bounds output at |groups|·k rows. At 100 TB
+    with millions of groups you'd swap the window rank for the
+    two-phase local-top-k merge (the q_kmv_distinct TakeOrdered shape,
+    per group) or a native datasketches agg; the sketch SEMANTICS and
+    the merge algebra are what this query pins."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", poly_hash_long(F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    s = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("kc"), F.max("hv").alias("hk"))
+    )
+    x = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return s.join(x, "event_type").select(
+        "event_type",
+        F.col("kc").alias("k_used"),
+        F.when(F.col("kc") < KMV_K, F.col("kc"))
+        .otherwise(
+            F.floor(
+                (F.col("kc") - 1).cast("double")
+                * F.lit(float(P_HASH))
+                / F.col("hk").cast("double")
+            ).cast("long")
+        )
+        .alias("kmv_estimate"),
+        "exact_distinct",
+    )
