@@ -1780,3 +1780,85 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --------------------------------------------------- one-pass table profile
+_PROFILE_COLS: list[tuple[str, str]] = [
+    # (column, integer projection for min/max; None -> string column)
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_linenumber", "l_linenumber"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),  # TPC-H qty is integral
+    ("l_returnflag", None),
+    ("l_linestatus", None),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, proj in _PROFILE_COLS:
+        mn = f"CAST(min({proj}) AS BIGINT)" if proj else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(max({proj}) AS BIGINT)" if proj else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"""
+    SELECT '{col}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_i, {mx} AS max_i
+    FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q_profile_columns",
+    oracle=_profile_oracle(),
+    tags=("relational", "agg", "quality"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile — the ANALYZE/data-quality sweep every
+    ingest runs before trusting a new drop: per column, row count, null
+    count, EXACT distinct count, and integer min/max (numerics only;
+    doubles ride exact integral projections per the repo's no-float
+    oracle rule), emitted long-form as one row per column so downstream
+    checks diff profiles across drops by key.
+
+    Scale shape: a single wide aggregate computes every statistic in
+    one corpus read — multiple exact COUNT(DISTINCT)s make Catalyst
+    plan an Expand (one input row fans to one row per distinct-column),
+    trading CPU for the single scan; that is the right trade when the
+    scan is the expensive part (100 TB object-store reads), and the
+    per-column outputs then unpivot driver-free via stack(). Swap exact
+    distinct for approx_count_distinct/KMV (q_kmv_grouped) when ±2% is
+    acceptable and the Expand itself binds."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for col, proj in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).cast("long").alias(f"{col}__distinct"),
+            (
+                F.min(F.expr(proj)).cast("long")
+                if proj
+                else F.lit(None).cast("long")
+            ).alias(f"{col}__min"),
+            (
+                F.max(F.expr(proj)).cast("long")
+                if proj
+                else F.lit(None).cast("long")
+            ).alias(f"{col}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{col}', {col}__rows, {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS"
+            " (column_name, n_rows, n_nulls, n_distinct, min_i, max_i)"
+        )
+    )

@@ -120,7 +120,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_char_diversity", "q_token_gini", "q_mad_outliers",
     "q_cluster_size_histogram", "q_stream_late_data",
     "q_quality_linear", "q_stream_dedup_wm", "q_containment_prefix",
-    "q_kmv_grouped",
+    "q_kmv_grouped", "q_profile_columns",
 )
 
 
