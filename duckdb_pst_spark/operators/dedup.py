@@ -544,6 +544,9 @@ def _collapsed_cluster(spark, sf_dir, components_fn) -> DataFrame:
     dkeys = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.xxhash64("text").alias("th"))
+        # 16-byte rows; without the barrier the final expansion join
+        # would re-scan documents and re-hash every text a third time
+        .localCheckpoint(eager=True)
     )
     grp = (
         dkeys.groupBy("th")

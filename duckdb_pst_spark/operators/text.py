@@ -2379,16 +2379,19 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float `ln` differs in the last bit engine-to-engine — the q_tfidf
     / q_bm25 rule).
 
-    Scale shape: ZERO shuffles — the per-doc character histogram is a
-    scan-local Arrow kernel (one ``np.unique`` per batch over int64
+    Scale shape: no keyed exchange — the per-doc character histogram is
+    a scan-local Arrow kernel (one ``np.unique`` per batch over int64
     ``doc_idx << 21 | codepoint`` composite keys; a codepoint is
     < 2^21, so the pack is collision-free), emitting exactly one row
     of exact-integer stats per document. The explode-and-aggregate
     twin this replaced pushed one row PER CHARACTER (~1e9 at 100×)
     through the hash aggregate; same-session min-of-2 at 100×:
     23.0 s explode-agg vs 2.3 s kernel (DuckDB 2.6 s on the same
-    parquet). At 100 TB this is a one-scan corpus audit whose only
-    exchange is the sink's."""
+    parquet). The scan rides :func:`spread`, so on an under-partitioned
+    single-file corpus (the replica layout) one round-robin repartition
+    of (doc_id, text) precedes the kernel — that exchange is the price
+    of filling every core there, and a no-op on a well-laid-out lake,
+    where this is a one-scan audit with no exchange before the sink."""
     import numpy as np
     import pyarrow as pa
 

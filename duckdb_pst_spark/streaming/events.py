@@ -58,6 +58,47 @@ def streaming_window_counts(
     )
 
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+#: epoch-micros of the NTZ event time — the tz-independent numeric bridge
+_TS_US = f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)"
+
+
+def _stage_event_batches(spark: SparkSession, sf_dir: str, staging: str, preds) -> object:
+    """Stage the events table as ONE parquet file per predicate with
+    strictly increasing mtimes, so ``maxFilesPerTrigger=1`` replays them
+    as deterministic micro-batches in list order. Event time is
+    normalized to TIMESTAMP_NTZ by ``tables.table`` BEFORE staging (the
+    repo's single nanos-shim site), so the staged schema needs no
+    stream-side rebuild. Returns the staged schema."""
+    import time as _time
+
+    ev = table(spark, sf_dir, "events")
+    now = _time.time()
+    for i, pred in enumerate(preds):
+        part_dir = os.path.join(staging, f"b{i}")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        dst = os.path.join(staging, f"part-{i}.parquet")
+        shutil.move(os.path.join(part_dir, files[0]), dst)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        mt = now - 100 + i  # strictly increasing mtimes = batch order
+        os.utime(dst, (mt, mt))
+    return spark.read.parquet(os.path.join(staging, "part-0.parquet")).schema
+
+
+def _replay_stream(spark: SparkSession, staging: str, schema) -> DataFrame:
+    """``maxFilesPerTrigger=1`` file stream over a staged directory, with
+    the NTZ→LTZ numeric watermark bridge attached (no session-timezone
+    cast, DST-immune)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withColumn("ltz", F.expr(f"timestamp_micros({_TS_US})"))
+        .withWatermark("ltz", "30 minutes")
+    )
+
+
 @query(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
@@ -551,70 +592,31 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the watermark horizon."""
     from duckdb_pst_spark.streaming.finalize import finalize_append
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
     try:
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(ev.dtypes)["ts"] == "bigint":
-            ev = ev.withColumn(
-                "ts",
-                F.expr(
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
-                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
-                ),
-            )
-        import time as _time
-
         # Scalar threshold (1-row collect): max event time of the even-id
         # file — batch 2's effective filter watermark derives from it.
         # Integer epoch-micros via the NTZ bridge: no tz-dependent casts.
-        ts_us = (
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        )
         max_a_us = (
-            ev.where("event_id % 2 = 0")
-            .agg(F.max(F.expr(ts_us)))
+            table(spark, sf_dir, "events")
+            .where("event_id % 2 = 0")
+            .agg(F.max(F.expr(_TS_US)))
             .collect()[0][0]
         )
-        now = _time.time()
-        preds = [
-            F.expr("event_id % 2 = 0"),
-            F.expr(f"event_id % 2 = 1 AND {ts_us} > {max_a_us}"),
-            F.expr(f"event_id % 2 = 1 AND {ts_us} <= {max_a_us}"),
-        ]
-        for i, pred in enumerate(preds):
-            part_dir = os.path.join(staging, f"b{i}")
-            ev.where(pred).coalesce(1).write.mode("overwrite").parquet(part_dir)
-            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(staging, f"part-{i}.parquet")
-            shutil.move(os.path.join(part_dir, files[0]), dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            mt = now - 100 + i  # strictly increasing mtimes = batch order
-            os.utime(dst, (mt, mt))
-        schema = spark.read.parquet(os.path.join(staging, "part-0.parquet")).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(staging)
+        schema = _stage_event_batches(
+            spark,
+            sf_dir,
+            staging,
+            [
+                F.expr("event_id % 2 = 0"),
+                F.expr(f"event_id % 2 = 1 AND {_TS_US} > {max_a_us}"),
+                F.expr(f"event_id % 2 = 1 AND {_TS_US} <= {max_a_us}"),
+            ],
         )
-        if dict(stream.dtypes)["ts"] == "bigint":
-            stream = stream.withColumn(
-                "ts",
-                F.expr(
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
-                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
-                ),
-            )
-        stream = stream.withColumn(
-            "ltz",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-            ),
-        ).withWatermark("ltz", "30 minutes")
+        stream = _replay_stream(spark, staging, schema)
         back_to_ntz = (
-            "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval(0, 0, 0,"
+            f"{_NTZ_EPOCH} + make_dt_interval(0, 0, 0,"
             " CAST(unix_micros(w.start) AS DECIMAL(20,0)) / 1000000)"
         )
         agg = (
@@ -645,55 +647,34 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream retries, which cluster within seconds of the original.
 
     Replayed as two event_id-parity files with ordered mtimes
-    (maxFilesPerTrigger=1) so cross-batch suppression is exercised; per
-    the pinned facts of tests/test_streaming_watermark.py, no state
-    evicts and the late filter cannot drop within a two-batch drained
-    replay, so the emitted set is EXACTLY the distinct key set — the
-    deterministic oracle. Only key columns are output so the
-    surviving-row choice cannot leak nondeterminism."""
+    (maxFilesPerTrigger=1) so cross-batch suppression is exercised. Why
+    the DISTINCT oracle is exact here — two pinned facts
+    (tests/test_streaming_watermark.py::test_dedup_within_watermark_reemission):
+    state CAN evict during batch 1 (batch-0 keys older than the delay
+    plus one batch expire en masse on a days-spanning table), but the
+    dedup probe runs BEFORE eviction, so a batch-1 duplicate of an
+    evicting batch-0 key is still suppressed; and re-emission needs a
+    duplicate arriving a batch AFTER its original's eviction — a third
+    data batch this two-file staging never has. The late-input filter
+    also cannot drop in a two-batch replay (one-batch filter lag). Only
+    key columns are output so the surviving-row choice cannot leak
+    nondeterminism."""
     from duckdb_pst_spark.streaming.finalize import finalize_append
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     staging = str(_CACHE_DIR / f"dps_events_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
     try:
-        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        import time as _time
-
-        now = _time.time()
-        for i, pred in enumerate(["event_id % 2 = 0", "event_id % 2 = 1"]):
-            part_dir = os.path.join(staging, f"b{i}")
-            ev.where(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(part_dir)
-            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(staging, f"part-{i}.parquet")
-            shutil.move(os.path.join(part_dir, files[0]), dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            mt = now - 100 + i  # strictly increasing mtimes = batch order
-            os.utime(dst, (mt, mt))
-        schema = spark.read.parquet(os.path.join(staging, "part-0.parquet")).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(staging)
+        schema = _stage_event_batches(
+            spark,
+            sf_dir,
+            staging,
+            [F.expr("event_id % 2 = 0"), F.expr("event_id % 2 = 1")],
         )
-        if dict(stream.dtypes)["ts"] == "bigint":
-            stream = stream.withColumn(
-                "ts",
-                F.expr(
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
-                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
-                ),
-            )
-        stream = stream.withColumn(
-            "ltz",
-            F.expr(
-                "timestamp_micros(timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-            ),
-        ).withWatermark("ltz", "30 minutes")
-        deduped = stream.dropDuplicatesWithinWatermark(
-            ["user_id", "event_type"]
-        ).select("user_id", "event_type")
+        deduped = (
+            _replay_stream(spark, staging, schema)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
         return finalize_append(deduped, "stream_dedup_wm")
     finally:
         shutil.rmtree(staging, ignore_errors=True)
