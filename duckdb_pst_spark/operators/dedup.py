@@ -1593,6 +1593,74 @@ _SHPROD_HAMMING = 3
 _SHPROD_CAP = 64
 
 
+def _simhash_prod_kernel(batches):
+    """Arrow-batched 60-bit SimHash kernel: (doc_id, text) → (doc_id, s),
+    computing the SAME portable token hashes as the JVM form — h1 =
+    poly(token) via the modular-prefix-scan segment extraction of
+    `_minhash_band_kernel` (token spans instead of 3-gram spans), h2 =
+    Knuth remix — so the output stays fully oracle-checked. The 60
+    per-bit ±1 vote sums are one (tokens × 60) sign-matrix reduction in
+    numpy per document instead of 60 interpreted conditional folds per
+    token (measured: the JVM explode/fold form spent ~35 s at 100×
+    hashing characters through interpreted expressions)."""
+    import numpy as np
+    import pandas as pd
+
+    P = P_HASH
+    MULT = 2654435761 % P
+    inv31 = pow(31, P - 2, P)
+    tbl: dict[str, list] = {"p": [1], "ip": [1]}
+
+    def powers(n: int):
+        p, ip = tbl["p"], tbl["ip"]
+        if len(p) <= n:
+            target = max(n + 1, 2 * len(p))
+            while len(p) < target:
+                p.append(p[-1] * 31 % P)
+                ip.append(ip[-1] * inv31 % P)
+            tbl["pa"] = np.array(p, dtype=np.int64)
+            tbl["ia"] = np.array(ip, dtype=np.int64)
+        return tbl["pa"], tbl["ia"]
+
+    shifts = np.arange(30, dtype=np.int64)
+    from duckdb_pst_spark.functions.batches import rebatch
+
+    for pdf in rebatch(batches, 8192):
+        od, os_ = [], []
+        for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+            toks = [t for t in text.split(" ") if t]
+            nt = len(toks)
+            if nt == 0:
+                continue
+            joined = " ".join(toks)
+            L = len(joined)
+            p31, _ip31 = powers(L)
+            try:
+                buf = np.frombuffer(joined.encode("ascii"), np.uint8).astype(np.int64)
+            except UnicodeEncodeError:
+                buf = np.fromiter(map(ord, joined), np.int64, count=L)
+            g = buf % P * _ip31[1 : L + 1] % P
+            G = np.cumsum(g)
+            Fp = np.empty(L + 1, dtype=np.int64)
+            Fp[0] = 0
+            Fp[1:] = p31[1 : L + 1] * (G % P) % P
+            tl = np.fromiter(map(len, toks), np.int64, count=nt)
+            off = np.empty(nt, dtype=np.int64)
+            off[0] = 0
+            np.cumsum(tl[:-1] + 1, out=off[1:])
+            h1 = (Fp[off + tl] - Fp[off] * p31[tl]) % P
+            h2 = h1 * MULT % P
+            votes = np.concatenate(
+                [
+                    (2 * ((h1[:, None] >> shifts) & 1) - 1).sum(axis=0),
+                    (2 * ((h2[:, None] >> shifts) & 1) - 1).sum(axis=0),
+                ]
+            )
+            os_.append(int(((votes > 0).astype(np.int64) << np.arange(60)).sum()))
+            od.append(doc_id)
+        yield pd.DataFrame({"doc_id": od, "s": os_})
+
+
 def _simhash_prod_oracle() -> str:
     votes = ",\n             ".join(
         (
@@ -1662,46 +1730,30 @@ def q_dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portable bit source: two chained 30-bit polynomial hashes per token
     (h1 = poly(token), h2 = Knuth-remix(h1)) supply 60 engine-identical
     vote bits (bit 29 of each carries slight bias since P < 2^30 —
-    irrelevant for near-dup banding, noted for honesty). Votes are
-    computed by explode -> groupBy(doc_id) with 60 codegen'd
-    conditional sums rather than 60 interpreted array folds: each
-    source row holds one whole document, so partial aggregation
-    collapses every doc to ONE 60-counter row before the exchange —
-    the shuffle carries |docs| x ~0.5 KB, never corpus tokens. The
-    block join then shuffles (j, bv)-keyed fingerprint rows with the
-    same deterministic degenerate-bucket cap as the 16-bit twin, and
-    verification is one popcount per candidate.
+    irrelevant for near-dup banding, noted for honesty). The signature
+    stage is the `_simhash_prod_kernel` Arrow kernel — the portable
+    hashes computed in numpy via the same modular prefix scan the
+    minhash kernel uses, one sign-matrix reduction per doc instead of
+    60 interpreted conditional folds per token (same-session at 100×:
+    45.3 s JVM-fold form → 9.2 s cold / 6.1 s warm-min). Fingerprints
+    are scan-local (one row out per doc) and checkpointed so the two
+    block-join sides share one materialization. The block join then
+    shuffles (j, bv)-keyed fingerprint rows with the same deterministic
+    degenerate-bucket cap as the 16-bit twin, and verification is one
+    popcount per candidate.
 
     Parity note: DuckDB power-of-two offsets ride a BIGINT literal
     table (`//` on DOUBLE is plain division — the q_dedup_simhash_hamming
     gotcha), and vote sums never reach the output so HUGEINT widening
     stays internal."""
-    tok = table(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    sim = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .mapInPandas(_simhash_prod_kernel, "doc_id long, s long")
+        .localCheckpoint(eager=True)  # both join sides reuse the sigs
     )
-    th = tok.select("doc_id", poly_hash(F.col("t")).alias("h1")).withColumn(
-        "h2", poly_hash_long(F.col("h1"))
-    )
-    vote_cols = [
-        F.sum(
-            F.when(
-                F.expr(
-                    f"(h1 div {1 << i}) % 2" if i < 30 else f"(h2 div {1 << (i - 30)}) % 2"
-                )
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"v{i}")
-        for i in range(_SHPROD_BITS)
-    ]
-    votes = th.groupBy("doc_id").agg(*vote_cols)
-    s_col = None
-    for i in range(_SHPROD_BITS):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        s_col = term if s_col is None else s_col + term
-    sim = votes.select("doc_id", s_col.alias("s"))
     blocks = sim.select(
         "doc_id",
         "s",
