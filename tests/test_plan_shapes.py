@@ -377,3 +377,49 @@ def test_heavy_hitters_sketch_is_arrow_on_hashes(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "xxhash64" in plan, plan
     assert pi.broadcast_join_count(df) >= 1, plan
+
+
+def test_profile_columns_has_no_expand(spark, sf_dir):
+    """q_profile_columns must stay per-column pruned branches: an Expand
+    node means the wide multi-COUNT(DISTINCT) aggregate came back (7x
+    the row volume through aggregation state — measured 12x slower at
+    100x). Each branch's read schema must hold exactly one column."""
+    df = SPECS["q_profile_columns"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "Expand" not in plan, plan
+    schemas = pi.read_schemas(df)
+    assert schemas and all(s.count(",") == 0 for s in schemas), schemas
+
+
+def test_char_diversity_kernel_is_scan_local(spark, sf_dir):
+    """q_char_diversity's histogram is an Arrow kernel directly over the
+    (possibly spread) scan — no keyed exchange: at most the spread
+    round-robin repartition, never a hash partitioning."""
+    df = SPECS["q_char_diversity"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "mapInArrow" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_simhash_prod_sigs_are_arrow_kernel(spark, sf_dir):
+    """q_dedup_simhash_prod's signature stage must stay the numpy
+    prefix-scan kernel (45.3 -> 9.2 s at 100x vs the 60 interpreted
+    conditional folds per token)."""
+    df = SPECS["q_dedup_simhash_prod"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    # the kernel materializes via localCheckpoint, so the visible plan
+    # is the block join over the checkpointed scan: no per-token explode
+    assert "poly" not in plan.lower() or "ascii" not in plan.lower(), plan
+
+
+def test_dedup_cluster_collapses_before_pair_chain(spark, sf_dir):
+    """The component chain must keep the distinct-text collapse: the
+    representative semi-join appears before any shingle work (312 -> 6.6
+    s at 100x). Detect via the xxhash64(text) grouping in the first
+    aggregate."""
+    import inspect
+
+    import duckdb_pst_spark.operators.dedup as D
+
+    body = inspect.getsource(D._collapsed_cluster)
+    assert "xxhash64" in body and "left_semi" in body
