@@ -478,23 +478,39 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines hash identically, so every estimate is bit-identical and
     hash-checked.
 
-    Scale: the sketch build is ONE pass — each token updates {4} cells,
-    and the groupBy over (d, cell) partial-aggregates map-side into at
-    most {4}·{16} rows per task before the (tiny) shuffle; sketches from
-    disjoint data merge by cell-wise addition, which is exactly what
-    that groupBy is. Point queries touch {4} counter rows per probe.
-    This is the frequency sketch for streams whose key space is too
-    wide to count exactly (the q_heavy_hitters docstring's case) but
-    where per-key point estimates, not just the top keys, are needed."""
+    Scale: the sketch build is ONE pass — the corpus collapses to the
+    DISTINCT vocabulary (map-side-combined count), and only vocabulary
+    rows pay the interpreted salted-hash fold: each distinct token
+    contributes count-weighted updates to its {4} cells, which is
+    cell-wise identical to per-instance updates (the sketch is a sum,
+    so Σ_instances = Σ_vocab count·1). The earlier per-instance form
+    folded the hash over every token OCCURRENCE twice (counters +
+    probe) — measured 26.2 s at 10× vs vocabulary-hashing's time in
+    SCALE.md; on a replica corpus (counts multiply, vocab fixed) the
+    collapse is the difference between corpus-bound and vocab-bound
+    CPU. Sketches from disjoint data still merge by cell-wise addition
+    — exactly the (d, cell) groupBy. Point queries touch {4} counter
+    rows per probe. This is the frequency sketch for streams whose key
+    space is too wide to count exactly (the q_heavy_hitters docstring's
+    case) but where per-key point estimates, not just the top keys,
+    are needed."""
     toks = (
         table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
         .filter(F.col("t") != "")
     )
-    salted = toks.select(
-        "t", F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)  # feeds the salted cells AND the output join
+    )
+    salted = vocab.select(
+        "t",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"),
     ).select(
         "t",
+        "exact_cnt",
         "d",
         (
             F.aggregate(
@@ -511,15 +527,14 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CM_WIDTH
         ).alias("cell"),
     )
-    counters = salted.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("c"))
-    probe = salted.select("t", "d", "cell").distinct()
+    counters = salted.groupBy("d", "cell").agg(F.sum("exact_cnt").alias("c"))
     est = (
-        probe.join(F.broadcast(counters), ["d", "cell"])
+        salted.select("t", "d", "cell")
+        .join(F.broadcast(counters), ["d", "cell"])
         .groupBy("t")
         .agg(F.min("c").alias("cm_estimate"))
     )
-    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    return est.join(exact, "t").select("t", "cm_estimate", "exact_cnt")
+    return est.join(vocab, "t").select("t", "cm_estimate", "exact_cnt")
 
 
 # -------------------------------------------- source-overlap KMV matrix
