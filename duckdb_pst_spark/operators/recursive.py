@@ -441,19 +441,26 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on. log2(d) of a BIGINT is exact for d < 2^53 in both engines'
     float, and floor of it is the bucket both compute identically.
 
-    Scale shape: one distinct on edges, one groupBy(u) with map-side
-    partial counts, then a ≤64-group rollup — the cheapest possible
+    Scale shape: ONE corpus-keyed exchange — degree over distinct edges
+    is COUNT(DISTINCT v) per node, so the raw (u, v) stream goes
+    straight into a per-node distinct aggregate whose map-side state
+    dedups neighbors before the shuffle; then a ≤64-group rollup. The
+    spelled-out edge materialization (distinct → symmetrize → distinct
+    → count) costs three corpus-sized exchanges for the same numbers
+    (same-session at 100×: 23.1 s → 11.0 s; the residual vs the
+    in-process engine is the exchange-serialization constant on one
+    box). The cheapest possible
     whole-graph statistic, which is why it is the first thing to run
     on a 100 TB edge list."""
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     fwd = li.select(
         F.col("l_partkey").alias("u"), (F.col("l_suppkey") + _PR_OFF).alias("v")
     )
     rev = li.select(
         (F.col("l_suppkey") + _PR_OFF).alias("u"), F.col("l_partkey").alias("v")
     )
-    edges = fwd.union(rev).distinct()
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    edges = fwd.union(rev)
+    deg = edges.groupBy("u").agg(F.count_distinct("v").cast("long").alias("d"))
     b = deg.select(F.expr("CAST(floor(log2(d)) AS BIGINT)").alias("bucket"), "d")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

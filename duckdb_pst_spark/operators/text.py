@@ -332,13 +332,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tf * 1000000 * n_docs) div df").alias("score_u"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("tok"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_tok"), "tf", "df", "score_u")
+    # top-1 per doc WITHOUT a per-doc sort window: min(struct) with the
+    # negated score makes the lexicographic struct order (score DESC,
+    # tok ASC) — one map-side-combined aggregate instead of a
+    # partitioned row_number sort (same-session at 100×: 33.4 → 14.0 s)
+    best = scored.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score_u")).alias("neg"), "tok", "tf", "df")).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.tok").alias("top_tok"),
+        F.col("b.tf").alias("tf"),
+        F.col("b.df").alias("df"),
+        (-F.col("b.neg")).alias("score_u"),
     )
 
 
@@ -595,6 +601,10 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, tok) pairs, not token occurrences. Top-50 is a
     TakeOrdered heap, no global sort."""
     d = _docs_with_tokens(spark, sf_dir)
+    # measured no-ship (r4, same-session at 100×): fusing the two
+    # exchanges into groupBy(tok).agg(count_distinct(doc_id)) ran 4.7 →
+    # 5.2 s — the per-group distinct state costs more than the second
+    # row-level distinct exchange it saves at this group fan-in.
     return (
         d.select("doc_id", F.explode("toks").alias("tok"))
         .distinct()
