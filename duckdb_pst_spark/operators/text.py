@@ -277,6 +277,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-local (doc_id, tok, tf) rows via an Arrow Counter kernel —
+    a document lives in one source row, so term frequencies need no
+    exchange at all; the exploded groupBy(doc, term) twin shuffles the
+    whole token stream on a high-cardinality string pair. Shared by
+    q_tfidf and q_vocab_df."""
+    import pandas as pd
+
+    def tf_kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            od, ot, oc = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                if text is None:
+                    continue
+                for tok, c in Counter(t for t in text.split(" ") if t).items():
+                    od.append(doc_id)
+                    ot.append(tok)
+                    oc.append(c)
+            yield pd.DataFrame({"doc_id": od, "tok": ot, "tf": oc})
+
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(tf_kernel, "doc_id long, tok string, tf long")
+    )
+
+
 @query(
     "q_tfidf",
     oracle="""
@@ -320,27 +349,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized); and the per-doc winner is a min(struct) aggregate
     whose map-side combine emits one row per doc (doc locality holds by
     construction), so the final exchange carries |docs| rows."""
-    import pandas as pd
-
-    def tf_kernel(batches):
-        from collections import Counter
-
-        for pdf in batches:
-            od, ot, oc = [], [], []
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                if text is None:
-                    continue
-                for tok, c in Counter(t for t in text.split(" ") if t).items():
-                    od.append(doc_id)
-                    ot.append(tok)
-                    oc.append(c)
-            yield pd.DataFrame({"doc_id": od, "tok": ot, "tf": oc})
-
-    tf = (
-        _docs_with_tokens(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInPandas(tf_kernel, "doc_id long, tok string, tf long")
-        .localCheckpoint(eager=True)  # df aggregate AND scoring reuse it
+    tf = _tf_rows(spark, sf_dir).localCheckpoint(
+        eager=True  # df aggregate AND scoring reuse it
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -623,14 +633,14 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the tok count partial-aggregates again — shuffled rows are
     distinct (doc, tok) pairs, not token occurrences. Top-50 is a
     TakeOrdered heap, no global sort."""
-    d = _docs_with_tokens(spark, sf_dir)
-    # measured no-ship (r4, same-session at 100×): fusing the two
-    # exchanges into groupBy(tok).agg(count_distinct(doc_id)) ran 4.7 →
-    # 5.2 s — the per-group distinct state costs more than the second
-    # row-level distinct exchange it saves at this group fan-in.
+    # df = one row per (doc, tok) — exactly the scan-local kernel rows
+    # of q_tfidf — counted per token with map-side combine to vocabulary
+    # size: no corpus-sized exchange (the explode → distinct twin
+    # shuffles every (doc, tok) pair; same-session at 100×: 5.9 →
+    # 3.6 s; an earlier count_distinct fusion of the old twin measured
+    # 4.7 → 5.2 and was not shipped).
     return (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .distinct()
+        _tf_rows(spark, sf_dir)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("tok"))
