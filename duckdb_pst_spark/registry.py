@@ -102,9 +102,17 @@ VERIFY_FIRST: tuple[str, ...] = (
 #     q_skyline q_ohlc_bars q_regr_slope q_attribution_last_touch
 #   streaming: q_stream_closed_windows q_stream_topk q_stream_cdc_merge
 #     q_stream_sessions_native
-# — plus any round-4 additions, plus regression canaries for every query
-# whose plan the round-4/5 diffs touch (heavy_hitters, bigram_surprise,
-# phrase_pmi, substring_spans, semantic dedup) and r1/r2 family canaries.
+# — plus the round-4 additions listed below. That is 40 of 50 slots; fill
+# the remaining 10 with CANARIES for previously-green queries whose PLAN
+# round 4 rewrote after their last driver check (priority order):
+#   q_dedup_cluster q_cluster_size_histogram q_dedup_cluster_star
+#   q_tfidf q_vocab_df q_char_diversity q_token_gini q_dedup_simhash_prod
+#   q_degree_distribution q_dedup_minhash
+# (q_countmin and q_kmv_jaccard were rewritten too but already sit in the
+# round-4 window; q_sequence_gaps and q_profile_columns are in the list
+# above/below.) Remaining plan-touched-but-green (heavy_hitters,
+# bigram_surprise, phrase_pmi, substring_spans, semantic dedup) roll to
+# round 6 with the r1/r2 family canaries.
 ROUND5_PLANNED: tuple[str, ...] = (
     "q_zorder_stats", "q_jsonl_ingest", "q_except_all", "q_intersect_all",
     "q_orderby_nulls", "q_decimal_money", "q_hof_parity", "q_sequence_gaps",
