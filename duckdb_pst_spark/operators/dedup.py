@@ -838,29 +838,15 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_band_kernel(batches):
-    """Arrow-batched minhash kernel: (doc_id, text) → band keys, computing
-    the SAME portable polynomial shingle hashes as the JVM/oracle twins —
-    so this path is hash-verified against DuckDB, not rows-only.
-
-    Vectorization: the char fold h = fold((acc*31 + code) % P) composes
-    over concatenation — h(s‖t) = (h(s)·31^len(t) + h(t)) mod P — so with
-    P prime the whole document is hashed ONCE as a modular prefix scan
-    (F_k = 31^k · Σ code_j·31^{-j} mod P, all numpy), and every word-
-    3-gram shingle hash is then a segment difference
-    (F_b − F_a·31^{b−a}) mod P extracted by fancy indexing. No per-
-    shingle Python loop; the K permutation minima are one matrix op.
-    int64 never overflows: values < P ≈ 1e9, so products < 1e18 and the
-    prefix sum over a ≤1e6-char doc stays < 1e15."""
+def _powers_factory(P: int):
+    """Modular power tables for base 31 mod P, grown geometrically (the
+    sequential recurrence is a one-time Python loop per growth, then
+    shared by every doc). Returns ``powers(n) -> (31^k array, 31^-k
+    array)`` covering exponents 0..n. Shared by the minhash and simhash
+    kernels."""
     import numpy as np
-    import pandas as pd
 
-    P = P_HASH
-    A = np.array(_A, dtype=np.int64)[:, None]
-    B = np.array(_B, dtype=np.int64)[:, None]
     inv31 = pow(31, P - 2, P)  # Fermat inverse — P is prime
-    # modular power tables, grown geometrically (sequential recurrence is
-    # a one-time Python loop per growth, then shared by every doc)
     tbl: dict[str, list] = {"p": [1], "ip": [1]}
 
     def powers(n: int):
@@ -874,6 +860,66 @@ def _minhash_band_kernel(batches):
             tbl["ia"] = np.array(ip, dtype=np.int64)
         return tbl["pa"], tbl["ia"]
 
+    return powers
+
+
+def _token_prefix_scan(text, powers, P):
+    """Modular prefix scan of a document's space-joined token stream:
+    the char fold h = fold((acc*31 + code) % P) composes over
+    concatenation — h(s‖t) = (h(s)·31^len(t) + h(t)) mod P — so with P
+    prime the whole document is hashed ONCE
+    (F_k = 31^k · Σ code_j·31^{-j} mod P, all numpy) and ANY
+    token-aligned segment hash is then a difference
+    (F_b − F_a·31^{b−a}) mod P extracted by fancy indexing. Returns
+    (Fp, p31, off, tl) — prefix array, power table, per-token offsets
+    and lengths — or None for NULL/token-free text (the JVM twins emit
+    zero rows there). int64 never overflows: values < P ≈ 1e9, so
+    products < 1e18 and the prefix sum over a ≤1e6-char doc stays
+    < 1e15. Shared by `_minhash_band_kernel` (3-token shingle spans)
+    and `_simhash_prod_kernel` (single-token spans)."""
+    import numpy as np
+
+    if text is None:
+        return None
+    toks = [t for t in text.split(" ") if t]
+    nt = len(toks)
+    if nt == 0:
+        return None
+    joined = " ".join(toks)
+    L = len(joined)
+    p31, ip31 = powers(L)
+    try:
+        buf = np.frombuffer(joined.encode("ascii"), np.uint8).astype(np.int64)
+    except UnicodeEncodeError:
+        # non-ASCII: match the engines' per-character code points
+        buf = np.fromiter(map(ord, joined), np.int64, count=L)
+    g = buf % P * ip31[1 : L + 1] % P
+    G = np.cumsum(g)  # < L·P — safe in int64 for docs to ~9e9 chars/P
+    Fp = np.empty(L + 1, dtype=np.int64)
+    Fp[0] = 0
+    Fp[1:] = p31[1 : L + 1] * (G % P) % P
+    tl = np.fromiter(map(len, toks), np.int64, count=nt)
+    off = np.empty(nt, dtype=np.int64)
+    off[0] = 0
+    np.cumsum(tl[:-1] + 1, out=off[1:])
+    return Fp, p31, off, tl
+
+
+def _minhash_band_kernel(batches):
+    """Arrow-batched minhash kernel: (doc_id, text) → band keys, computing
+    the SAME portable polynomial shingle hashes as the JVM/oracle twins —
+    so this path is hash-verified against DuckDB, not rows-only. The
+    modular prefix-scan machinery lives in `_token_prefix_scan`; every
+    word-3-gram shingle hash is a segment difference off it, and the K
+    permutation minima are one matrix op — no per-shingle Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    P = P_HASH
+    A = np.array(_A, dtype=np.int64)[:, None]
+    B = np.array(_B, dtype=np.int64)[:, None]
+    powers = _powers_factory(P)
+
     # The session Arrow cap is payload-safe-small (256); coalesce chunks
     # so per-batch fixed costs amortize over ~8k narrow rows (see
     # functions/batches.py for why the conf itself must not be raised).
@@ -882,30 +928,16 @@ def _minhash_band_kernel(batches):
     for pdf in rebatch(batches, 8192):
         od, oi, ov = [], [], []
         for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-            toks = [t for t in text.split(" ") if t]
-            nt = len(toks)
+            pre = _token_prefix_scan(text, powers, P)
+            if pre is None:
+                continue
+            Fp, p31, off, tl = pre
+            nt = len(tl)
             if nt < 3:
                 continue
-            joined = " ".join(toks)
-            L = len(joined)
-            p31, _ip31 = powers(L)
-            try:
-                buf = np.frombuffer(joined.encode("ascii"), np.uint8).astype(np.int64)
-            except UnicodeEncodeError:
-                # non-ASCII: match the engines' per-character code points
-                buf = np.fromiter(map(ord, joined), np.int64, count=L)
-            g = buf % P * _ip31[1 : L + 1] % P
-            G = np.cumsum(g)  # < L·P — safe in int64 for docs to ~9e9 chars/P
-            F = np.empty(L + 1, dtype=np.int64)
-            F[0] = 0
-            F[1:] = p31[1 : L + 1] * (G % P) % P
-            tl = np.fromiter(map(len, toks), np.int64, count=nt)
-            off = np.empty(nt, dtype=np.int64)
-            off[0] = 0
-            np.cumsum(tl[:-1] + 1, out=off[1:])
             a = off[: nt - 2]
             b = off[2:] + tl[2:]
-            sh = np.unique((F[b] - F[a] * p31[b - a]) % P)
+            sh = np.unique((Fp[b] - Fp[a] * p31[b - a]) % P)
             sigs = ((A * sh + B) % P).min(axis=1)
             for j in range(MINHASH_BANDS):
                 od.append(doc_id)
@@ -1596,9 +1628,10 @@ _SHPROD_CAP = 64
 def _simhash_prod_kernel(batches):
     """Arrow-batched 60-bit SimHash kernel: (doc_id, text) → (doc_id, s),
     computing the SAME portable token hashes as the JVM form — h1 =
-    poly(token) via the modular-prefix-scan segment extraction of
-    `_minhash_band_kernel` (token spans instead of 3-gram spans), h2 =
-    Knuth remix — so the output stays fully oracle-checked. The 60
+    poly(token) via the shared `_token_prefix_scan` segment extraction
+    (token spans instead of the minhash kernel's 3-gram spans), h2 =
+    Knuth remix — so the output stays fully oracle-checked. NULL/empty
+    text yields no row, like the JVM explode. The 60
     per-bit ±1 vote sums are one (tokens × 60) sign-matrix reduction in
     numpy per document instead of 60 interpreted conditional folds per
     token (measured: the JVM explode/fold form spent ~35 s at 100×
@@ -1608,46 +1641,17 @@ def _simhash_prod_kernel(batches):
 
     P = P_HASH
     MULT = 2654435761 % P
-    inv31 = pow(31, P - 2, P)
-    tbl: dict[str, list] = {"p": [1], "ip": [1]}
-
-    def powers(n: int):
-        p, ip = tbl["p"], tbl["ip"]
-        if len(p) <= n:
-            target = max(n + 1, 2 * len(p))
-            while len(p) < target:
-                p.append(p[-1] * 31 % P)
-                ip.append(ip[-1] * inv31 % P)
-            tbl["pa"] = np.array(p, dtype=np.int64)
-            tbl["ia"] = np.array(ip, dtype=np.int64)
-        return tbl["pa"], tbl["ia"]
-
+    powers = _powers_factory(P)
     shifts = np.arange(30, dtype=np.int64)
     from duckdb_pst_spark.functions.batches import rebatch
 
     for pdf in rebatch(batches, 8192):
         od, os_ = [], []
         for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-            toks = [t for t in text.split(" ") if t]
-            nt = len(toks)
-            if nt == 0:
+            pre = _token_prefix_scan(text, powers, P)
+            if pre is None:
                 continue
-            joined = " ".join(toks)
-            L = len(joined)
-            p31, _ip31 = powers(L)
-            try:
-                buf = np.frombuffer(joined.encode("ascii"), np.uint8).astype(np.int64)
-            except UnicodeEncodeError:
-                buf = np.fromiter(map(ord, joined), np.int64, count=L)
-            g = buf % P * _ip31[1 : L + 1] % P
-            G = np.cumsum(g)
-            Fp = np.empty(L + 1, dtype=np.int64)
-            Fp[0] = 0
-            Fp[1:] = p31[1 : L + 1] * (G % P) % P
-            tl = np.fromiter(map(len, toks), np.int64, count=nt)
-            off = np.empty(nt, dtype=np.int64)
-            off[0] = 0
-            np.cumsum(tl[:-1] + 1, out=off[1:])
+            Fp, p31, off, tl = pre
             h1 = (Fp[off + tl] - Fp[off] * p31[tl]) % P
             h2 = h1 * MULT % P
             votes = np.concatenate(

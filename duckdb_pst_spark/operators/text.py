@@ -628,10 +628,11 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword/vocab-pruning statistic; q_explode_agg is the term-
     frequency counterpart).
 
-    Scale design: explode → per-task partial distinct on (doc_id, tok)
-    collapses within-doc repeats map-side, one shuffle dedups exactly,
-    then the tok count partial-aggregates again — shuffled rows are
-    distinct (doc, tok) pairs, not token occurrences. Top-50 is a
+    Scale design: the scan-local tf kernel (shared with q_tfidf) emits
+    one row per (doc, tok) in place — a document lives in one source
+    row, so deduping within-doc repeats needs no exchange — and the
+    token count partial-aggregates that to vocabulary size before the
+    plan's ONE shuffle (gated by test_vocab_df_shape). Top-50 is a
     TakeOrdered heap, no global sort."""
     # df = one row per (doc, tok) — exactly the scan-local kernel rows
     # of q_tfidf — counted per token with map-side combine to vocabulary

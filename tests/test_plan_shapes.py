@@ -409,9 +409,11 @@ def test_simhash_prod_sigs_are_arrow_kernel(spark, sf_dir):
     conditional folds per token)."""
     df = SPECS["q_dedup_simhash_prod"].builder(spark, sf_dir)
     plan = pi.executed_plan(df)
-    # the kernel materializes via localCheckpoint, so the visible plan
-    # is the block join over the checkpointed scan: no per-token explode
-    assert "poly" not in plan.lower() or "ascii" not in plan.lower(), plan
+    # the kernel materializes via localCheckpoint, so the visible plan is
+    # the block join over a checkpointed scan — no interpreted char fold
+    # (the old JVM form's plan is full of ascii(...) lambda expressions)
+    assert "ascii(" not in plan.lower(), plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
 
 
 def test_dedup_cluster_collapses_before_pair_chain(spark, sf_dir):
