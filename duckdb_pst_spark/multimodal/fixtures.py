@@ -18,9 +18,10 @@ code testable without image/audio libraries:
 
 Real PNG/BMP/GIF/WAV containers are fully decodable via the pure-stdlib codecs
 (``multimodal.codecs``) and live in the separate ``media_real`` fixture
-below; JPEG/MP4 are delegated to optional libraries behind import-guards
-in ``multimodal.ops`` and raise ``NotImplementedError`` when absent
-(this container ships none of them).
+below; baseline JPEG is decoded by the pure-numpy ``multimodal.jpegc``
+decoder. Only progressive JPEG and MP4 remain gated (import-guarded
+optional libraries in ``multimodal.ops``, ``NotImplementedError`` when
+absent — this container ships none of them).
 """
 
 from __future__ import annotations

@@ -251,8 +251,6 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the CONTAINER, not metadata. The oracle pins every stat to
     values recomputed from the pre-encode arrays, so a hash match
     proves the full encode→decode round trip inside the Spark operator.
-    JPEG stays header-probe only (q_media_probe_real) — entropy decode
-    is a codec library's job.
 
     Scale shape: one scan, one Arrow hop, stats emitted per row —
     map-only (the q_image_decode plan, now on real containers)."""

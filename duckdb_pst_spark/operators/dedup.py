@@ -415,14 +415,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- dedup cluster assembly
-def _duck_verified_pairs_cte() -> str:
+def _duck_verified_pairs_cte(*, recursive: bool = False) -> str:
     """Oracle CTE chain: minhash sigs → band buckets → candidate pairs →
-    Jaccard-verified pairs (same fragments as q_dedup_minhash's oracle)."""
+    Jaccard-verified pairs (same fragments as q_dedup_minhash's oracle).
+
+    ``recursive=True`` rewrites the leading ``WITH tk AS`` to
+    ``WITH RECURSIVE tk AS`` for callers that append a recursive closure
+    CTE, asserting the prefix is present so any drift in
+    ``_duck_minhash_cte`` fails loudly at import instead of producing
+    invalid SQL at verify time."""
     bands_union = " UNION ALL ".join(
         f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
         for j in range(MINHASH_BANDS)
     )
-    return (
+    sql = (
         _duck_minhash_cte()
         + f"""
     , bands AS ({bands_union}),
@@ -440,12 +446,21 @@ def _duck_verified_pairs_cte() -> str:
               // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD_U}
     )"""
     )
+    if recursive:
+        prefix = "WITH tk AS"
+        if prefix not in sql:
+            raise AssertionError(
+                "_duck_minhash_cte no longer opens with 'WITH tk AS'; "
+                "update the recursive rewrite in _duck_verified_pairs_cte"
+            )
+        sql = sql.replace(prefix, "WITH RECURSIVE tk AS", 1)
+    return sql
 
 
 @query(
     "q_dedup_cluster",
     # the closure CTE is recursive, so the whole chain is WITH RECURSIVE
-    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    oracle=_duck_verified_pairs_cte(recursive=True)
     + """
     , edges AS (
       SELECT doc_a AS u, doc_b AS v FROM verified
@@ -592,7 +607,7 @@ def _collapsed_cluster(spark, sf_dir, components_fn) -> DataFrame:
 @query(
     "q_dedup_cluster_star",
     # identical semantics to q_dedup_cluster → identical oracle closure
-    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    oracle=_duck_verified_pairs_cte(recursive=True)
     + """
     , edges AS (
       SELECT doc_a AS u, doc_b AS v FROM verified
@@ -1806,7 +1821,7 @@ def q_dedup_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------- dedup cluster-size histogram
 @query(
     "q_cluster_size_histogram",
-    oracle=_duck_verified_pairs_cte().replace("WITH tk AS", "WITH RECURSIVE tk AS", 1)
+    oracle=_duck_verified_pairs_cte(recursive=True)
     + """
     , edges AS (
       SELECT doc_a AS u, doc_b AS v FROM verified

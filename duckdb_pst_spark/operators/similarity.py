@@ -715,7 +715,15 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         for r in upd.collect():
             newC[pos[r.cid], r.i] = r.m
         C = newC
+        # the collect() above is the only action that reads this pass's
+        # broadcasts — release them now (at the q_dedup_semantic_scaled
+        # cap they are ~34 MB each; keeping every pass would leak
+        # ~(KM_ITERS)*2 broadcasts for the session lifetime)
+        bcC.unpersist(blocking=False)
+        bcCids.unpersist(blocking=False)
 
+    # the final pair must stay alive: the returned DataFrame is lazy and
+    # re-reads them whenever the caller's action executes the plan
     bcC, bcCids = sc.broadcast(C), sc.broadcast(cids)
 
     def assign_kernel(batches):

@@ -2453,9 +2453,13 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             owner = (keys >> 21).astype(np.int64)
             distinct = np.bincount(owner, minlength=len(texts)).astype(np.int64)
             n = np.bincount(owner, weights=counts, minlength=len(texts)).astype(np.int64)
-            s2 = np.bincount(
-                owner, weights=counts.astype(np.float64) ** 2, minlength=len(texts)
-            ).astype(np.int64)
+            # int64 accumulation, NOT float64-weighted bincount: a float
+            # path is exact only while a doc's Σcnt² < 2^53 (~9.4e7
+            # repeats of one char breaks it silently); int64 is exact to
+            # cnt ≈ 3e9, beyond any string that fits in a batch
+            cnt64 = counts.astype(np.int64)
+            s2 = np.zeros(len(texts), dtype=np.int64)
+            np.add.at(s2, owner, cnt64 * cnt64)
             keep = n > 0  # empty/NULL text yields no rows, like unnest('')
             yield pa.RecordBatch.from_pydict(
                 {

@@ -61,58 +61,49 @@ def query(
 # rows-only specs LAST — a rows-only spec can never produce a green row,
 # so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 4 window (per VERDICT r3): all 50 slots proveable — the fixed
-# q_pstbin_dlist_ids (r3 ERR: array output column vs the driver's pandas
-# canonicalizer; now posexploded to scalar rows) + 49 of the 73
-# oracle-bearing queries that have never been inside any driver window,
-# leading with the LLM-pipeline flagships, then relational additions.
+# Round 5 window (per VERDICT r4 item 1, executing the pre-planned
+# rotation below): the 39 remaining oracle-bearing never-windowed queries
+# (ROUND5_PLANNED) + 11 canaries. Canary arithmetic: of the 10 names the
+# round-4 plan reserved, four (q_cluster_size_histogram, q_char_diversity,
+# q_token_gini, q_dedup_simhash_prod) are themselves never-windowed and
+# already inside ROUND5_PLANNED, so the unique canary adds are the other
+# six; the remaining five slots go to queries whose plans ROUND 5 rewrote
+# after their r4 green row (q_dedup_incremental shuffle fuse, q_hybrid_rrf
+# arm checkpointing, q_sequence_gaps distinct shave — sequence_gaps is in
+# ROUND5_PLANNED already) plus the two oldest rewritten-in-r4 greens that
+# could not fit r4's window (q_heavy_hitters, q_phrase_pmi,
+# q_bigram_surprise).
 VERIFY_FIRST: tuple[str, ...] = (
-    # r3 ERR, output shape fixed this round (A16 proof)
-    "q_pstbin_dlist_ids",
-    # never-windowed: dedup family (6)
-    "q_dedup_incremental", "q_setsim_prefix", "q_dedup_simhash_hamming",
-    "q_dedup_cluster_star", "q_dedup_keep_best", "q_lsh_recall",
-    # never-windowed: ANN / similarity (10)
-    "q_kmeans_iter", "q_knn_ivf_trained", "q_knn_pq", "q_knn_recall_pq",
-    "q_knn_recall_ivf", "q_ann_rerank", "q_auc", "q_hybrid_rrf",
-    "q_dedup_semantic", "q_embedding_drift",
-    # never-windowed: text analysis (16)
-    "q_bm25", "q_dsir_weights", "q_dsir_resample", "q_phrase_pmi",
-    "q_chi2_terms", "q_passage_dedup", "q_substring_spans",
-    "q_bigram_surprise", "q_quality_gate_quantile", "q_token_histogram",
-    "q_quality_gopher", "q_winnowing", "q_bpe_pairs", "q_histogram_drift",
-    "q_corpus_card", "q_filter_cascade",
-    # never-windowed: multimodal / sketches / sampling (8)
-    "q_media_dedup",
-    "q_kmv_jaccard", "q_countmin", "q_source_overlap", "q_exact_median_2pass",
-    "q_source_mix", "q_source_cap", "q_global_shuffle",
-    # never-windowed: join strategies / graph (4)
-    "q_bloom_prune", "q_fuzzy_blocking", "q_pagerank", "q_degree_distribution",
-    # never-windowed: relational additions (5)
-    "q_tpch_q19", "q_tpch_q13", "q_lateral_topk", "q_nullsafe_join",
-    "q_not_in_nulls",
+    # never-windowed: relational additions (9)
+    "q_zorder_stats", "q_jsonl_ingest", "q_except_all", "q_intersect_all",
+    "q_orderby_nulls", "q_decimal_money", "q_hof_parity", "q_sequence_gaps",
+    "q_benford",
+    # never-windowed: window/time-series family (11)
+    "q_window_count_distinct", "q_anomaly_zscore", "q_events_funnel",
+    "q_retention_cohorts", "q_cdc_apply", "q_scd2_intervals", "q_merge_upsert",
+    "q_skyline", "q_ohlc_bars", "q_regr_slope", "q_attribution_last_touch",
+    # never-windowed: streaming replays (4)
+    "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
+    "q_stream_sessions_native",
+    # never-windowed: round-4 additions (15)
+    "q_media_decode_real", "q_media_salvage_real",
+    "q_tpch_q3", "q_tpch_q18", "q_dedup_simhash_prod",
+    "q_char_diversity", "q_token_gini", "q_mad_outliers",
+    "q_cluster_size_histogram", "q_stream_late_data",
+    "q_quality_linear", "q_stream_dedup_wm", "q_containment_prefix",
+    "q_kmv_grouped", "q_profile_columns",
+    # canaries: plans rewritten in round 4 after their last driver check (6)
+    "q_dedup_cluster", "q_dedup_cluster_star", "q_tfidf", "q_vocab_df",
+    "q_degree_distribution", "q_dedup_minhash",
+    # canaries: plans rewritten in round 5 (2) + r4-rewritten spillover (3)
+    "q_dedup_incremental", "q_hybrid_rrf",
+    "q_heavy_hitters", "q_phrase_pmi", "q_bigram_surprise",
 )
 
-# Round 5 window plan (keep the rotation math visible): the remaining 24
-# oracle-bearing never-windowed queries —
-#   relational: q_zorder_stats q_jsonl_ingest q_except_all q_intersect_all
-#     q_orderby_nulls q_decimal_money q_hof_parity q_sequence_gaps q_benford
-#   windows: q_window_count_distinct q_anomaly_zscore q_events_funnel
-#     q_retention_cohorts q_cdc_apply q_scd2_intervals q_merge_upsert
-#     q_skyline q_ohlc_bars q_regr_slope q_attribution_last_touch
-#   streaming: q_stream_closed_windows q_stream_topk q_stream_cdc_merge
-#     q_stream_sessions_native
-# — plus the round-4 additions listed below. That is 40 of 50 slots; fill
-# the remaining 10 with CANARIES for previously-green queries whose PLAN
-# round 4 rewrote after their last driver check (priority order):
-#   q_dedup_cluster q_cluster_size_histogram q_dedup_cluster_star
-#   q_tfidf q_vocab_df q_char_diversity q_token_gini q_dedup_simhash_prod
-#   q_degree_distribution q_dedup_minhash
-# (q_countmin and q_kmv_jaccard were rewritten too but already sit in the
-# round-4 window; q_sequence_gaps and q_profile_columns are in the list
-# above/below.) Remaining plan-touched-but-green (heavy_hitters,
-# bigram_surprise, phrase_pmi, substring_spans, semantic dedup) roll to
-# round 6 with the r1/r2 family canaries.
+# ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
+# any driver window as of round 4 — all 39 occupy the first slots of the
+# round-5 VERIFY_FIRST above. Kept as a named tuple so the rotation
+# arithmetic stays test-gated (tests/test_oracle_parity.py).
 ROUND5_PLANNED: tuple[str, ...] = (
     "q_zorder_stats", "q_jsonl_ingest", "q_except_all", "q_intersect_all",
     "q_orderby_nulls", "q_decimal_money", "q_hof_parity", "q_sequence_gaps",
@@ -130,6 +121,22 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_quality_linear", "q_stream_dedup_wm", "q_containment_prefix",
     "q_kmv_grouped", "q_profile_columns",
 )
+
+# Round 6 window plan (keep the rotation math visible). After a clean
+# round-5 window every one of the 213 oracle-bearing queries has been
+# inside at least one driver window, so round 6 is pure re-verification:
+#   1. Canaries for any plan ROUND 5 rewrites after the r5 window list was
+#      frozen (tracked in SCALE.md §"round 5"): none expected beyond the
+#      ones already seeded in VERIFY_FIRST, but check before freezing.
+#   2. The r4-rewritten greens that never got a canary slot:
+#      q_substring_spans q_dedup_semantic q_countmin q_kmv_jaccard
+#      q_passage_dedup q_winnowing.
+#   3. Oldest-green r1/r2 family canaries, one per operator family, in age
+#      order: q_scan_project q_join_inner q_window_rank q_asof_join
+#      q_sessionize q_knn_lsh q_hll_distinct q_hash_sample q_minhash_sig
+#      q_ngram_jaccard q_tpch_q1 q_pipeline_pretrain — then widen by file
+#      order (relational.py → windows.py → …) until the 50 slots are full.
+# Done = CORRECTNESS_r06 re-proves every family on its current plan.
 
 
 def load_all() -> dict[str, QuerySpec]:
