@@ -148,20 +148,25 @@ def _with_sigs(sh_df: DataFrame) -> DataFrame:
     return d
 
 
-def signatures_for(docs: DataFrame) -> DataFrame:
+def signatures_for(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, text) → (doc_id, sh: array<bigint>, sig_0..sig_{K-1}).
 
     Takes an arbitrary document set so callers can collapse duplicates
     or subset (e.g. representatives only) BEFORE paying the shingle
     pipeline — identical text yields identical signatures, so computing
-    them once per distinct text is exact."""
+    them once per distinct text is exact. ``carry`` names extra narrow
+    columns to thread through unchanged (e.g. a side tag), so callers
+    can partition the signature set with a map-side filter instead of a
+    join back to the tagging table."""
     toks_df = (
-        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        docs.select("doc_id", *carry, tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .localCheckpoint(eager=True)  # barrier: stop shingle lambdas re-inlining the split
     )
     sh_df = (
-        toks_df.select("doc_id", _shingle_hashes(F.col("toks"), poly_hash).alias("sh"))
+        toks_df.select(
+            "doc_id", *carry, _shingle_hashes(F.col("toks"), poly_hash).alias("sh")
+        )
         .filter(F.size("sh") >= 1)
         .localCheckpoint(eager=True)  # barrier: stop sig transforms re-inlining shingles
     )
@@ -1192,23 +1197,46 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     in_corpus = poly_hash_long(F.col("doc_id")) % _INCR_MOD < _INCR_CORPUS
-    corpus = docs.filter(in_corpus)
-    batch = docs.filter(~in_corpus)
+    role = docs.select("doc_id", "text", in_corpus.alias("in_corpus"))
 
-    crep = corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    brep = batch.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    reps = crep.select("doc_id", "text").unionByName(brep.select("doc_id", "text"))
-
-    exact = crep.select(F.col("text").alias("etext"), F.lit(1).alias("is_exact"))
-
-    sigs = signatures_for(reps)
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_val")
+    # ONE text-keyed aggregate replaces the r4 crep/brep pair: each
+    # distinct text carries its min corpus doc (c_doc) and min batch doc
+    # (b_doc) side by side, so the exact gate is a null test instead of a
+    # text join, and statusing reuses this same exchange. Checkpointed:
+    # consumed twice (signature input + final statusing).
+    per_text = (
+        role.groupBy("text")
+        .agg(
+            F.min(F.when(F.col("in_corpus"), F.col("doc_id"))).alias("c_doc"),
+            F.min(F.when(~F.col("in_corpus"), F.col("doc_id"))).alias("b_doc"),
+        )
+        .localCheckpoint(eager=True)
     )
-    b_bands = bands.join(brep.select("doc_id"), "doc_id").select(
+
+    # Signature input: every corpus rep, plus only the batch reps the
+    # near gate can still matter for (c_doc IS NULL — an exact corpus hit
+    # wins the CASE before the near flag is ever read, so exact-matched
+    # batch reps skip the shingle pipeline entirely). The side tag rides
+    # THROUGH the signature kernel (`carry`), replacing r4's two
+    # doc_id-keyed join-backs with map-side filters.
+    sig_in = (
+        per_text.where(F.col("c_doc").isNotNull())
+        .select(F.col("c_doc").alias("doc_id"), "text", F.lit(True).alias("is_c"))
+        .unionByName(
+            per_text.where(F.col("c_doc").isNull() & F.col("b_doc").isNotNull()).select(
+                F.col("b_doc").alias("doc_id"), "text", F.lit(False).alias("is_c")
+            )
+        )
+    )
+    sigs = signatures_for(sig_in, carry=("is_c",))
+    bands = sigs.select(
+        "doc_id", "is_c",
+        F.posexplode(F.array(*_band_cols())).alias("band_idx", "band_val"),
+    )
+    b_bands = bands.where(~F.col("is_c")).select(
         F.col("doc_id").alias("bid"), "band_idx", "band_val"
     )
-    c_bands = bands.join(crep.select("doc_id"), "doc_id").select(
+    c_bands = bands.where(F.col("is_c")).select(
         F.col("doc_id").alias("cid"), "band_idx", "band_val"
     )
     cand = b_bands.join(c_bands, ["band_idx", "band_val"]).select("bid", "cid").distinct()
@@ -1226,14 +1254,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bid"), F.lit(1).alias("is_near"))
     )
 
+    # Statusing: one text join (batch side's only wide exchange — the
+    # per_text side reuses its aggregate partitioning), then a SKINNY
+    # b_doc-keyed join for the near flag on (doc_id, b_doc, c_doc) rows —
+    # text never crosses a second exchange.
     return (
-        batch.select("doc_id", "text")
-        .join(brep.select(F.col("text"), F.col("doc_id").alias("bid")), "text")
-        .join(exact, F.col("text") == F.col("etext"), "left")
+        role.where(~F.col("in_corpus"))
+        .select("doc_id", "text")
+        .join(per_text, "text")
+        .select("doc_id", "c_doc", F.col("b_doc").alias("bid"))
         .join(near_rep, "bid", "left")
         .select(
             "doc_id",
-            F.when(F.col("is_exact").isNotNull(), "exact_corpus")
+            F.when(F.col("c_doc").isNotNull(), "exact_corpus")
             .when(F.col("is_near").isNotNull(), "near_corpus")
             .when(F.col("doc_id") != F.col("bid"), "batch_dup")
             .otherwise("kept")

@@ -1587,18 +1587,23 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops every 97th event id; the lag-over-sorted-ids islands
     complement finds exactly those holes.
 
-    Scale shape: the lag runs inside fixed id-range buckets, so
-    per-bucket sorts parallelize across the cluster; holes spanning
-    bucket borders (including entirely-empty buckets) are stitched from
-    a tiny per-bucket (min, max) table whose own lag window is
-    |buckets|-sized — the same distributed prefix-scan stitching as
-    q_skyline's bucket table. No corpus-sized data ever crosses an
-    unpartitioned window."""
+    Scale shape: ONE corpus exchange — the id stream is NOT
+    deduplicated first: a duplicate id sorts adjacent to its twin, so
+    its lag-diff is 0 and the ``> 1`` hole filter drops it, which makes
+    an up-front DISTINCT (a second corpus-keyed exchange, and the r4
+    plan's dominant cost) pure overhead; the ids flow straight into the
+    bucket-partitioned window. The lag runs inside fixed id-range
+    buckets, so per-bucket sorts parallelize across the cluster; holes
+    spanning bucket borders (including entirely-empty buckets) are
+    stitched from a tiny per-bucket (min, max) table whose own lag
+    window is |buckets|-sized — the same distributed prefix-scan
+    stitching as q_skyline's bucket table. No corpus-sized data ever
+    crosses an unpartitioned window, and the bounds aggregate reuses
+    the window's b-partitioned exchange via the checkpoint."""
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 97 != 0)
         .select("event_id")
-        .distinct()
         .withColumn("b", F.expr("event_id div 100000"))
         .localCheckpoint(eager=True)  # feeds intra-bucket lag AND bounds
     )

@@ -1599,7 +1599,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query + TakeOrdered); the pools are ≤100 rows each, so the rank
     windows and the full-outer fusion join run on driver-trivial data.
     Fan out to a query BATCH by making both pools per-query (the
-    window partitions by query id) — no plan shape changes."""
+    window partitions by query id) — no plan shape changes.
+
+    Measured no-ship (round 5): localCheckpoint-ing each arm's ≤100-row
+    pool — the hypothesis was the full-outer fusion re-executes both
+    arms once per plan branch, but a same-session 100× A/B read 6.4 s
+    (no barrier) vs 8.3 s (barriers): Spark executes each arm exactly
+    once in the fused plan already (the BM25 arm's corpus kernels sit
+    behind _bm25_scored's own internal checkpoint), so the extra eager
+    jobs only ADD a materialization pass per arm. Arm breakdown at
+    100×: sparse pool 3.0 s, dense pool 2.3 s — the total IS the two
+    single passes; cutting it means faster arms, not fewer runs."""
     from duckdb_pst_spark.operators.text import _bm25_scored
 
     sparse = _top_ranked(_bm25_scored(spark, sf_dir), "score", "r_sparse")

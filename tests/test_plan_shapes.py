@@ -427,3 +427,33 @@ def test_dedup_cluster_collapses_before_pair_chain(spark, sf_dir):
 
     body = inspect.getsource(D._collapsed_cluster)
     assert "xxhash64" in body and "left_semi" in body
+
+
+def test_sequence_gaps_no_upfront_distinct(spark, sf_dir):
+    """The id stream must flow straight into the bucketed lag window: a
+    duplicate id lags to diff 0 and the `> 1` hole filter drops it, so
+    an up-front DISTINCT is a pure extra corpus exchange (same-session
+    100x A/B: 22.7 s with it, 9.0 s without). The checkpoint hides the
+    upstream plan, so gate at the source level like the cluster gate."""
+    import inspect
+
+    import duckdb_pst_spark.operators.relational as R
+
+    body = inspect.getsource(R.q_sequence_gaps)
+    assert "distinct" not in body.split('"""')[2], body  # code, not docstring
+
+
+def test_dedup_incremental_fused_text_aggregate(spark, sf_dir):
+    """Incremental dedup must keep the round-5 fusion: ONE text-keyed
+    aggregate carries both sides' min doc (c_doc/b_doc), the exact gate
+    is a null test on it, and the side tag rides through the signature
+    kernel (`carry`) so bands split with map-side filters instead of two
+    doc_id join-backs (same-session 100x A/B: 5.3 s -> 3.4 s)."""
+    import inspect
+
+    import duckdb_pst_spark.operators.dedup as D
+
+    body = inspect.getsource(D.q_dedup_incremental)
+    code = body.split('"""')[2]
+    assert code.count('groupBy("text")') == 1, code
+    assert 'carry=("is_c",)' in code, code

@@ -19,13 +19,32 @@ import sys
 
 import duckdb
 
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+ZIPF = "--zipf" in sys.argv
+_args = [a for a in sys.argv[1:] if a != "--zipf"]
+FACTOR = int(_args[0]) if _args else 10
+SRC = _args[1] if len(_args) > 1 else "/root/testdata/sf0.1"
 DST = (
-    sys.argv[3]
-    if len(sys.argv) > 3
+    _args[2]
+    if len(_args) > 2
     else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "sf1")
 )
+
+# --zipf: realistic token statistics for the replicated documents table.
+# Plain replication multiplies every token count by FACTOR and grows the
+# vocabulary not at all (the driver corpus holds only ~31 distinct
+# tokens), so any perf decision that hinges on a rare-token tail —
+# min-count prunes, hapax-heavy key spaces, PMI/bigram filters — is
+# structurally untestable on it. In Zipf mode each copy's documents
+# rewrite a deterministic ~{_ZIPF_TAIL_PPM/1e4:.0f}% of token OCCURRENCES
+# to a token 'z<id>' with id drawn LOG-UNIFORMLY from [1, {_ZIPF_VMAX}]:
+# P(id = k) ∝ 1/k, i.e. a Zipf(s=1) frequency law, and the number of
+# DISTINCT ids seen grows with the number of draws — Heaps-law vocabulary
+# growth with a genuine hapax tail, from one hash-seeded closed form.
+# The head (the other ~90% of occurrences) stays the shared original
+# vocabulary, so common-token statistics still scale like the plain
+# replicas. n_chars is recomputed from the rewritten text.
+_ZIPF_TAIL_PPM = 100_000  # 10% of occurrences move to the tail
+_ZIPF_VMAX = 10_000_000  # tail id space; V(N) ~ integral of min(1, draws/k)
 
 # Key DOMAINS: one span per domain, computed from the OWNING dimension's
 # key column — never from a referencing column. (A referencing column's
@@ -71,7 +90,7 @@ def main() -> None:
     }
     for t, keys in OFFSETS.items():
         src = f"{SRC}/{t}.parquet"
-        if not keys or FACTOR == 1:
+        if not keys or (FACTOR == 1 and not (ZIPF and t == "documents")):
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{DST}/{t}.parquet' (FORMAT parquet)")
             continue
         cols = [d[0] for d in con.execute(f"SELECT * FROM '{src}' LIMIT 0").description]
@@ -82,8 +101,37 @@ def main() -> None:
             )
             parts.append(f"SELECT {sel} FROM '{src}'")
         union = " UNION ALL ".join(parts)
+        if ZIPF and t == "documents":
+            # token-position explode → deterministic hash-gated rewrite →
+            # ordered re-assembly; the (doc_id, pos) hash makes every copy
+            # rewrite different positions to different tail ids, so the
+            # aggregate corpus grows a fresh hapax tail with volume
+            union = f"""
+            WITH base AS ({union}),
+            tok AS (
+              SELECT doc_id, lang, source, u.i AS pos, toks[u.i] AS t0,
+                     hash(doc_id * 1000003 + u.i) AS h
+              FROM (SELECT *, string_split(text, ' ') AS toks FROM base),
+                   unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            rew AS (
+              SELECT doc_id, lang, source, pos,
+                     CASE WHEN h % 1000000 < {_ZIPF_TAIL_PPM}
+                          THEN 'z' || CAST(CAST(pow({_ZIPF_VMAX},
+                                 ((h // 1000000) % 1000000) / 1000000.0)
+                               AS BIGINT) AS VARCHAR)
+                          ELSE t0 END AS t
+              FROM tok
+            )
+            SELECT doc_id,
+                   string_agg(t, ' ' ORDER BY pos) AS text,
+                   any_value(lang) AS lang,
+                   any_value(source) AS source,
+                   len(string_agg(t, ' ' ORDER BY pos)) AS n_chars
+            FROM rew GROUP BY doc_id
+            """
         con.execute(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
-        print(f"{t}: x{FACTOR}")
+        print(f"{t}: x{FACTOR}{' zipf' if ZIPF and t == 'documents' else ''}")
     print("wrote", DST)
 
 

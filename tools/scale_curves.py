@@ -135,7 +135,12 @@ def duck_side(dirs: list[str]) -> dict:
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
-    result = {"spark": spark_side(dirs), "duckdb": duck_side(dirs)}
+    # DuckDB measures FIRST: once the Spark JVM exists in this process
+    # (spark.stop() does not release its heap), DuckDB's numbers inflate
+    # 4-7x from memory pressure — measured round 5: q_sequence_gaps
+    # oracle 1.35 s clean vs 10.6 s with a stopped-but-resident JVM.
+    duck = duck_side(dirs)
+    result = {"spark": spark_side(dirs), "duckdb": duck}
     print(json.dumps(result, indent=1))
 
 
