@@ -441,15 +441,17 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on. log2(d) of a BIGINT is exact for d < 2^53 in both engines'
     float, and floor of it is the bucket both compute identically.
 
-    Scale shape: ONE corpus-keyed exchange — degree over distinct edges
-    is COUNT(DISTINCT v) per node, so the raw (u, v) stream goes
-    straight into a per-node distinct aggregate whose map-side state
-    dedups neighbors before the shuffle; then a ≤64-group rollup. The
-    spelled-out edge materialization (distinct → symmetrize → distinct
-    → count) costs three corpus-sized exchanges for the same numbers
-    (same-session at 100×: 23.1 s → 11.0 s; the residual vs the
-    in-process engine is the exchange-serialization constant on one
-    box). The cheapest possible
+    Scale shape: ONE corpus-keyed exchange, reused twice — Catalyst
+    plans COUNT(DISTINCT v) as a pair-keyed dedup aggregate feeding a
+    node-keyed count, which costs TWO corpus exchanges (hash(u, v) for
+    the dedup, then hash(u) for the count — the r4 plan, and its
+    dominant cost at 100×). But hash-partitioning on u alone satisfies
+    the clustered-distribution requirement of BOTH aggregates ((u, v)
+    groups never straddle u partitions), so an explicit repartition(u)
+    lets the pair dedup AND the per-node count run partition-local on
+    one exchange: edges cross the wire once as two int64s, everything
+    after is map-side. Same-session 100× A/B is recorded in SCALE.md.
+    Then a ≤64-group rollup. The cheapest possible
     whole-graph statistic, which is why it is the first thing to run
     on a 100 TB edge list."""
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -460,7 +462,12 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") + _PR_OFF).alias("u"), F.col("l_partkey").alias("v")
     )
     edges = fwd.union(rev)
-    deg = edges.groupBy("u").agg(F.count_distinct("v").cast("long").alias("d"))
+    deg = (
+        edges.repartition("u")
+        .dropDuplicates(["u", "v"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
     b = deg.select(F.expr("CAST(floor(log2(d)) AS BIGINT)").alias("bucket"), "d")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
