@@ -21,9 +21,9 @@ The encoders exist so tests can round-trip *known* pixel/sample arrays
 through real container bytes (the PNG encoder can apply any of the five
 filters per scanline, so every decoder filter path is exercised against
 ground truth). Baseline JPEG is decoded by the pure-numpy Huffman+IDCT
-decoder in ``multimodal/jpegc.py`` (with a salvage mode for corrupt
-streams); only progressive JPEG, Adam7-interlaced PNG, and sub-8-bit
-depths remain gated behind honest ``NotImplementedError``.
+decoder in ``multimodal/jpegc.py`` (baseline AND progressive SOF2,
+with a salvage mode for corrupt streams); only Adam7-interlaced PNG and
+sub-8-bit depths remain gated behind honest ``NotImplementedError``.
 """
 
 from __future__ import annotations

@@ -18,10 +18,10 @@ code testable without image/audio libraries:
 
 Real PNG/BMP/GIF/WAV containers are fully decodable via the pure-stdlib codecs
 (``multimodal.codecs``) and live in the separate ``media_real`` fixture
-below; baseline JPEG is decoded by the pure-numpy ``multimodal.jpegc``
-decoder. Only progressive JPEG and MP4 remain gated (import-guarded
-optional libraries in ``multimodal.ops``, ``NotImplementedError`` when
-absent — this container ships none of them).
+below; JPEG — baseline and progressive (SOF2) — is decoded by the
+pure-numpy ``multimodal.jpegc`` decoder. Only MP4 remains gated
+(import-guarded optional libraries in ``multimodal.ops``,
+``NotImplementedError`` when absent — this container ships none).
 """
 
 from __future__ import annotations

@@ -1,15 +1,23 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81, public spec).
+"""Pure-numpy JPEG codec (ITU-T T.81, public spec).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr,
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+(SOF2 — the dominant web encoding: spectral selection, successive
+approximation, EOB runs, per T.81 Annex G), 8-bit, grayscale or YCbCr,
 arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 replicate-upsampled),
 restart markers, multi-table DQT/DHT, 0xFF00 byte unstuffing, IDCT as an
-orthonormal 8×8 matrix sandwich. Progressive (SOF2), arithmetic coding,
-and 12-bit precision raise ``NotImplementedError``.
+orthonormal 8×8 matrix sandwich. Arithmetic coding, lossless/hierarchical
+SOFs, and 12-bit precision raise ``NotImplementedError``.
 
 Encoder: baseline 4:4:4 (or grayscale) with the Annex-K example
-quantization (quality-scaled, IJG formula) and Huffman tables — it
-exists so tests can round-trip KNOWN pixels: JPEG is lossy, so the
-assertion is a quantization-error bound, and the transform pair is
+quantization (quality-scaled, IJG formula) and Huffman tables, plus a
+progressive encoder (``jpeg_encode_progressive``) emitting a
+libjpeg-style scan script (DC first+refine, spectral-selection AC
+bands, successive-approximation AC refines) — they exist so tests can
+round-trip KNOWN pixels: JPEG is lossy, so the baseline assertion is a
+quantization-error bound, while the progressive assertion is EXACT
+pixel equality against the baseline decode of the same coefficients
+(both encoders share one coefficient pass, so any decode divergence is
+a real scan-path bug, not quantization noise). The transform pair is
 additionally pinned by exact DCT/IDCT matrix identities and a
 hand-built Huffman stream test (tests/test_multimodal.py).
 
@@ -200,6 +208,19 @@ def jpeg_decode(raw: bytes) -> np.ndarray:
     return img
 
 
+def _next_marker(raw: bytes, pos: int) -> int:
+    """Skip entropy-coded data: first 0xFF followed by a real marker
+    byte (not 0x00 stuffing, not RST)."""
+    n = len(raw)
+    while pos < n - 1:
+        if raw[pos] == 0xFF and raw[pos + 1] != 0x00 and not (
+            0xD0 <= raw[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
 def _jpeg_decode_impl(raw: bytes, *, tolerant: bool) -> tuple[np.ndarray, int, int]:
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -209,12 +230,17 @@ def _jpeg_decode_impl(raw: bytes, *, tolerant: bool) -> tuple[np.ndarray, int, i
     comps = None  # list of (cid, hs, vs, tq)
     h = w = None
     restart_interval = 0
+    progressive = False
+    coef = None  # progressive: per-component zigzag coefficient planes
+    scan_fracs: list[float] = []  # progressive salvage: per-scan progress
     while pos < len(raw):
         if raw[pos] != 0xFF:
             pos += 1
             continue
         marker = raw[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack(">H", raw[pos : pos + 2])
@@ -240,32 +266,66 @@ def _jpeg_decode_impl(raw: bytes, *, tolerant: bool) -> tuple[np.ndarray, int, i
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coef = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for _cid, hs, vs, _tq in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x}: only baseline sequential "
-                "(SOF0/SOF1) is decoded here"
+                "(SOF0/SOF1) and progressive (SOF2) are decoded here"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             smap = {}
+            scan_cids = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 smap[cs] = (tds >> 4, tds & 0xF)
+                scan_cids.append(cs)
             pos += seglen
-            return _decode_scan(raw, pos, comps, smap, qt, huff, h, w,
-                                restart_interval, tolerant)
+            if not progressive:
+                return _decode_scan(raw, pos, comps, smap, qt, huff, h, w,
+                                    restart_interval, tolerant)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            progress = [0.0]  # fraction applied, survives an entropy error
+            try:
+                pos = _decode_prog_scan(
+                    raw, pos, comps, scan_cids, smap, huff, coef,
+                    h, w, ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                    progress,
+                )
+                scan_fracs.append(progress[0])
+            except Exception:
+                if not tolerant:
+                    raise
+                # a progressive stream RESYNCS at the next marker: later
+                # scans refine whatever this one managed to deliver
+                scan_fracs.append(progress[0])
+                pos = _next_marker(raw, pos)
+            continue
         pos += seglen
+    if progressive and comps is not None:
+        if not scan_fracs:
+            raise ValueError("JPEG contains no scan")
+        return _render_progressive(comps, coef, qt, h, w, scan_fracs)
     raise ValueError("JPEG contains no scan")
 
 
@@ -333,6 +393,217 @@ def _decode_scan(raw, pos, comps, smap, qt, huff, h, w, restart_interval,
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8), mcus_done, mcux * mcuy
 
 
+# ------------------------------------------------- progressive (T.81 G)
+def _decode_prog_scan(raw, pos, comps, scan_cids, smap, huff, coef,
+                      h, w, ss, se, ah, al, restart_interval, progress):
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient planes (in place). Returns the byte position after the
+    scan's entropy data; ``progress[0]`` tracks the applied fraction so
+    salvage keeps partial scans. Spectral selection + successive
+    approximation per T.81 G.1.2 (EOB runs, correction bits)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(raw, pos)
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+
+    if ss == 0:  # DC scan (may be interleaved)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        members = [cidx[cs] for cs in scan_cids]
+        pred = [0] * len(comps)
+        if len(members) == 1:
+            # non-interleaved DC scan: raster over the component's blocks
+            ci = members[0]
+            _cid, hs, vs, _tq = comps[ci]
+            cbw = (-(-(w * hs) // hmax) + 7) // 8
+            cbh = (-(-(h * vs) // vmax) + 7) // 8
+            units = [(ci, by, bx) for by in range(cbh) for bx in range(cbw)]
+        else:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in members:
+                        _cid, hs, vs, _tq = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                units.append((ci, my * vs + by, mx * hs + bx))
+        # restart cadence counts MCUs (interleaved) / blocks (single)
+        per_mcu = 1 if len(members) == 1 else sum(
+            comps[ci][1] * comps[ci][2] for ci in members
+        )
+        n_mcus = len(units) // per_mcu
+        done = 0
+        for u in range(n_mcus):
+            if restart_interval and done and done % restart_interval == 0:
+                r.align_restart()
+                pred = [0] * len(comps)
+            for ci, by, bx in units[u * per_mcu : (u + 1) * per_mcu]:
+                blk = coef[cidx[comps[ci][0]]][by, bx]
+                if ah == 0:
+                    dct = smap[comps[ci][0]][0]
+                    try:
+                        t = _decode_huff(r, huff[(0, dct)])
+                    except _RestartMarker:
+                        r.align_restart()
+                        pred = [0] * len(comps)
+                        t = _decode_huff(r, huff[(0, dct)])
+                    diff = _extend(r.read_bits(t), t) if t else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                else:  # DC refinement: one bit per block
+                    if r.read_bit():
+                        blk[0] |= 1 << al
+            done += 1
+            progress[0] = done / n_mcus
+        return _next_marker(raw, r.pos)
+
+    # AC scan: always single-component, non-interleaved
+    if len(scan_cids) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci = cidx[scan_cids[0]]
+    _cid, hs, vs, _tq = comps[ci]
+    act = smap[scan_cids[0]][1]
+    tab = huff[(1, act)]
+    cbw = (-(-(w * hs) // hmax) + 7) // 8
+    cbh = (-(-(h * vs) // vmax) + 7) // 8
+    plane = coef[ci]
+    eobrun = 0
+    done = 0
+    total = cbh * cbw
+    for by in range(cbh):
+        for bx in range(cbw):
+            if restart_interval and done and done % restart_interval == 0:
+                r.align_restart()
+                eobrun = 0
+            blk = plane[by, bx]
+            try:
+                eobrun = (
+                    _ac_first(r, tab, blk, ss, se, al, eobrun)
+                    if ah == 0
+                    else _ac_refine(r, tab, blk, ss, se, al, eobrun)
+                )
+            except _RestartMarker:
+                r.align_restart()
+                eobrun = 0
+                eobrun = (
+                    _ac_first(r, tab, blk, ss, se, al, eobrun)
+                    if ah == 0
+                    else _ac_refine(r, tab, blk, ss, se, al, eobrun)
+                )
+            done += 1
+            progress[0] = done / total
+    return _next_marker(raw, r.pos)
+
+
+def _ac_first(r, tab, blk, ss, se, al, eobrun):
+    """First AC scan for a band (Ah == 0): T.81 G.1.2.2."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, tab)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr < 15:  # EOBn: run of blocks ending here
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.read_bits(rr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r, tab, blk, ss, se, al, eobrun):
+    """AC refinement scan (Ah == Al + 1): T.81 G.1.2.3 — newly
+    significant coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient crossed emits a correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(r, tab)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:  # EOBn
+                    eobrun = (1 << rr)
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:
+            if blk[k]:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _render_progressive(comps, coef, qt, h, w, scan_fracs):
+    """Dequantize + IDCT the accumulated coefficient planes (vectorized
+    per component), upsample, color-convert. The salvage counters map
+    scan progress onto the MCU contract: a clean stream (every scan
+    fully applied) reports mcus_done == mcus_total; a damaged one
+    reports the worst scan's applied share (progressive damage is
+    spectral, not spatial, so this is the honest scalar)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    full = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        bh, bw, _ = coef[ci].shape
+        z = np.zeros((bh * bw, 64))
+        z[:, _ZIGZAG] = coef[ci].reshape(bh * bw, 64) * qt[tq]
+        px = np.einsum("kn,bnm,ml->bkl", _C.T, z.reshape(-1, 8, 8), _C) + 128
+        plane = (
+            px.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    total = mcux * mcuy
+    done = int(np.floor(total * min(scan_fracs)))
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2), done, total
+    y, cb, cr = full[0], full[1] - 128, full[2] - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8), done, total
+
+
 def _decode_block(r: _BitReader, dc_tab, ac_tab) -> np.ndarray:
     blk = np.zeros(64)
     t = _decode_huff(r, dc_tab)
@@ -352,6 +623,21 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab) -> np.ndarray:
         blk[k] = _extend(r.read_bits(ss), ss)
         k += 1
     return blk
+
+
+# Progressive AC alphabet: the Annex-K AC tables carry only EOB(0x00)
+# and ZRL(0xF0) for size-0 symbols, but progressive scans need EOBn
+# (0x10..0xE0) for EOB runs — so the progressive encoder ships its own
+# flat canonical table covering the full alphabet (15 EOBn + ZRL +
+# run/size pairs s=1..10): all 176 symbols at 9 bits (2^9 = 512 code
+# space, all-ones code left unused per T.81 C.2). Compression is poor,
+# which is irrelevant for test fixtures; DECODING handles any DHT.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [rr << 4 for rr in range(15)]            # EOB1..EOB32767
+    + [0xF0]                                 # ZRL
+    + [(rr << 4) | s for rr in range(16) for s in range(1, 11)],
+)
 
 
 # ---------------------------------------------------------------- encoder
@@ -485,5 +771,235 @@ def jpeg_encode(px: np.ndarray, quality: int = 90) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+def _enc_eobrun(bw, enc, eobrun: int, pend: list[int]) -> int:
+    """Flush an EOB run (T.81 G.1.2.2 EOBn symbol + extension bits),
+    then any buffered correction bits (refinement scans)."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        ln, code = enc[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun - (1 << nb), nb)
+    for b in pend:
+        bw.write(b, 1)
+    pend.clear()
+    return 0
+
+
+def _enc_ac_first(bw, enc, blocks, ss: int, se: int, al: int) -> None:
+    """First AC scan for a band: values point-transformed toward zero
+    (T.81 G.1.2.2 — floor shift would break the refinement algebra on
+    negatives), EOB runs across blocks."""
+    eobrun = 0
+    for blk in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            a = abs(c) >> al
+            vals.append(a if c >= 0 else -a)
+        last_nz = -1
+        for i, v in enumerate(vals):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _enc_eobrun(bw, enc, eobrun, [])
+            continue
+        eobrun = _enc_eobrun(bw, enc, eobrun, [])
+        run = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            t, bits = _mag(v)
+            ln, code = enc[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(bits, t)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _enc_eobrun(bw, enc, eobrun, [])
+    _enc_eobrun(bw, enc, eobrun, [])
+
+
+def _enc_ac_refine(bw, enc, blocks, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (T.81 G.1.2.3): newly significant coefficients
+    (|v|>>Al == 1) as run/1 symbols + sign bit; already-significant ones
+    as buffered correction bits flushed after each emitted symbol."""
+    eobrun = 0
+    pend: list[int] = []
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        sign = [1 if int(blk[k]) > 0 else 0 for k in range(ss, se + 1)]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        run = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                eobrun = _enc_eobrun(bw, enc, eobrun, pend)
+                ln, code = enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            eobrun = _enc_eobrun(bw, enc, eobrun, pend)
+            ln, code = enc[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(sign[i], 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _enc_eobrun(bw, enc, eobrun, pend)
+    _enc_eobrun(bw, enc, eobrun, pend)
+
+
+def jpeg_encode_progressive(px: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 → progressive (SOF2) JFIF
+    bytes, 4:4:4, with a libjpeg-style scan script: DC first (Al=1),
+    spectral-selection AC bands (Al=1), DC refine, AC refines (Al=0).
+    The coefficient math is IDENTICAL to ``jpeg_encode`` (same padding,
+    DCT, quantization), so decoding this stream must reproduce the
+    baseline decode bit-for-bit — the exactness tests rely on it."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        ycc = [px.astype(np.float64) - 128]
+        qts = [_quality_scale(_QL, quality)]
+        comps = [(1, 0)]
+    else:
+        p = px.astype(np.float64)
+        y = 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+        cb = -0.168736 * p[:, :, 0] - 0.331264 * p[:, :, 1] + 0.5 * p[:, :, 2]
+        cr = 0.5 * p[:, :, 0] - 0.418688 * p[:, :, 1] - 0.081312 * p[:, :, 2]
+        ycc = [y - 128, cb, cr]
+        qts = [_quality_scale(_QL, quality), _quality_scale(_QC, quality)]
+        comps = [(1, 0), (2, 1), (3, 1)]
+    qz = [q[_ZIGZAG] for q in qts]
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    coefs = []
+    for ci, (_cid, tq) in enumerate(comps):
+        pp = np.zeros((by * 8, bx * 8))
+        plane = ycc[ci]
+        pp[:h, :w] = plane
+        pp[h:, :w] = plane[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        carr = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = pp[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                f = _C @ blk @ _C.T
+                carr[yb, xb] = np.rint(f.reshape(-1)[_ZIGZAG] / qz[tq]).astype(
+                    np.int64
+                )
+        coefs.append(carr)
+
+    dc_enc = [_huff_encode_table(*_DC_L), _huff_encode_table(*_DC_C)]
+    ac_enc = _huff_encode_table(*_AC_PROG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, q in enumerate(qts):
+        out += seg(0xDB, bytes([i]) + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xC2, sof)
+    for th in range(1 if gray else 2):
+        bits, vals = (_DC_L, _DC_C)[th]
+        out += seg(0xC4, bytes([th]) + bytes(bits) + bytes(vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_PROG[0]) + bytes(_AC_PROG[1]))
+
+    def sos(members: list[int], ss: int, se: int, ah: int, al: int,
+            body: bytes) -> bytes:
+        hdr = bytes([len(members)])
+        for ci in members:
+            cid, tq = comps[ci]
+            td = 0 if tq == 0 else 1
+            hdr += bytes([cid, (td << 4) | 0])  # ta=0: the shared AC table
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    all_ci = list(range(len(comps)))
+
+    def blocks(ci: int):
+        return (coefs[ci][yb, xb] for yb in range(by) for xb in range(bx))
+
+    # --- scan 1: DC first, interleaved (4:4:4 → one block per comp/MCU)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for yb in range(by):
+        for xb in range(bx):
+            for ci, (_cid, tq) in enumerate(comps):
+                v = int(coefs[ci][yb, xb, 0]) >> 1  # Al=1, arithmetic shift
+                d = v - pred[ci]
+                pred[ci] = v
+                t, bits = _mag(d) if d else (0, 0)
+                ln, code = dc_enc[0 if tq == 0 else 1][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(bits, t)
+    bw.flush()
+    out += sos(all_ci, 0, 0, 0, 1, bytes(bw.out))
+
+    # --- AC first scans (Al=1): Y split into two spectral bands,
+    # chroma full-band — exercises band stitching AND full-band EOB runs
+    ac_scans_first = (
+        [(0, 1, 5), (0, 6, 63)]
+        if gray
+        else [(0, 1, 5), (1, 1, 63), (2, 1, 63), (0, 6, 63)]
+    )
+    for ci, ss_, se_ in ac_scans_first:
+        bw = _BitWriter()
+        _enc_ac_first(bw, ac_enc, blocks(ci), ss_, se_, 1)
+        bw.flush()
+        out += sos([ci], ss_, se_, 0, 1, bytes(bw.out))
+
+    # --- DC refinement (Ah=1, Al=0): one bit per block
+    bw = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in all_ci:
+                bw.write(int(coefs[ci][yb, xb, 0]) & 1, 1)
+    bw.flush()
+    out += sos(all_ci, 0, 0, 1, 0, bytes(bw.out))
+
+    # --- AC refinement scans (Ah=1, Al=0)
+    for ci in all_ci:
+        bw = _BitWriter()
+        _enc_ac_refine(bw, ac_enc, blocks(ci), 1, 63, 0)
+        bw.flush()
+        out += sos([ci], 1, 63, 1, 0, bytes(bw.out))
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,10 +17,11 @@ Execution model (the 100 TB design):
   one-way-lowers a vanilla session's 10k default — with ~1 MB payloads
   10k rows/batch would be a 10 GB Arrow allocation per task).
 - Real PNG/BMP/GIF/WAV containers decode fully via the pure-stdlib
-  codecs in ``multimodal.codecs``, and baseline JPEG via the pure-numpy
-  codec in ``multimodal.jpegc`` (Huffman + IDCT; ``jpeg_salvage`` for
+  codecs in ``multimodal.codecs``, and JPEG — baseline AND progressive
+  (SOF2) — via the pure-numpy codec in ``multimodal.jpegc`` (Huffman +
+  IDCT + the Annex-G progressive scan machinery; ``jpeg_salvage`` for
   the corrupt streams crawls contain) — no image/audio library needed
-  anywhere. Remaining formats (MP4, progressive JPEG) stay behind the
+  anywhere. Remaining formats (MP4, ...) stay behind the
   optional-import gate and raise ``NotImplementedError`` (libs absent
   in this container). The RAW path remains the simplest fully-real
   implementation.
@@ -54,10 +55,10 @@ def _require_raw(fmt: str, expected: str) -> None:
         raise NotImplementedError(
             f"container format {fmt!r} is not decodable here: RAW formats "
             "('raw-rgb8', 'raw-pcm16', 'raw-vid8') plus real PNG/BMP/GIF/"
-            "WAV (multimodal/codecs.py) and baseline JPEG "
-            "(multimodal/jpegc.py, incl. jpeg_salvage for corrupt "
-            "streams) are built in; anything else (MP4, progressive "
-            "JPEG, ...) needs a codec library, which is not installed"
+            "WAV (multimodal/codecs.py) and JPEG, baseline and "
+            "progressive (multimodal/jpegc.py, incl. jpeg_salvage for "
+            "corrupt streams) are built in; anything else (MP4, ...) "
+            "needs a codec library, which is not installed"
         )
 
 

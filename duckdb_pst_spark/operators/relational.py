@@ -1469,44 +1469,48 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_money",
     oracle="""
     SELECT o_orderstatus,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-             AS total_price,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
-                    * CAST('0.9' AS DECIMAL(3,2))) AS DECIMAL(38,4))
-             AS discounted,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS total_price_cents,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                         * CAST('0.9' AS DECIMAL(3,2)) * 10000
+                         AS BIGINT)) AS BIGINT) AS discounted_e4,
            CAST(count(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("relational", "agg"),
 )
 def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native DECIMAL money arithmetic — the typed alternative to this
-    repo's floor-scaled-BIGINT discipline: sums and scalar products
-    over DECIMAL(12,2) are exact and order-independent by the SQL
-    standard, so they hash-check across engines WITHOUT integer
-    scaling. The recipe that makes it portable is pinned here: the
-    engines PROMOTE differently (Spark sum(DECIMAL(12,2)) →
-    DECIMAL(22,2), DuckDB → DECIMAL(38,2); multiplication widens scale
-    differently too), so every aggregate output is explicitly cast to
-    one agreed type — and, found live here, the cast must NEVER
-    reduce scale: rounding rules at scale-reducing casts are
-    engine-specific (Spark HALF_UP vs DuckDB's rounding gave
-    ...01.91 vs ...01.90 on this data), so the product keeps its full
-    scale-4 in DECIMAL(38,4). Type parity is part of the oracle
-    contract; Arrow carries both sides as decimal128.
+    """Native DECIMAL money arithmetic: the row-level cast to
+    DECIMAL(12,2) and the scalar product by DECIMAL(3,2) are exact and
+    order-independent by the SQL standard, so the per-row values agree
+    across engines bit-for-bit. Promotion rules still differ (Spark
+    sum(DECIMAL(12,2)) → DECIMAL(22,2), DuckDB → DECIMAL(38,2);
+    multiplication widens scale differently), and — found live in the
+    round-5 driver window — the verification harness's value-hash is
+    representation-sensitive for decimal128 outputs (rows and schema
+    matched, values printed identically on both sides, hash still
+    differed; every one of the other 212 green oracles emits only
+    ints/floats/strings). So the DECIMAL arithmetic stays native and
+    row-level (the point of this operator), and the OUTPUT is rendered
+    in the repo's scaled-BIGINT discipline: cents (scale 2 → ×100) and
+    e4 units (scale 4 → ×10000) are exact integers by construction,
+    and int64 sums are associative and engine-stable. The scale-4
+    product must keep its full scale before the integer render:
+    rounding at scale-reducing casts is engine-specific (Spark HALF_UP
+    vs DuckDB gave ...01.91 vs ...01.90 on this data).
 
-    When to use which at 100 TB: DECIMAL for money/quantities with
-    fixed scale (native, readable, exact); floor-scaled BIGINT when
-    the value is a derived score whose scale you control — BIGINT agg
-    is measurably faster than decimal128 and immune to promotion-rule
-    drift across engine versions."""
+    When to use which at 100 TB: DECIMAL for row-level money math with
+    fixed scale (native, readable, exact); scaled BIGINT for the
+    aggregate/exchange layer — int64 agg is measurably faster than
+    decimal128 and immune to promotion-rule and hash-representation
+    drift across engines."""
     o = table(spark, sf_dir, "orders")
     p = F.col("o_totalprice").cast("decimal(12,2)")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(p).cast("decimal(38,2)").alias("total_price"),
-        F.sum(p * F.lit("0.9").cast("decimal(3,2)"))
-        .cast("decimal(38,4)")
-        .alias("discounted"),
+        F.sum((p * 100).cast("long")).cast("long").alias("total_price_cents"),
+        F.sum((p * F.lit("0.9").cast("decimal(3,2)") * 10000).cast("long"))
+        .cast("long")
+        .alias("discounted_e4"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 

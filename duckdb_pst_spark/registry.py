@@ -61,43 +61,44 @@ def query(
 # rows-only specs LAST — a rows-only spec can never produce a green row,
 # so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 5 window (per VERDICT r4 item 1, executing the pre-planned
-# rotation below): the 39 remaining oracle-bearing never-windowed queries
-# (ROUND5_PLANNED) + 11 canaries. Canary arithmetic: of the 10 names the
-# round-4 plan reserved, four (q_cluster_size_histogram, q_char_diversity,
-# q_token_gini, q_dedup_simhash_prod) are themselves never-windowed and
-# already inside ROUND5_PLANNED, so the unique canary adds are the other
-# six; the remaining five slots go to queries whose plans ROUND 5 rewrote
-# after their r4 green row (q_dedup_incremental shuffle fuse, q_hybrid_rrf
-# arm checkpointing, q_sequence_gaps distinct shave — sequence_gaps is in
-# ROUND5_PLANNED already) plus the two oldest rewritten-in-r4 greens that
-# could not fit r4's window (q_heavy_hitters, q_phrase_pmi,
-# q_bigram_surprise).
+# Round 6 window (per VERDICT r4 item 8's pre-planned arithmetic; the
+# round-5 window came back 49/50, so every oracle-bearing query now has a
+# driver row and round 6 is the re-verification round):
+#   1. q_decimal_money — the ONE round-5 red (hash mismatch on decimal128
+#      outputs; rows+schema matched and values printed identically, so the
+#      driver's value-hash is representation-sensitive for decimals).
+#      Round 6 rewrote the outputs to the scaled-BIGINT discipline the
+#      other 212 greens use; this slot re-proves it.
+#   2. Canaries for plans round 6 rewrites after round 5's green row
+#      (q_token_gini / q_phrase_pmi / q_dedup_incremental — the remaining
+#      >2× perf items this round works on; green r5, re-check on the new
+#      plans; q_degree_distribution's r5 rewrite was already inside the
+#      r5 run, listed here because round 6 records its missing A/B).
+#   3. The r4-rewritten greens that never got a canary slot (6).
+#   4. Oldest-green one-per-family canaries (12), r1/r2 vintage.
+#   5. Fill by registration order with the oldest r1 relational greens —
+#      the least-recently-verified plans in the repo.
 VERIFY_FIRST: tuple[str, ...] = (
-    # never-windowed: relational additions (9)
-    "q_zorder_stats", "q_jsonl_ingest", "q_except_all", "q_intersect_all",
-    "q_orderby_nulls", "q_decimal_money", "q_hof_parity", "q_sequence_gaps",
-    "q_benford",
-    # never-windowed: window/time-series family (11)
-    "q_window_count_distinct", "q_anomaly_zscore", "q_events_funnel",
-    "q_retention_cohorts", "q_cdc_apply", "q_scd2_intervals", "q_merge_upsert",
-    "q_skyline", "q_ohlc_bars", "q_regr_slope", "q_attribution_last_touch",
-    # never-windowed: streaming replays (4)
-    "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
-    "q_stream_sessions_native",
-    # never-windowed: round-4 additions (15)
-    "q_media_decode_real", "q_media_salvage_real",
-    "q_tpch_q3", "q_tpch_q18", "q_dedup_simhash_prod",
-    "q_char_diversity", "q_token_gini", "q_mad_outliers",
-    "q_cluster_size_histogram", "q_stream_late_data",
-    "q_quality_linear", "q_stream_dedup_wm", "q_containment_prefix",
-    "q_kmv_grouped", "q_profile_columns",
-    # canaries: plans rewritten in round 4 after their last driver check (6)
-    "q_dedup_cluster", "q_dedup_cluster_star", "q_tfidf", "q_vocab_df",
-    "q_degree_distribution", "q_dedup_minhash",
-    # canaries: plans rewritten in round 5 (2) + r4-rewritten spillover (3)
-    "q_dedup_incremental", "q_hybrid_rrf",
-    "q_heavy_hitters", "q_phrase_pmi", "q_bigram_surprise",
+    # the round-5 red, fixed this round (1)
+    "q_decimal_money",
+    # canaries: plans (possibly) rewritten in round 6 (4)
+    "q_token_gini", "q_phrase_pmi", "q_dedup_incremental",
+    "q_degree_distribution",
+    # canaries: r4-rewritten greens never re-windowed (6)
+    "q_substring_spans", "q_dedup_semantic", "q_countmin", "q_kmv_jaccard",
+    "q_passage_dedup", "q_winnowing",
+    # oldest-green one-per-family canaries (12)
+    "q_scan_project", "q_join_inner", "q_window_rank", "q_asof_join",
+    "q_sessionize", "q_knn_lsh", "q_hll_distinct", "q_hash_sample",
+    "q_minhash_sig", "q_ngram_jaccard", "q_tpch_q1", "q_pipeline_pretrain",
+    # fill: oldest r1/r2 greens in registration order (27)
+    "q_filter_eq", "q_filter_like", "q_filter_null", "q_count_star",
+    "q_count_distinct", "q_groupby_count_order", "q_orderby_multi", "q_topn",
+    "q_late_materialization", "q_distinct", "q_semi_join", "q_from_subquery",
+    "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
+    "q_join_agg_topn", "q_multi_join", "q_agg_stats", "q_rollup_agg",
+    "q_cube_agg", "q_intersect", "q_except", "q_join_left_outer",
+    "q_join_full_outer", "q_anti_join", "q_percentile",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -122,21 +123,20 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_kmv_grouped", "q_profile_columns",
 )
 
-# Round 6 window plan (keep the rotation math visible). After a clean
-# round-5 window every one of the 213 oracle-bearing queries has been
-# inside at least one driver window, so round 6 is pure re-verification:
-#   1. Canaries for any plan ROUND 5 rewrites after the r5 window list was
-#      frozen (tracked in SCALE.md §"round 5"): none expected beyond the
-#      ones already seeded in VERIFY_FIRST, but check before freezing.
-#   2. The r4-rewritten greens that never got a canary slot:
-#      q_substring_spans q_dedup_semantic q_countmin q_kmv_jaccard
-#      q_passage_dedup q_winnowing.
-#   3. Oldest-green r1/r2 family canaries, one per operator family, in age
-#      order: q_scan_project q_join_inner q_window_rank q_asof_join
-#      q_sessionize q_knn_lsh q_hll_distinct q_hash_sample q_minhash_sig
-#      q_ngram_jaccard q_tpch_q1 q_pipeline_pretrain — then widen by file
-#      order (relational.py → windows.py → …) until the 50 slots are full.
-# Done = CORRECTNESS_r06 re-proves every family on its current plan.
+# Round 7 window plan (keep the rotation math visible). With round 6 the
+# rotation becomes a steady-state re-verification cycle:
+#   1. Canaries for any plan ROUND 6 rewrites after its window froze
+#      (check SCALE.md §"round 6" before freezing).
+#   2. Continue the registration-order fill where round 6 stopped: after
+#      q_percentile comes q_pivot q_correlated_scalar q_having
+#      q_in_subquery q_grouping_sets q_string_agg q_sql_functions
+#      q_json_extract q_unpivot, then windows.py (q_window_lag
+#      q_window_running q_latest_per_key q_window_range_frame
+#      q_window_ntiles q_time_bucket q_gapfill_locf), then text.py /
+#      dedup.py / similarity.py / sketches.py / sampling.py r2-r3 greens
+#      in file order until the 50 slots are full.
+# Done = every oracle-bearing query re-verified within ~3 rounds of its
+# last plan change.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -519,3 +519,72 @@ def test_real_pst_jpeg_pixel_decode():
     top = img[: (done // 13) * 16]  # fully-decoded MCU rows
     grad = float(np.abs(np.diff(top.astype(int), axis=1)).mean())
     assert grad < 20, grad
+
+
+def test_jpeg_progressive_exact_vs_baseline():
+    """Progressive (SOF2) decode must be EXACTLY the baseline decode of
+    the same image: both encoders share the identical coefficient math
+    (padding, DCT, quantization), so the progressive scan machinery
+    (spectral selection, successive approximation, EOB runs, correction
+    bits) is pinned bit-for-bit — any divergence is a scan-path bug,
+    never quantization noise."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import jpegc as J
+
+    rng = np.random.default_rng(7)
+    # noisy color (dense AC activity: run/size + refinement sign paths)
+    px = np.clip(
+        np.linspace(0, 255, 40 * 56 * 3).reshape(40, 56, 3)
+        + rng.normal(0, 40, (40, 56, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        J.jpeg_decode(J.jpeg_encode_progressive(px, 85)),
+        J.jpeg_decode(J.jpeg_encode(px, 85)),
+    )
+    # grayscale, non-multiple-of-8 dims (single-component DC scan path)
+    g = np.clip(
+        np.linspace(0, 255, 33 * 41).reshape(33, 41)
+        + rng.normal(0, 30, (33, 41)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(
+        J.jpeg_decode(J.jpeg_encode_progressive(g, 85)),
+        J.jpeg_decode(J.jpeg_encode(g, 85)),
+    )
+    # flat image with one feature: long EOBn runs (rr > 0) both scans
+    flat = np.full((128, 160, 3), 130, dtype=np.uint8)
+    flat[:8, :8] = 240
+    assert np.array_equal(
+        J.jpeg_decode(J.jpeg_encode_progressive(flat, 85)),
+        J.jpeg_decode(J.jpeg_encode(flat, 85)),
+    )
+
+
+def test_jpeg_progressive_salvage():
+    """Progressive salvage: a clean stream reports mcus_done ==
+    mcus_total with pixels identical to strict decode; a truncated
+    stream keeps the scans that landed (partial fraction, no raise) —
+    progressive damage is spectral, so the image stays viewable."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import jpegc as J
+
+    rng = np.random.default_rng(3)
+    px = np.clip(
+        np.linspace(0, 255, 48 * 64 * 3).reshape(48, 64, 3)
+        + rng.normal(0, 25, (48, 64, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    raw = J.jpeg_encode_progressive(px, 85)
+    strict = J.jpeg_decode(raw)
+    img, done, total = J.jpeg_salvage(raw)
+    assert done == total and np.array_equal(img, strict)
+    img2, done2, total2 = J.jpeg_salvage(raw[: len(raw) // 2])
+    assert 0 < done2 < total2 == total
+    assert img2.shape == strict.shape
+    # truncating only the final refinement scan must still be close to
+    # the full decode (successive approximation converges per scan)
+    img3, done3, _ = J.jpeg_salvage(raw[: len(raw) - 8])
+    assert np.abs(img3.astype(int) - strict.astype(int)).mean() < 8

@@ -17,6 +17,21 @@ from duckdb_pst_spark.tables import table
 SPECS = load_all()
 
 
+def _fn_code(fn) -> str:
+    """Source of a @query-decorated function's BODY, comments stripped.
+
+    inspect.getsource includes the decorator, whose triple-quoted oracle
+    SQL shifts split('\"\"\"') indices (a fixed [2] lands on the decorator
+    tail, not the code — found by the round-5 advisor). The code is
+    always the segment AFTER the last triple quote (docstring close, or
+    oracle close when the function has no docstring), and comments are
+    stripped so a needle like 'distinct' can't match prose."""
+    import inspect
+
+    code = inspect.getsource(fn).split('"""')[-1]
+    return "\n".join(line.split("#", 1)[0] for line in code.splitlines())
+
+
 def test_count_star_uses_footer_stats(spark, sf_dir):
     """count(*) is answered from parquet footers (PushedAggregation) —
     the analogue of the reference's stats-based COLUMN_DATA_SCAN rewrite
@@ -435,12 +450,10 @@ def test_sequence_gaps_no_upfront_distinct(spark, sf_dir):
     an up-front DISTINCT is a pure extra corpus exchange (same-session
     100x A/B: 22.7 s with it, 9.0 s without). The checkpoint hides the
     upstream plan, so gate at the source level like the cluster gate."""
-    import inspect
-
     import duckdb_pst_spark.operators.relational as R
 
-    body = inspect.getsource(R.q_sequence_gaps)
-    assert "distinct" not in body.split('"""')[2], body  # code, not docstring
+    code = _fn_code(R.q_sequence_gaps)
+    assert ".distinct()" not in code and "dropDuplicates" not in code, code
 
 
 def test_dedup_incremental_fused_text_aggregate(spark, sf_dir):
@@ -449,11 +462,8 @@ def test_dedup_incremental_fused_text_aggregate(spark, sf_dir):
     is a null test on it, and the side tag rides through the signature
     kernel (`carry`) so bands split with map-side filters instead of two
     doc_id join-backs (same-session 100x A/B: 5.3 s -> 3.4 s)."""
-    import inspect
-
     import duckdb_pst_spark.operators.dedup as D
 
-    body = inspect.getsource(D.q_dedup_incremental)
-    code = body.split('"""')[2]
+    code = _fn_code(D.q_dedup_incremental)
     assert code.count('groupBy("text")') == 1, code
     assert 'carry=("is_c",)' in code, code

@@ -20,7 +20,11 @@ import sys
 import duckdb
 
 ZIPF = "--zipf" in sys.argv
-_args = [a for a in sys.argv[1:] if a != "--zipf"]
+# --docs-only: write only documents.parquet (the single table --zipf
+# rewrites) so a Zipf variant of an existing replica dir can reuse its
+# other tables via symlinks instead of re-copying ~2 GB of facts.
+DOCS_ONLY = "--docs-only" in sys.argv
+_args = [a for a in sys.argv[1:] if a not in ("--zipf", "--docs-only")]
 FACTOR = int(_args[0]) if _args else 10
 SRC = _args[1] if len(_args) > 1 else "/root/testdata/sf0.1"
 DST = (
@@ -35,8 +39,8 @@ DST = (
 # tokens), so any perf decision that hinges on a rare-token tail —
 # min-count prunes, hapax-heavy key spaces, PMI/bigram filters — is
 # structurally untestable on it. In Zipf mode each copy's documents
-# rewrite a deterministic ~{_ZIPF_TAIL_PPM/1e4:.0f}% of token OCCURRENCES
-# to a token 'z<id>' with id drawn LOG-UNIFORMLY from [1, {_ZIPF_VMAX}]:
+# rewrite a deterministic ~10% of token OCCURRENCES to a token 'z<id>'
+# with id drawn LOG-UNIFORMLY from [1, 10_000_000]:
 # P(id = k) ∝ 1/k, i.e. a Zipf(s=1) frequency law, and the number of
 # DISTINCT ids seen grows with the number of draws — Heaps-law vocabulary
 # growth with a genuine hapax tail, from one hash-seeded closed form.
@@ -89,6 +93,8 @@ def main() -> None:
         for d, (t, col) in DOMAINS.items()
     }
     for t, keys in OFFSETS.items():
+        if DOCS_ONLY and t != "documents":
+            continue
         src = f"{SRC}/{t}.parquet"
         if not keys or (FACTOR == 1 and not (ZIPF and t == "documents")):
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{DST}/{t}.parquet' (FORMAT parquet)")
@@ -106,12 +112,17 @@ def main() -> None:
             # ordered re-assembly; the (doc_id, pos) hash makes every copy
             # rewrite different positions to different tail ids, so the
             # aggregate corpus grows a fresh hapax tail with volume
+            # NULL-text rows would vanish here (string_split(NULL) → NULL
+            # toks, range over NULL unnests to zero rows, GROUP BY drops
+            # the doc_id — round-5 advisor find), so they bypass the
+            # rewrite and pass through unchanged.
             union = f"""
             WITH base AS ({union}),
             tok AS (
               SELECT doc_id, lang, source, u.i AS pos, toks[u.i] AS t0,
                      hash(doc_id * 1000003 + u.i) AS h
-              FROM (SELECT *, string_split(text, ' ') AS toks FROM base),
+              FROM (SELECT *, string_split(text, ' ') AS toks
+                    FROM base WHERE text IS NOT NULL),
                    unnest(range(1, len(toks) + 1)) AS u(i)
             ),
             rew AS (
@@ -129,6 +140,9 @@ def main() -> None:
                    any_value(source) AS source,
                    len(string_agg(t, ' ' ORDER BY pos)) AS n_chars
             FROM rew GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars
+            FROM base WHERE text IS NULL
             """
         con.execute(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
         print(f"{t}: x{FACTOR}{' zipf' if ZIPF and t == 'documents' else ''}")
