@@ -628,22 +628,46 @@ def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword/vocab-pruning statistic; q_explode_agg is the term-
     frequency counterpart).
 
-    Scale design: the scan-local tf kernel (shared with q_tfidf) emits
-    one row per (doc, tok) in place — a document lives in one source
-    row, so deduping within-doc repeats needs no exchange — and the
-    token count partial-aggregates that to vocabulary size before the
-    plan's ONE shuffle (gated by test_vocab_df_shape). Top-50 is a
-    TakeOrdered heap, no global sort."""
-    # df = one row per (doc, tok) — exactly the scan-local kernel rows
-    # of q_tfidf — counted per token with map-side combine to vocabulary
-    # size: no corpus-sized exchange (the explode → distinct twin
-    # shuffles every (doc, tok) pair; same-session at 100×: 5.9 →
-    # 3.6 s; an earlier count_distinct fusion of the old twin measured
-    # 4.7 → 5.2 and was not shipped).
+    Scale design: a scan-local df kernel — a document lives in one
+    source row, so within-doc dedup is a per-doc ``set()``, and the
+    kernel ALSO pre-aggregates each Arrow batch to (tok, df_partial)
+    before anything leaves Python: the Arrow return stream and the
+    map-side agg input are batch-vocabulary-sized, not (doc, tok)-
+    sized. One vocab-keyed shuffle sums the partials (gated by
+    test_vocab_df_shape). Top-50 is a TakeOrdered heap, no global sort.
+
+    Measured on the Zipf 100× corpus (real Heaps-tail vocabulary, the
+    regime the replica corpus could not test — its 31-token vocab made
+    the per-(doc, tok) stream collapse for free): shared tf kernel
+    6.7 s → df kernel 4.6 s, interleaved min-of-3 same-session
+    (DuckDB 1.0 s). Earlier no-ships kept for the record: the explode →
+    distinct twin (5.9 vs 3.6 on the plain replica), a count_distinct
+    fusion (4.7 → 5.2), and JVM explode(array_distinct(toks)) →
+    groupBy, which loses to BOTH kernels on the Zipf corpus (3.7 vs
+    3.2 same-session) because every token instance still crosses the
+    exchange boundary as an exploded row."""
+    import pandas as pd
+
+    def df_kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c = Counter()
+            for text in pdf["text"].values:
+                if text is None:
+                    continue
+                c.update(set(t for t in text.split(" ") if t))
+            yield pd.DataFrame(
+                {"tok": list(c.keys()), "df_p": list(c.values())}
+            )
+
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select("text")
     return (
-        _tf_rows(spark, sf_dir)
+        d.mapInPandas(df_kernel, "tok string, df_p long")
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum("df_p").cast("long").alias("df"))
         .orderBy(F.desc("df"), F.asc("tok"))
         .limit(50)
     )
@@ -1928,18 +1952,27 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collapse wins only for JOIN-shaped ops, where no map-side
     combine exists.
 
-    Key-space note (measured r4): because c(x,y) ≤ min(c(x), c(y)), a
-    broadcast semi-filter on the ≥{5}-count unigram set before the
-    groupBy would EXACTLY prune every hapax-containing pair — the bulk
-    of the bigram key space on a true Zipf corpus. It is deliberately
-    NOT shipped: the prune pays two hash probes per bigram instance,
-    and on the replica benchmark (fixed vocabulary, multiplied counts —
-    nothing is sub-min-count) it measured 5.3 → 12.4 s at 100× for
-    zero key-space reduction, while a localCheckpoint of the unigram
-    table measured 5.3 → 8.1 s (the un-checkpointed plan already
-    single-passes: both unigram broadcasts and the total reuse one
-    exchange). Re-introduce the semi-filter when the corpus's hapax
-    share makes the shuffle, not per-row CPU, the binding constraint.
+    Key-space note — the semi-filter question is now SETTLED on the
+    right corpus: because c(x,y) ≤ min(c(x), c(y)), a broadcast
+    semi-filter on the ≥{5}-count unigram set before the groupBy
+    EXACTLY prunes every hapax-containing pair — the bulk of the
+    bigram key space on a Zipf corpus. Round 4 measured it on the
+    plain replica (fixed 31-token vocabulary: 5.3 → 12.4 s at 100×
+    for zero reduction) but flagged that corpus as structurally unable
+    to test the prune; round 6 re-measured on the Zipf-growth 100×
+    corpus (gen_sf --zipf: ~1M-token Heaps vocabulary, ~95% of
+    distinct bigram keys hapax-bearing) and the prune STILL loses:
+    4.46 → 6.62 s same-session, identical top-25. Reason: map-side
+    combine already collapses per-partition repeats, so the exchange
+    carries each distinct key once per partition — cheap even with a
+    fat hapax tail — while the prune pays two broadcast-hash probes on
+    ALL ~27M pair instances plus an up-front materialization of the
+    unigram table that serializes the two corpus passes. The residual
+    vs the embedded engine (4.0 vs 1.1 s) is the string-pair exchange
+    constant, not a key-space problem. Also measured and not shipped
+    (r4): a localCheckpoint of the unigram table (5.3 → 8.1 s) and
+    xxhash64-keyed bigram counting (4.49 → 4.38 for the bigram pass,
+    but recovering top-25 strings adds a corpus pass).
     Also measured and not shipped (r4): xxhash64-keyed bigram counting
     (4.49 → 4.38 s at 100× for the bigram pass alone — the cost is the
     per-instance struct explode, not key width, and recovering the

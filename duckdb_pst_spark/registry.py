@@ -81,9 +81,9 @@ def query(
 VERIFY_FIRST: tuple[str, ...] = (
     # the round-5 red, fixed this round (1)
     "q_decimal_money",
-    # canaries: plans (possibly) rewritten in round 6 (4)
+    # canaries: plans (possibly) rewritten in round 6 (5)
     "q_token_gini", "q_phrase_pmi", "q_dedup_incremental",
-    "q_degree_distribution",
+    "q_degree_distribution", "q_vocab_df",
     # canaries: r4-rewritten greens never re-windowed (6)
     "q_substring_spans", "q_dedup_semantic", "q_countmin", "q_kmv_jaccard",
     "q_passage_dedup", "q_winnowing",
@@ -91,14 +91,14 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_scan_project", "q_join_inner", "q_window_rank", "q_asof_join",
     "q_sessionize", "q_knn_lsh", "q_hll_distinct", "q_hash_sample",
     "q_minhash_sig", "q_ngram_jaccard", "q_tpch_q1", "q_pipeline_pretrain",
-    # fill: oldest r1/r2 greens in registration order (27)
+    # fill: oldest r1/r2 greens in registration order (26)
     "q_filter_eq", "q_filter_like", "q_filter_null", "q_count_star",
     "q_count_distinct", "q_groupby_count_order", "q_orderby_multi", "q_topn",
     "q_late_materialization", "q_distinct", "q_semi_join", "q_from_subquery",
     "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
     "q_join_agg_topn", "q_multi_join", "q_agg_stats", "q_rollup_agg",
     "q_cube_agg", "q_intersect", "q_except", "q_join_left_outer",
-    "q_join_full_outer", "q_anti_join", "q_percentile",
+    "q_join_full_outer", "q_anti_join",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -128,7 +128,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
 #   1. Canaries for any plan ROUND 6 rewrites after its window froze
 #      (check SCALE.md §"round 6" before freezing).
 #   2. Continue the registration-order fill where round 6 stopped: after
-#      q_percentile comes q_pivot q_correlated_scalar q_having
+#      q_anti_join comes q_percentile q_pivot q_correlated_scalar q_having
 #      q_in_subquery q_grouping_sets q_string_agg q_sql_functions
 #      q_json_extract q_unpivot, then windows.py (q_window_lag
 #      q_window_running q_latest_per_key q_window_range_frame
