@@ -468,3 +468,31 @@ def test_dedup_incremental_fused_text_aggregate(spark, sf_dir):
     code = _fn_code(D.q_dedup_incremental)
     assert code.count('groupBy("text")') == 1, code
     assert 'carry=("is_c",)' in code, code
+
+
+def test_chi2_one_exchange(spark, sf_dir):
+    """q_chi2_terms: within-doc presence dedup is scan-local
+    (array_distinct) and the label rides the source row, so the plan
+    has exactly ONE corpus-keyed shuffle (the vocab contingency
+    aggregate; the only other exchange is the SinglePartition hop of
+    the 1-row broadcast totals) and a TakeOrdered heap (Zipf-100× A/B:
+    4.14 → 1.83 s). The old plan's (doc, tok) DISTINCT exchange and
+    doc_id label join must stay gone."""
+    df = SPECS["q_chi2_terms"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 2, pi.executed_plan(df)
+    assert pi.has_take_ordered(df), pi.executed_plan(df)
+    plan = pi.executed_plan(df)
+    assert "array_distinct" in plan, plan
+    assert pi.sort_merge_join_count(df) == 0, plan
+
+
+def test_dsir_feat_checkpointed(spark, sf_dir):
+    """_dsir_scored: the (doc_id, lang, b) feature triple must stay
+    checkpoint-materialized — both consumers (bucket table + scoring
+    join) would otherwise re-run the interpreted per-character
+    poly-hash over every bigram instance (Zipf-100× A/B: 27.3 → 9.1 s).
+    The checkpoint hides upstream plan nodes, so gate at source level."""
+    import duckdb_pst_spark.operators.text as T
+
+    code = _fn_code(T._dsir_scored)
+    assert "localCheckpoint" in code, code
