@@ -133,7 +133,11 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 # stats end to end. Kept separate from `media` so the RAW-codec oracle
 # queries keep their pinned values.
 
-REAL_VERSION = "v4"  # v4: image cycle = PNG gray/RGB/RGBA, BMP, GIF, JPEG
+# v5: image cycle = PNG gray/RGB/RGBA, BMP, GIF, baseline JPEG,
+# progressive JPEG (SOF2 — spectral selection + successive approximation
+# through the same pure-numpy decoder; fmt stays 'jpeg', the container
+# probe and decode route are frame-marker-driven)
+REAL_VERSION = "v5"
 DEFAULT_N_REAL = 80
 
 REAL_SCHEMA = pa.schema(
@@ -158,8 +162,11 @@ def real_items(n: int = DEFAULT_N_REAL):
         if mid % 2 == 0:
             w = 12 + (mid % 6) * 7
             h = 10 + (mid % 5) * 5
-            idx = (mid // 2) % 6
-            if idx == 5:  # baseline JPEG (lossy: golden pins the decode)
+            idx = (mid // 2) % 7
+            if idx in (5, 6):  # JPEG (lossy: golden pins the decode);
+                # idx 6 emits the SAME pixel recipe as PROGRESSIVE (SOF2)
+                # bytes, so the executor path exercises the Annex-G scan
+                # machinery on real container rows
                 from duckdb_pst_spark.multimodal import jpegc
 
                 base = np.mgrid[0:h, 0:w][1] * 255.0 / w
@@ -168,7 +175,12 @@ def real_items(n: int = DEFAULT_N_REAL):
                     + rng.normal(0, 4, (h, w, 3)),
                     0, 255,
                 ).astype(np.uint8)
-                yield mid, "image", "jpeg", px, None, jpegc.jpeg_encode(px, 90)
+                enc = (
+                    jpegc.jpeg_encode(px, 90)
+                    if idx == 5
+                    else jpegc.jpeg_encode_progressive(px, 90)
+                )
+                yield mid, "image", "jpeg", px, None, enc
             elif idx == 3:  # 24-bpp BMP (RGB by format definition)
                 px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
                 yield mid, "image", "bmp", px, None, codecs.bmp_encode(px)
