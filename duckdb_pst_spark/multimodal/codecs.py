@@ -11,9 +11,9 @@ WAV are decodable from their public specifications with nothing beyond
   chunks, IHDR geometry, concatenated-IDAT zlib stream, and the five
   per-scanline filters (None/Sub/Up/Average/Paeth, §6) undone row by
   row. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7 and sub-byte depths
-  raise ``NotImplementedError`` (honest gate, same policy as JPEG
-  entropy decode).
+  4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced (§8.2:
+  seven independently-filtered pass sub-images). Sub-byte/16-bit
+  depths raise ``NotImplementedError`` (honest gate).
 - WAV per the public RIFF/WAVE layout: chunk walk to 'fmt ' (PCM,
   16-bit) and 'data'; mono or interleaved stereo.
 
@@ -22,8 +22,9 @@ through real container bytes (the PNG encoder can apply any of the five
 filters per scanline, so every decoder filter path is exercised against
 ground truth). Baseline JPEG is decoded by the pure-numpy Huffman+IDCT
 decoder in ``multimodal/jpegc.py`` (baseline AND progressive SOF2,
-with a salvage mode for corrupt streams); only Adam7-interlaced PNG and
-sub-8-bit depths remain gated behind honest ``NotImplementedError``.
+with a salvage mode for corrupt streams); PNG decodes sequential AND
+Adam7-interlaced streams; only non-8-bit depths remain gated behind
+honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -57,17 +58,20 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def png_encode(px: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w) or (h, w, c) uint8 → PNG bytes, one filter for every
-    scanline (0..4; decoders must handle all five, so tests sweep)."""
-    if px.ndim == 2:
-        px = px[:, :, None]
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per the
+# PNG spec §8.2 — pass k holds the pixels at (x0 + i·dx, y0 + j·dy).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytearray:
+    """Apply one scanline filter to every row of a (h, w, c) image and
+    return the serialized filtered bytes (filter byte + row payload per
+    scanline) — the per-image body shared by the sequential encoder and
+    each Adam7 pass."""
     h, w, c = px.shape
-    if px.dtype != np.uint8 or c not in _PNG_COLOR_TYPE:
-        raise ValueError("need uint8 with 1/2/3/4 channels")
-    if not 0 <= filter_type <= 4:
-        raise ValueError("filter_type in 0..4")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 0)
     raw = bytearray()
     prev = np.zeros((w, c), dtype=np.uint8)
     for y in range(h):
@@ -90,6 +94,32 @@ def png_encode(px: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend(enc.tobytes())
         prev = row
+    return raw
+
+
+def png_encode(px: np.ndarray, filter_type: int = 0, *, interlace: bool = False) -> bytes:
+    """(h, w) or (h, w, c) uint8 → PNG bytes, one filter for every
+    scanline (0..4; decoders must handle all five, so tests sweep).
+    ``interlace=True`` emits Adam7: seven independently-filtered pass
+    sub-images concatenated in the one IDAT stream (spec §8.2)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if px.dtype != np.uint8 or c not in _PNG_COLOR_TYPE:
+        raise ValueError("need uint8 with 1/2/3/4 channels")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type in 0..4")
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:  # empty passes emit nothing
+                raw += _png_filter_rows(sub, filter_type)
+    else:
+        raw = _png_filter_rows(px, filter_type)
     idat = zlib.compress(bytes(raw), 6)
     return (
         _PNG_SIG
@@ -101,7 +131,8 @@ def png_encode(px: np.ndarray, filter_type: int = 0) -> bytes:
 
 def png_decode(raw: bytes) -> np.ndarray:
     """PNG bytes → (h, w, c) uint8. Bit depth 8, color types 0/2/4/6,
-    non-interlaced; raises NotImplementedError outside that envelope."""
+    sequential or Adam7-interlaced; raises NotImplementedError outside
+    that envelope."""
     if raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -123,18 +154,42 @@ def png_decode(raw: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}"
-            " outside the pure-numpy envelope (8-bit, non-interlaced, "
-            "gray/RGB/gray+alpha/RGBA)"
+            " outside the pure-numpy envelope (8-bit, sequential or Adam7,"
+            " gray/RGB/gray+alpha/RGBA)"
         )
     c = _PNG_CHANNELS[color_type]
-    stride = w * c
     data = zlib.decompress(bytes(idat))
-    if len(data) != h * (stride + 1):
+    if interlace == 0:
+        if len(data) != h * (w * c + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        return _png_unfilter(data, h, w, c)
+    # Adam7: seven independently-filtered pass sub-images, consumed in
+    # order from the one decompressed stream, scattered onto the grid
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        ph = (h - y0 + dy - 1) // dy
+        pw = (w - x0 + dx - 1) // dx
+        if ph <= 0 or pw <= 0:
+            continue  # empty pass occupies zero bytes
+        nbytes = ph * (pw * c + 1)
+        out[y0::dy, x0::dx] = _png_unfilter(data[off : off + nbytes], ph, pw, c)
+        off += nbytes
+    if off != len(data):
+        raise ValueError("PNG Adam7 payload size mismatch")
+    return out
+
+
+def _png_unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse the five scanline filters over one filtered (sub)image —
+    shared by the sequential path and each Adam7 pass (each pass filters
+    against its OWN previous scanline, never the full-image neighbor)."""
+    if len(data) != h * (w * c + 1):
         raise ValueError("PNG scanline payload size mismatch")
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w * c + 1)
     filters = arr[:, 0]
     out = np.zeros((h, w, c), dtype=np.uint8)
     prev = np.zeros((w, c), dtype=np.uint8)

@@ -133,11 +133,12 @@ def generate(n_media: int = DEFAULT_N_MEDIA, *, force: bool = False) -> str:
 # stats end to end. Kept separate from `media` so the RAW-codec oracle
 # queries keep their pinned values.
 
-# v5: image cycle = PNG gray/RGB/RGBA, BMP, GIF, baseline JPEG,
-# progressive JPEG (SOF2 — spectral selection + successive approximation
-# through the same pure-numpy decoder; fmt stays 'jpeg', the container
-# probe and decode route are frame-marker-driven)
-REAL_VERSION = "v5"
+# v6: image cycle = PNG gray/RGB/RGBA (Adam7-interlaced on every other
+# PNG item), BMP, GIF, baseline JPEG, progressive JPEG (SOF2 — spectral
+# selection + successive approximation through the same pure-numpy
+# decoder; fmt stays 'jpeg'/'png', the container probe and decode route
+# are header-driven)
+REAL_VERSION = "v6"
 DEFAULT_N_REAL = 80
 
 REAL_SCHEMA = pa.schema(
@@ -193,7 +194,7 @@ def real_items(n: int = DEFAULT_N_REAL):
                 c = (1, 3, 4)[idx]
                 px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
                 yield mid, "image", "png", px, None, codecs.png_encode(
-                    px, filter_type=mid % 5
+                    px, filter_type=mid % 5, interlace=bool((mid // 2) % 2)
                 )
         else:
             ch = 1 if mid % 4 == 1 else 2
