@@ -496,3 +496,13 @@ def test_dsir_feat_checkpointed(spark, sf_dir):
 
     code = _fn_code(T._dsir_scored)
     assert "localCheckpoint" in code, code
+
+
+def test_winnowing_scan_local(spark, sf_dir):
+    """q_winnowing: the whole selection is per-document, so the plan is
+    ONE scan-local Arrow stage — zero exchanges, no window operator, no
+    distinct (Zipf-100× A/B: 30.4 → 8.2 s over the JVM window plan)."""
+    df = SPECS["q_winnowing"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.shuffle_count(df) == 0, plan
+    assert "Window" not in plan, plan
