@@ -10,10 +10,12 @@ WAV are decodable from their public specifications with nothing beyond
 - PNG per RFC 2083 / W3C PNG spec: 8-byte signature, length-tagged CRC
   chunks, IHDR geometry, concatenated-IDAT zlib stream, and the five
   per-scanline filters (None/Sub/Up/Average/Paeth, §6) undone row by
-  row. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA), sequential AND Adam7-interlaced (§8.2:
-  seven independently-filtered pass sub-images). Sub-byte/16-bit
-  depths raise ``NotImplementedError`` (honest gate).
+  row. Supported: bit depths 8 and 16 (16-bit filters run byte-wise
+  at bpp = 2c per §6.2), color types 0 (gray), 2 (RGB), 3 (palette,
+  PLTE resolved to RGB), 4 (gray+alpha), 6 (RGBA), sequential AND
+  Adam7-interlaced (§8.2: seven independently-filtered pass
+  sub-images). Sub-byte depths raise ``NotImplementedError``
+  (honest gate).
 - WAV per the public RIFF/WAVE layout: chunk walk to 'fmt ' (PCM,
   16-bit) and 'data'; mono or interleaved stereo.
 
@@ -23,8 +25,9 @@ filters per scanline, so every decoder filter path is exercised against
 ground truth). Baseline JPEG is decoded by the pure-numpy Huffman+IDCT
 decoder in ``multimodal/jpegc.py`` (baseline AND progressive SOF2,
 with a salvage mode for corrupt streams); PNG decodes sequential AND
-Adam7-interlaced streams; only non-8-bit depths remain gated behind
-honest ``NotImplementedError``.
+Adam7-interlaced streams at depths 8/16 including palette images, and
+GIF decodes interlaced frames; only sub-byte PNG depths remain gated
+behind honest ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -97,30 +100,43 @@ def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytearray:
     return raw
 
 
-def png_encode(px: np.ndarray, filter_type: int = 0, *, interlace: bool = False) -> bytes:
-    """(h, w) or (h, w, c) uint8 → PNG bytes, one filter for every
-    scanline (0..4; decoders must handle all five, so tests sweep).
-    ``interlace=True`` emits Adam7: seven independently-filtered pass
-    sub-images concatenated in the one IDAT stream (spec §8.2)."""
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, c = px.shape
-    if px.dtype != np.uint8 or c not in _PNG_COLOR_TYPE:
-        raise ValueError("need uint8 with 1/2/3/4 channels")
-    if not 0 <= filter_type <= 4:
-        raise ValueError("filter_type in 0..4")
-    ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[c], 0, 0, 1 if interlace else 0
-    )
+def _png_body(px_bytes: np.ndarray, filter_type: int, interlace: bool) -> bytes:
+    """Filtered scanline body for a (h, w, byte-channels) uint8 image —
+    sequential, or Adam7 pass sub-images concatenated."""
     if interlace:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
-            sub = px[y0::dy, x0::dx]
+            sub = px_bytes[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:  # empty passes emit nothing
                 raw += _png_filter_rows(sub, filter_type)
-    else:
-        raw = _png_filter_rows(px, filter_type)
-    idat = zlib.compress(bytes(raw), 6)
+        return bytes(raw)
+    return bytes(_png_filter_rows(px_bytes, filter_type))
+
+
+def png_encode(px: np.ndarray, filter_type: int = 0, *, interlace: bool = False) -> bytes:
+    """(h, w) or (h, w, c) uint8 — or uint16 for a 16-bit PNG — → PNG
+    bytes, one filter for every scanline (0..4; decoders must handle
+    all five, so tests sweep). ``interlace=True`` emits Adam7: seven
+    independently-filtered pass sub-images concatenated in the one
+    IDAT stream (spec §8.2). 16-bit rows filter as byte-channel images
+    (bpp = 2c, spec §6.2) and serialize big-endian."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if px.dtype not in (np.uint8, np.uint16) or c not in _PNG_COLOR_TYPE:
+        raise ValueError("need uint8/uint16 with 1/2/3/4 channels")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type in 0..4")
+    depth = 8 if px.dtype == np.uint8 else 16
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _PNG_COLOR_TYPE[c], 0, 0, 1 if interlace else 0
+    )
+    px_bytes = (
+        px
+        if depth == 8
+        else px.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
+    )
+    idat = zlib.compress(_png_body(px_bytes, filter_type, interlace), 6)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -129,16 +145,46 @@ def png_encode(px: np.ndarray, filter_type: int = 0, *, interlace: bool = False)
     )
 
 
+def png_encode_palette(
+    indices: np.ndarray, palette: np.ndarray, filter_type: int = 0,
+    *, interlace: bool = False,
+) -> bytes:
+    """(h, w) uint8 palette indices + (n≤256, 3) uint8 palette →
+    color-type-3 PNG bytes (PLTE chunk, 8-bit indices filtered as a
+    one-byte-channel image)."""
+    if indices.dtype != np.uint8 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("need uint8 indices and (n, 3) palette")
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    idat = zlib.compress(
+        _png_body(indices[:, :, None], filter_type, interlace), 6
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
 def png_decode(raw: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, c) uint8. Bit depth 8, color types 0/2/4/6,
-    sequential or Adam7-interlaced; raises NotImplementedError outside
-    that envelope."""
+    """PNG bytes → (h, w, c) array. Bit depth 8 (uint8 out) or 16
+    (uint16 out), color types 0/2/3/4/6 (palette resolved to RGB),
+    sequential or Adam7-interlaced; sub-8-bit depths raise
+    NotImplementedError.
+
+    The 16-bit path reuses the 8-bit unfilter verbatim: PNG filtering
+    is BYTE-wise with the left neighbor at bpp = 2c bytes (spec §6.2),
+    which is exactly the unfilter of a (h, w, 2c)-byte-channel image —
+    the decoded bytes then reinterpret as big-endian uint16."""
     if raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
     color_type = depth = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(raw):
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
         tag = raw[pos + 4 : pos + 8]
@@ -148,38 +194,55 @@ def png_decode(raw: bytes) -> np.ndarray:
             w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+    palette = color_type == 3
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and palette)
+        or (not palette and color_type not in _PNG_CHANNELS)
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}"
-            " outside the pure-numpy envelope (8-bit, sequential or Adam7,"
-            " gray/RGB/gray+alpha/RGBA)"
+            " outside the pure-numpy envelope (8/16-bit, sequential or"
+            " Adam7, gray/RGB/palette/gray+alpha/RGBA)"
         )
-    c = _PNG_CHANNELS[color_type]
+    if palette and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    # byte-channels per pixel: filters operate on bytes at bpp offsets
+    bc = 1 if palette else _PNG_CHANNELS[color_type] * (depth // 8)
     data = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(data) != h * (w * c + 1):
-            raise ValueError("PNG scanline payload size mismatch")
-        return _png_unfilter(data, h, w, c)
-    # Adam7: seven independently-filtered pass sub-images, consumed in
-    # order from the one decompressed stream, scattered onto the grid
-    out = np.zeros((h, w, c), dtype=np.uint8)
-    off = 0
-    for x0, y0, dx, dy in _ADAM7:
-        ph = (h - y0 + dy - 1) // dy
-        pw = (w - x0 + dx - 1) // dx
-        if ph <= 0 or pw <= 0:
-            continue  # empty pass occupies zero bytes
-        nbytes = ph * (pw * c + 1)
-        out[y0::dy, x0::dx] = _png_unfilter(data[off : off + nbytes], ph, pw, c)
-        off += nbytes
-    if off != len(data):
-        raise ValueError("PNG Adam7 payload size mismatch")
+        out = _png_unfilter(data, h, w, bc)
+    else:
+        # Adam7: seven independently-filtered pass sub-images, consumed
+        # in order from the one decompressed stream, scattered on-grid
+        out = np.zeros((h, w, bc), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:
+                continue  # empty pass occupies zero bytes
+            nbytes = ph * (pw * bc + 1)
+            out[y0::dy, x0::dx] = _png_unfilter(data[off : off + nbytes], ph, pw, bc)
+            off += nbytes
+        if off != len(data):
+            raise ValueError("PNG Adam7 payload size mismatch")
+    if palette:
+        return plte[out[:, :, 0]]
+    if depth == 16:
+        c = _PNG_CHANNELS[color_type]
+        return (
+            np.ascontiguousarray(out).view(">u2").astype(np.uint16).reshape(h, w, c)
+        )
     return out
 
 
@@ -358,12 +421,23 @@ def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> np.ndar
     return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
 
 
-def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """GIF89a appendix-E four-pass row order: rows 0,8,16…, then
+    4,12…, then 2,6,10…, then 1,3,5… — the display row each STORED row
+    lands on."""
+    return np.r_[np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray, *, interlace: bool = False) -> bytes:
     """(h, w) uint8 palette indices + (n≤256, 3) uint8 palette → GIF89a
-    bytes (single image, global color table, real LZW)."""
+    bytes (single image, global color table, real LZW). ``interlace``
+    stores rows in the four-pass order with the descriptor flag set."""
     if indices.dtype != np.uint8 or palette.ndim != 2 or palette.shape[1] != 3:
         raise ValueError("need uint8 indices and (n, 3) palette")
     h, w = indices.shape
+    if interlace:
+        indices = indices[_gif_interlace_order(h)]
     n = len(palette)
     bits = max(1, (n - 1).bit_length())
     gct_size = 1 << bits
@@ -382,7 +456,7 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
         + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)  # GCT flag+size
         + pal.tobytes()
         + b","  # image descriptor
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)  # no LCT
         + bytes([mcs])
         + bytes(blocks)
         + b";"
@@ -391,7 +465,7 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 def gif_decode(raw: bytes) -> np.ndarray:
     """GIF87a/89a bytes → (h, w, 3) uint8 RGB (first image frame;
-    global or local color table; non-interlaced)."""
+    global or local color table; sequential or interlaced)."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
@@ -416,8 +490,6 @@ def gif_decode(raw: bytes) -> np.ndarray:
                 n = 2 << (iflags & 0x07)
                 pal = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
                 pos += 3 * n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
             if pal is None:
                 raise ValueError("GIF image with no color table")
             mcs = raw[pos]
@@ -430,7 +502,12 @@ def gif_decode(raw: bytes) -> np.ndarray:
             idx = _lzw_decompress(bytes(lzw), mcs, iw * ih)
             if len(idx) != iw * ih:
                 raise ValueError("GIF pixel data truncated")
-            return pal[idx.reshape(ih, iw)]
+            rows = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: un-shuffle the 4-pass order
+                out = np.empty_like(rows)
+                out[_gif_interlace_order(ih)] = rows
+                rows = out
+            return pal[rows]
         elif b == 0x3B:  # trailer
             break
         else:

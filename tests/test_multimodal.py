@@ -608,3 +608,47 @@ def test_png_adam7_roundtrip():
                 want = px if c > 1 else px[:, :, None]
                 got = C.png_decode(C.png_encode(px, filter_type=ft, interlace=True))
                 assert np.array_equal(got, want), (c, ft, h, w)
+
+
+def test_gif_interlace_roundtrip():
+    """Interlaced GIF (appendix-E four-pass row order) through the real
+    encoder/decoder pair — exact palette-index recovery on geometries
+    that leave passes empty."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(9)
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (9, 4), (16, 16), (33, 7)]:
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+        got = C.gif_decode(C.gif_encode(idx, pal, interlace=True))
+        assert np.array_equal(got, pal[idx]), (h, w)
+
+
+def test_png_16bit_and_palette_roundtrip():
+    """16-bit PNG (filters run byte-wise at bpp = 2c, decoded bytes
+    reinterpret as big-endian uint16) and color-type-3 palette PNG
+    (PLTE resolved to RGB) — exact round trips across all five filters,
+    sequential and Adam7."""
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(13)
+    for c in (1, 3, 4):
+        for ft in range(5):
+            for il in (False, True):
+                shape = (9, 7) if c == 1 else (9, 7, c)
+                px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+                want = px if c > 1 else px[:, :, None]
+                got = C.png_decode(C.png_encode(px, filter_type=ft, interlace=il))
+                assert got.dtype == np.uint16 and np.array_equal(got, want)
+    for ft in range(5):
+        for il in (False, True):
+            pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            idx = rng.integers(0, 16, size=(11, 6), dtype=np.uint8)
+            got = C.png_decode(
+                C.png_encode_palette(idx, pal, filter_type=ft, interlace=il)
+            )
+            assert np.array_equal(got, pal[idx])
