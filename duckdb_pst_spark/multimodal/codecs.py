@@ -16,8 +16,10 @@ WAV are decodable from their public specifications with nothing beyond
   Adam7-interlaced (§8.2: seven independently-filtered pass
   sub-images). Sub-byte depths raise ``NotImplementedError``
   (honest gate).
-- WAV per the public RIFF/WAVE layout: chunk walk to 'fmt ' (PCM,
-  16-bit) and 'data'; mono or interleaved stereo.
+- WAV per the public RIFF/WAVE layout: chunk walk to 'fmt ' and
+  'data'; integer PCM 8/16/24/32-bit and IEEE float32, including
+  WAVE_FORMAT_EXTENSIBLE (SubFormat GUID resolution); mono or
+  interleaved multi-channel. A-law/µ-law/ADPCM stay gated.
 
 The encoders exist so tests can round-trip *known* pixel/sample arrays
 through real container bytes (the PNG encoder can apply any of the five
@@ -533,11 +535,18 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def wav_decode(raw: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → ((n,) or (n, ch) int16, sample_rate)."""
+    """RIFF/WAVE bytes → ((n,) or (n, ch) samples, sample_rate).
+
+    Integer PCM: 8-bit (unsigned per the spec, returned as the raw
+    uint8), 16/24/32-bit signed little-endian (24-bit assembled from
+    3-byte triplets into int32); IEEE float32 (fmt tag 3) returned as
+    float32. WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its
+    SubFormat GUID. Anything else (A-law, µ-law, ADPCM) raises
+    NotImplementedError."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    ch = rate = bits = None
+    ch = rate = bits = audio_fmt = None
     data = None
     while pos + 8 <= len(raw):
         tag = raw[pos : pos + 4]
@@ -546,15 +555,31 @@ def wav_decode(raw: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"WAV fmt={audio_fmt} bits={bits}: only PCM16 decoded here"
-                )
+            if audio_fmt == 0xFFFE and length >= 40:  # EXTENSIBLE
+                # SubFormat GUID's leading u16 is the real format tag
+                (audio_fmt,) = struct.unpack("<H", body[24:26])
         elif tag == b"data":
             data = body
     if ch is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 1 and bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = samples - ((samples & 0x800000) << 1)  # sign-extend
+    elif audio_fmt == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4")
+    elif audio_fmt == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4")
+    else:
+        raise NotImplementedError(
+            f"WAV fmt={audio_fmt} bits={bits}: integer PCM 8/16/24/32 and"
+            " float32 decoded here"
+        )
     if ch > 1:
         samples = samples.reshape(-1, ch)
     return samples, rate

@@ -652,3 +652,53 @@ def test_png_16bit_and_palette_roundtrip():
                 C.png_encode_palette(idx, pal, filter_type=ft, interlace=il)
             )
             assert np.array_equal(got, pal[idx])
+
+
+def test_wav_extended_formats():
+    """WAV beyond PCM16: unsigned 8-bit, signed 24-bit (3-byte triplets
+    sign-extended into int32), signed 32-bit, IEEE float32, and
+    WAVE_FORMAT_EXTENSIBLE resolving PCM through its SubFormat GUID —
+    all against hand-built container bytes."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_pst_spark.multimodal import codecs as C
+
+    def wav_bytes(fmt, bits, ch, rate, payload, extensible=False):
+        if extensible:
+            fmtc = (
+                struct.pack("<HHIIHH", 0xFFFE, ch, rate, rate * ch * bits // 8,
+                            ch * bits // 8, bits)
+                + struct.pack("<HHI", 22, bits, 1)
+                + struct.pack("<H", fmt) + b"\x00" * 14
+            )
+        else:
+            fmtc = struct.pack("<HHIIHH", fmt, ch, rate, rate * ch * bits // 8,
+                               ch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng = np.random.default_rng(3)
+    s8 = rng.integers(0, 256, size=50, dtype=np.uint8)
+    got, _ = C.wav_decode(wav_bytes(1, 8, 1, 8000, s8.tobytes()))
+    assert np.array_equal(got, s8)
+    vals = rng.integers(-(1 << 23), 1 << 23, size=60).astype(np.int32)
+    u = vals & 0xFFFFFF
+    b = np.stack([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=1).astype(np.uint8)
+    got, _ = C.wav_decode(wav_bytes(1, 24, 1, 44100, b.tobytes()))
+    assert np.array_equal(got, vals)
+    s32 = rng.integers(-2**31, 2**31 - 1, size=(40, 2)).astype(np.int32)
+    got, _ = C.wav_decode(wav_bytes(1, 32, 2, 48000, s32.astype("<i4").tobytes()))
+    assert np.array_equal(got, s32)
+    f32 = rng.normal(size=70).astype(np.float32)
+    got, _ = C.wav_decode(wav_bytes(3, 32, 1, 48000, f32.astype("<f4").tobytes()))
+    assert np.array_equal(got, f32)
+    s16 = rng.integers(-32768, 32768, size=90).astype(np.int16)
+    got, r = C.wav_decode(wav_bytes(1, 16, 1, 16000, s16.astype("<i2").tobytes(),
+                                    extensible=True))
+    assert np.array_equal(got, s16) and r == 16000
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):  # µ-law stays gated
+        C.wav_decode(wav_bytes(7, 8, 1, 8000, s8.tobytes()))
