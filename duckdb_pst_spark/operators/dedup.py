@@ -1050,22 +1050,68 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-quality member, not an arbitrary one (q_dedup_exact's MIN
     keeps the first; this keeps the best).
 
-    Scale design: signatures are per-row array algebra (no shuffle); the
-    group-and-pick is ONE shuffle on the 8-int signature key with a
-    window rank — no pairwise comparisons at all, so cost is O(corpus),
-    not O(candidates²). The window partition is a near-dup bucket (tiny
-    by construction), so no skewed-partition risk; at 100 TB the sig_key
-    shuffles as a 64-byte string (or xxhash64 of it, 8 bytes).
+    Scale design: signatures come from the scan-local numpy poly-hash
+    kernel (functions/polyhash_np.py — same prefix-hash machinery as
+    q_winnowing; the interpreted JVM per-character fold was this plan's
+    dominant cost, and n_chars rides the same source row so the old
+    doc_id join-back is gone too); the group-and-pick is ONE shuffle on
+    the 8-int signature key with a window rank — no pairwise
+    comparisons at all, so cost is O(corpus), not O(candidates²). The
+    window partition is a near-dup bucket (tiny by construction), so no
+    skewed-partition risk; at 100 TB the sig_key shuffles as a 64-byte
+    string (or xxhash64 of it, 8 bytes). Zipf-100× A/B is recorded in
+    SCALE.md §round 6.
     """
+    import pandas as pd
     from pyspark.sql import Window
 
+    def sig_kernel(batches):
+        import numpy as np
+
+        from duckdb_pst_spark.functions.batches import rebatch
+        from duckdb_pst_spark.functions.polyhash_np import batch_shingle_hashes
+        from duckdb_pst_spark.functions.portable import P_HASH
+
+        for pdf in rebatch(batches, 4096):
+            ids, nsh, _didx, _pos, h = batch_shingle_hashes(
+                pdf["text"].values, pdf["doc_id"].values
+            )
+            cols = {"doc_id": pd.Series(ids.tolist(), dtype="int64")}
+            if len(ids):
+                # n_chars of the kept docs, aligned via doc_id lookup on
+                # this batch (kernel input order == batch order)
+                nc = dict(zip(pdf["doc_id"].values, pdf["n_chars"].values))
+                cols["n_chars"] = pd.Series(
+                    [int(nc[i]) for i in ids.tolist()], dtype="int64"
+                )
+                starts = np.r_[0, np.cumsum(nsh)[:-1]]
+                for k in range(MINHASH_K):
+                    # (a·h + b) mod p per shingle (< p² ≈ 1e18, int64-
+                    # exact), then a per-doc segment minimum
+                    t = (_A[k] * h + _B[k]) % P_HASH
+                    cols[f"sig_{k}"] = pd.Series(
+                        np.minimum.reduceat(t, starts).tolist(), dtype="int64"
+                    )
+            else:
+                cols["n_chars"] = pd.Series(dtype="int64")
+                for k in range(MINHASH_K):
+                    cols[f"sig_{k}"] = pd.Series(dtype="int64")
+            yield pd.DataFrame(cols)
+
+    from duckdb_pst_spark.functions.partitioning import spread
+
+    sig_schema = ", ".join(
+        ["doc_id long", "n_chars long"]
+        + [f"sig_{k} long" for k in range(MINHASH_K)]
+    )
     sig_key = F.concat_ws(
         "-", *[F.col(f"sig_{k}").cast("string") for k in range(MINHASH_K)]
     ).alias("sig_key")
     keyed = (
-        minhash_signatures(spark, sf_dir)
-        .select("doc_id", sig_key)
-        .join(table(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text", "n_chars")
+        .mapInPandas(sig_kernel, sig_schema)
+        .select("doc_id", "n_chars", sig_key)
     )
     w_rank = Window.partitionBy("sig_key").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()

@@ -1134,86 +1134,26 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from duckdb_pst_spark.functions.batches import rebatch
-        from duckdb_pst_spark.functions.portable import P_HASH
+        from duckdb_pst_spark.functions.polyhash_np import batch_shingle_hashes
 
-        p = P_HASH
         shift = _WIN_SHIFT
         w = _WIN_W
-        inv31 = pow(31, -1, p)
         pad = np.iinfo(np.int64).max
 
-        def powmod_arange(base: int, n: int) -> np.ndarray:
-            """[base^0, base^1, ..., base^(n-1)] mod p, via vectorized
-            binary decomposition (no Python loop over n)."""
-            out = np.ones(n, dtype=np.int64)
-            k = np.arange(n, dtype=np.int64)
-            b = base % p
-            bit = 0
-            while (1 << bit) < max(n, 2):
-                mask = (k >> bit) & 1 == 1
-                out[mask] = (out[mask] * b) % p
-                b = (b * b) % p
-                bit += 1
-            return out
-
         for pdf in rebatch(batches, 4096):
-            doc_ids, spans_a, spans_b, doc_idx, pos_l, nsh = [], [], [], [], [], []
-            chunks: list[str] = []
-            off = 0
-            di = 0
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                if text is None:
-                    continue
-                toks = [t for t in text.split(" ") if t]
-                n = len(toks)
-                if n < 3:
-                    continue
-                norm = " ".join(toks)
-                lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
-                st = np.zeros(n, dtype=np.int64)
-                st[1:] = np.cumsum(lens[:-1] + 1)
-                ns = n - 2
-                spans_a.append(off + st[:ns])
-                spans_b.append(off + st[2:] + lens[2:])
-                doc_idx.append(np.full(ns, di, dtype=np.int64))
-                pos_l.append(np.arange(1, ns + 1, dtype=np.int64))
-                doc_ids.append(doc_id)
-                nsh.append(ns)
-                chunks.append(norm)
-                off += len(norm)
-                di += 1
-            if not doc_ids:
+            ids, nsh_arr, didx, pos, h = batch_shingle_hashes(
+                pdf["text"].values, pdf["doc_id"].values
+            )
+            if not len(ids):
                 yield pd.DataFrame(
                     {"doc_id": pd.Series(dtype="int64"),
                      "fp_hash": pd.Series(dtype="int64"),
                      "fp_pos": pd.Series(dtype="int64")}
                 )
                 continue
-            codes = np.frombuffer(
-                "".join(chunks).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            L = len(codes)
-            # prefix hash: Hpre[k] = 31^(k-1) · Σ_{j<k} code[j]·inv31^j.
-            # The cumsum stays exact in int64: terms < 127·p ≈ 1.3e11,
-            # and one 4096-doc rebatched span holds ≲ 2e7 chars → sum < 3e18.
-            ipw = powmod_arange(inv31, L + 1)
-            pw = powmod_arange(31, L + 1)
-            s_cum = np.zeros(L + 1, dtype=np.int64)
-            np.cumsum(codes * ipw[:L], out=s_cum[1:])
-            s_cum %= p
-            hpre = np.zeros(L + 1, dtype=np.int64)
-            hpre[1:] = (pw[:L] * s_cum[1:]) % p
-            a = np.concatenate(spans_a)
-            b = np.concatenate(spans_b)
-            # H(a,b) = Hpre[b] − Hpre[a]·31^(b−a): every product of two
-            # mod-p residues < p² ≈ 1e18 < 2^63
-            h = (hpre[b] - hpre[a] * pw[b - a]) % p
-            didx = np.concatenate(doc_idx)
-            pos = np.concatenate(pos_l)
             keys = h * shift + pos
             # batch-global sliding min: (w−1) +inf separators between
             # docs make end-clipped windows equal the per-doc semantics
-            nsh_arr = np.array(nsh, dtype=np.int64)
             padded_len = int(nsh_arr.sum() + (w - 1) * len(nsh_arr))
             padded = np.full(padded_len, pad, dtype=np.int64)
             starts = np.cumsum(np.r_[0, nsh_arr[:-1] + (w - 1)])
@@ -1229,7 +1169,6 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             dk, mk = dk[order], mk[order]
             first = np.r_[True, (dk[1:] != dk[:-1]) | (mk[1:] != mk[:-1])]
             dk, mk = dk[first], mk[first]
-            ids = np.asarray(doc_ids, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids[dk], dtype="int64"),

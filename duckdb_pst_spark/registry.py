@@ -97,14 +97,15 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_late_materialization", "q_distinct", "q_semi_join", "q_from_subquery",
     "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
     "q_join_agg_topn", "q_multi_join", "q_agg_stats", "q_rollup_agg",
-    "q_cube_agg", "q_intersect",
+    "q_cube_agg",
     # round-6 rewrites discovered after the fill was drafted: the DSIR
     # pair shares _dsir_scored (feat checkpoint changed both plans),
-    # chi2 moved to the scan-local one-exchange contingency plan, and
-    # the media_real fixture grew progressive JPEGs (v5 cycle) which
-    # changes q_media_decode_real's pinned result set
+    # chi2 moved to the scan-local one-exchange contingency plan, the
+    # media_real fixture grew progressive JPEGs (v5/v6 cycle) which
+    # changes q_media_decode_real's pinned result set, and keep_best
+    # moved to the numpy poly-hash signature kernel
     "q_dsir_weights", "q_dsir_resample", "q_chi2_terms",
-    "q_media_decode_real",
+    "q_media_decode_real", "q_dedup_keep_best",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
