@@ -2065,7 +2065,16 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stopword) keys pair only with the rare-leading prefixes that
     almost never contain them. Like q_setsim_prefix, not benched on the
     100× replica: replicated corpora make the TRUE pair set quadratic
-    (an output property, not a plan property)."""
+    (an output property, not a plan property). Measured round 6: the
+    Zipf-growth replica is just as pathological — siblings still share
+    the whole 31-token head vocabulary, so every replica of a doc
+    mutually contains its ~500 siblings (≈ 6×10⁷ true pairs) and BOTH
+    engines DNF at 100× (DuckDB OutOfMemory in the oracle; Spark
+    exhausted the box's 77 GB of spill). Real corpora do not ship 500
+    near-identical copies of every document into a containment join —
+    and when they do, the q_dedup_incremental collapse (one
+    representative per distinct text FIRST) is the mandatory
+    pre-step."""
     sets = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("s"))
