@@ -132,16 +132,22 @@ ROUND5_PLANNED: tuple[str, ...] = (
 
 # Round 7 window plan (keep the rotation math visible). With round 6 the
 # rotation becomes a steady-state re-verification cycle:
-#   1. Canaries for any plan ROUND 6 rewrites after its window froze
-#      (check SCALE.md §"round 6" before freezing).
+#   1. Canaries for any plan ROUND 7 rewrites. The queued round-7 perf
+#      item is migrating the remaining JVM signature consumers
+#      (q_minhash_sig, q_dedup_minhash, q_lsh_recall, q_dedup_cluster,
+#      q_dedup_cluster_star, q_cluster_size_histogram) to the
+#      functions/polyhash_np.py kernel that took q_dedup_keep_best from
+#      36 → 7 s — every migrated query needs a slot.
 #   2. Continue the registration-order fill where round 6 stopped: after
-#      q_anti_join comes q_percentile q_pivot q_correlated_scalar q_having
-#      q_in_subquery q_grouping_sets q_string_agg q_sql_functions
-#      q_json_extract q_unpivot, then windows.py (q_window_lag
-#      q_window_running q_latest_per_key q_window_range_frame
-#      q_window_ntiles q_time_bucket q_gapfill_locf), then text.py /
-#      dedup.py / similarity.py / sketches.py / sampling.py r2-r3 greens
-#      in file order until the 50 slots are full.
+#      q_cube_agg comes q_intersect q_except q_join_left_outer
+#      q_join_full_outer q_anti_join q_percentile q_pivot
+#      q_correlated_scalar q_having q_in_subquery q_grouping_sets
+#      q_string_agg q_sql_functions q_json_extract q_unpivot, then
+#      windows.py (q_window_lag q_window_running q_latest_per_key
+#      q_window_range_frame q_window_ntiles q_time_bucket
+#      q_gapfill_locf), then text.py / dedup.py / similarity.py /
+#      sketches.py / sampling.py r2-r3 greens in file order until the
+#      50 slots are full.
 # Done = every oracle-bearing query re-verified within ~3 rounds of its
 # last plan change.
 
