@@ -127,27 +127,6 @@ def _duck_minhash_cte(where: str = "") -> str:
     )"""
 
 
-def _with_sigs(sh_df: DataFrame) -> DataFrame:
-    """(doc_id, sh) → + sig_0..sig_{K-1}.
-
-    ``sh_df`` MUST be materialized (localCheckpoint/persist) first:
-    Catalyst's CollapseProject re-inlines a chained array expression into
-    every consumer lambda — without the barrier, the 8 signature
-    transforms each recompute the entire shingle pipeline (measured ~10×
-    slowdown at sf0.1). On a real cluster this barrier is a
-    ``persist(MEMORY_AND_DISK)`` per stage of the dedup job.
-    """
-
-    def perm(k: int):
-        # closure (not default-arg) — pyspark derives lambda arity from params
-        return lambda h: (F.lit(_A[k]) * h + F.lit(_B[k])) % F.lit(P_HASH)
-
-    d = sh_df
-    for k in range(MINHASH_K):
-        d = d.withColumn(f"sig_{k}", F.array_min(F.transform(F.col("sh"), perm(k))))
-    return d
-
-
 def signatures_for(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, text) → (doc_id, sh: array<bigint>, sig_0..sig_{K-1}).
 
@@ -157,20 +136,85 @@ def signatures_for(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     them once per distinct text is exact. ``carry`` names extra narrow
     columns to thread through unchanged (e.g. a side tag), so callers
     can partition the signature set with a map-side filter instead of a
-    join back to the tagging table."""
-    toks_df = (
-        docs.select("doc_id", *carry, tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .localCheckpoint(eager=True)  # barrier: stop shingle lambdas re-inlining the split
-    )
-    sh_df = (
-        toks_df.select(
-            "doc_id", *carry, _shingle_hashes(F.col("toks"), poly_hash).alias("sh")
+    join back to the tagging table.
+
+    Round 6 moved the shingle/signature math into the scan-local numpy
+    poly-hash kernel (functions/polyhash_np.py): the former JVM path —
+    an interpreted per-character fold per shingle behind two
+    localCheckpoint barriers — was the dominant cost of every consumer
+    (q_dedup_keep_best's private migration measured 36.4 → 7.3 s at
+    Zipf-100×). The kernel emits the IDENTICAL values: per-doc DISTINCT
+    shingle poly-hashes (sh) and min((a_k·h + b_k) mod p) signatures,
+    hash-pinned by every consumer's oracle-parity test."""
+    import pandas as pd
+
+    field_by_name = {f.name: f for f in docs.schema.fields}
+    schema = (
+        "doc_id long"
+        + "".join(
+            f", {c} {field_by_name[c].dataType.simpleString()}" for c in carry
         )
-        .filter(F.size("sh") >= 1)
-        .localCheckpoint(eager=True)  # barrier: stop sig transforms re-inlining shingles
+        + ", sh array<bigint>, "
+        + ", ".join(f"sig_{k} long" for k in range(MINHASH_K))
     )
-    return _with_sigs(sh_df)
+
+    def sig_kernel(batches):
+        import numpy as np
+
+        from duckdb_pst_spark.functions.batches import rebatch
+        from duckdb_pst_spark.functions.polyhash_np import batch_shingle_hashes
+
+        for pdf in rebatch(batches, 4096):
+            # keys = row positions so carry columns align without
+            # assuming doc_id uniqueness
+            rows, _nsh, didx, _pos, h = batch_shingle_hashes(
+                pdf["text"].values, np.arange(len(pdf), dtype=np.int64)
+            )
+            cols: dict = {}
+            if len(rows):
+                # per-doc DISTINCT shingle hashes — the JVM path applied
+                # array_distinct; downstream set-ops are insensitive but
+                # the arrays stay bit-identical this way
+                order = np.lexsort((h, didx))
+                dd, hh = didx[order], h[order]
+                first = np.r_[True, (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])]
+                dd, hh = dd[first], hh[first]
+                counts = np.bincount(dd, minlength=len(rows))
+                starts = np.r_[0, np.cumsum(counts)[:-1]]
+                cols["doc_id"] = pd.Series(
+                    pdf["doc_id"].values[rows].tolist(), dtype="int64"
+                )
+                for c in carry:
+                    cols[c] = pd.Series(pdf[c].values[rows])
+                cols["sh"] = pd.Series(
+                    [a.tolist() for a in np.split(hh, np.cumsum(counts)[:-1])],
+                    dtype="object",
+                )
+                for k in range(MINHASH_K):
+                    # (a·h + b) mod p < p² ≈ 1e18: int64-exact
+                    t = (_A[k] * hh + _B[k]) % P_HASH
+                    cols[f"sig_{k}"] = pd.Series(
+                        np.minimum.reduceat(t, starts).tolist(), dtype="int64"
+                    )
+            else:
+                # empty slices keep each column's dtype for Arrow
+                cols["doc_id"] = pdf["doc_id"].iloc[0:0]
+                for c in carry:
+                    cols[c] = pdf[c].iloc[0:0]
+                cols["sh"] = pd.Series(dtype="object")
+                for k in range(MINHASH_K):
+                    cols[f"sig_{k}"] = pd.Series(dtype="int64")
+            yield pd.DataFrame(cols)
+
+    # materialize once: every consumer reads the signature set from
+    # several plan subtrees (band join sides, Jaccard sh lookups) and
+    # would otherwise re-run the kernel per subtree — measured 52 → 66 s
+    # at Zipf-100× on q_dedup_minhash without this barrier
+    return (
+        docs.select("doc_id", "text", *carry)
+        .mapInPandas(sig_kernel, schema)
+        .localCheckpoint(eager=True)
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +364,8 @@ def simhash16_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # barrier: the 16 per-bit vote folds below each reference `th`;
         # without materialization CollapseProject re-inlines the token
-        # hashing into all 16 (see _with_sigs docstring)
+        # hashing into all 16 (Catalyst does no common-subexpression
+        # elimination across higher-order lambdas — measured ~10×)
         .localCheckpoint(eager=True)
     )
     simhash = F.aggregate(
@@ -741,8 +786,9 @@ def _fused_band_keys(text_col: Column) -> Column:
     (struct accumulator) → band keys in the fold's ``finish`` lambda.
 
     One chain means each upstream value is referenced exactly once, so
-    Catalyst's CollapseProject cannot duplicate work (the CSE hazard
-    documented on ``_with_sigs``) — and there is NO materialization
+    Catalyst's CollapseProject cannot duplicate work (the no-CSE-across-
+    lambdas hazard the simhash barrier above documents) — and there is
+    NO materialization
     barrier: at 100 TB this streams through the scan with zero
     executor-memory state, where a localCheckpoint of the tokenized
     corpus would not survive."""

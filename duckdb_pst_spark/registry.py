@@ -96,16 +96,20 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_count_distinct", "q_groupby_count_order", "q_orderby_multi", "q_topn",
     "q_late_materialization", "q_distinct", "q_semi_join", "q_from_subquery",
     "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
-    "q_join_agg_topn", "q_multi_join", "q_agg_stats", "q_rollup_agg",
-    "q_cube_agg",
+    "q_join_agg_topn",
     # round-6 rewrites discovered after the fill was drafted: the DSIR
     # pair shares _dsir_scored (feat checkpoint changed both plans),
     # chi2 moved to the scan-local one-exchange contingency plan, the
     # media_real fixture grew progressive JPEGs (v5/v6 cycle) which
-    # changes q_media_decode_real's pinned result set, and keep_best
-    # moved to the numpy poly-hash signature kernel
+    # changes q_media_decode_real's pinned result set, keep_best moved
+    # to the numpy poly-hash signature kernel, and then signatures_for
+    # ITSELF migrated to that kernel — so every remaining signature
+    # consumer (q_minhash_sig / q_dedup_minhash / q_dedup_incremental
+    # already hold slots above) needs one too
     "q_dsir_weights", "q_dsir_resample", "q_chi2_terms",
     "q_media_decode_real", "q_dedup_keep_best",
+    "q_lsh_recall", "q_dedup_cluster", "q_dedup_cluster_star",
+    "q_cluster_size_histogram",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -132,14 +136,13 @@ ROUND5_PLANNED: tuple[str, ...] = (
 
 # Round 7 window plan (keep the rotation math visible). With round 6 the
 # rotation becomes a steady-state re-verification cycle:
-#   1. Canaries for any plan ROUND 7 rewrites. The queued round-7 perf
-#      item is migrating the remaining JVM signature consumers
-#      (q_minhash_sig, q_dedup_minhash, q_lsh_recall, q_dedup_cluster,
-#      q_dedup_cluster_star, q_cluster_size_histogram) to the
-#      functions/polyhash_np.py kernel that took q_dedup_keep_best from
-#      36 → 7 s — every migrated query needs a slot.
+#   1. Canaries for any plan ROUND 7 rewrites (the signature-kernel
+#      migration landed IN round 6 — signatures_for itself now runs on
+#      functions/polyhash_np.py and every consumer holds a round-6
+#      window slot, so no migration debt carries over).
 #   2. Continue the registration-order fill where round 6 stopped: after
-#      q_cube_agg comes q_intersect q_except q_join_left_outer
+#      q_join_agg_topn comes q_multi_join q_agg_stats q_rollup_agg
+#      q_cube_agg q_intersect q_except q_join_left_outer
 #      q_join_full_outer q_anti_join q_percentile q_pivot
 #      q_correlated_scalar q_having q_in_subquery q_grouping_sets
 #      q_string_agg q_sql_functions q_json_extract q_unpivot, then
