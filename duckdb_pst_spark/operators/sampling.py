@@ -247,3 +247,58 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("pos"),
         )
     )
+
+
+# ------------------------------------------------- leakage-free split
+_SPLIT_TRAIN_PCT = 80  # train share of the 0-99 hash space
+
+
+@query(
+    "q_split_leakfree",
+    oracle=f"""
+    SELECT doc_id, rep_id,
+           CASE WHEN {duck_poly_hash_long('rep_id')} % 100 < {_SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'valid' END AS split
+    FROM (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+      FROM documents
+    ) t
+    """,
+    tags=("sampling", "dedup", "pipeline"),
+)
+def q_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/validation split — the eval-integrity step a
+    naive per-document hash split gets wrong: if two copies of the same
+    text land on opposite sides, the model is evaluated on its own
+    training data and the validation loss is a lie (the failure mode
+    the deduplication literature flags for perplexity benchmarks).
+    Here the split key is the exact-duplicate GROUP, not the document:
+    every doc inherits its group representative (min doc_id over
+    identical text) and the portable hash of THAT decides the side, so
+    duplicate copies can never straddle the split. For near-duplicate
+    leakage the same two-line pattern composes with the connected-
+    component output of q_dedup_cluster_star (split on the component
+    representative instead); the exact-group form keeps this an
+    oracle-checkable single-exchange query.
+
+    Scale shape: ONE text-keyed exchange (the window's partitioning) —
+    the same exchange any exact-dedup pass already pays, so in a real
+    pipeline the representative column is free (it is exactly
+    q_dedup_exact's group key). The split predicate itself is pure
+    per-row integer arithmetic on rep_id — no second shuffle, no
+    coordination, reproducible on any engine or cluster shape, and new
+    corpus increments route deterministically to the same side their
+    duplicate group already lives on."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = F.min("doc_id").over(Window.partitionBy("text")).alias("rep_id")
+    return d.select("doc_id", rep).select(
+        "doc_id",
+        "rep_id",
+        F.when(
+            poly_hash_long(F.col("rep_id")) % 100 < _SPLIT_TRAIN_PCT, "train"
+        )
+        .otherwise("valid")
+        .alias("split"),
+    )

@@ -2790,3 +2790,147 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("quality_u"),
         (q >= F.lit(500_000)).alias("is_keep"),
     )
+
+
+# ------------------------------------------------------- OOV-rate audit
+_OOV_DENOM = 64  # in-vocab = corpus count >= total_tokens / 64
+
+
+@query(
+    "q_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({duck_tokens('text')}) AS t FROM documents
+    ),
+    tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc),
+    voc AS (SELECT t FROM tc, tot WHERE c * {_OOV_DENOM} >= n)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           1000000 * CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             // count(*) AS oov_ppm
+    FROM tok LEFT JOIN voc v ON v.t = tok.t
+    GROUP BY tok.doc_id
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frequency-derived
+    vocabulary (tokens carrying ≥ 1/64 of the corpus token
+    mass are "in-vocab") — the tokenizer-coverage audit run before
+    committing a vocabulary: documents with high OOV ppm are the ones a
+    fixed tokenizer will shred into byte fallbacks, and a rising corpus
+    OOV curve is the signal to retrain the vocab. The relative
+    threshold makes the audit scale-free: the same query is meaningful
+    at sf0.001 and at 100 TB.
+
+    Scale shape: vocabulary construction is ONE map-side-combined
+    token-keyed exchange (corpus → vocab-sized counts); the total is a
+    1-row aggregate of those counts, broadcast back. Scoring is the
+    exploded token stream map-side-joined against the broadcast
+    vocabulary (vocab rows ≪ corpus; a trillion-token corpus has a
+    ~1e6-row vocab) followed by ONE doc-keyed aggregate — two corpus
+    exchanges total, both on 8-byte keys at production width. An
+    absolute-count threshold variant pushes the same plan; the ppm
+    output keeps the division exact-integer so the oracle hash-matches."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("t")
+    )
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tc.agg(F.sum("c").cast("long").alias("n"))
+    voc = (
+        tc.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * _OOV_DENOM >= F.col("n"))
+        .select("t")
+    )
+    return (
+        tok.join(F.broadcast(voc.withColumn("in_voc", F.lit(1))), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_voc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("1000000 * n_oov div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+# -------------------------------------------------- n-gram novelty curve
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+             ))) AS g
+      FROM (SELECT doc_id, {duck_tokens('text')} AS toks FROM documents) t0
+      WHERE len(toks) >= 3
+    ),
+    first AS (SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY g)
+    SELECT tri.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           1000000 * CAST(sum(CASE WHEN first.fd = tri.doc_id THEN 1 ELSE 0 END)
+                          AS BIGINT) // count(*) AS novel_ppm
+    FROM tri JOIN first ON first.g = tri.g
+    GROUP BY tri.doc_id
+    """,
+    tags=("text", "dedup", "pipeline"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram NOVELTY — the fraction of a document's
+    distinct trigrams whose first corpus occurrence (min doc_id) is the
+    document itself. The corpus-order novelty curve is the standard
+    redundancy diagnostic for crawl snapshots: novelty falling toward
+    zero means new documents are recombinations of seen text (time to
+    stop crawling that source), and per-source novelty medians rank
+    feeds by marginal value. Unlike pairwise near-dup metrics this is
+    linear in corpus size — no candidate pairs exist anywhere.
+
+    Scale shape: trigram identity is ``xxhash64(t1, t2, t3)`` straight
+    off the token array — no trigram string is ever materialized, and
+    the first-occurrence aggregate exchanges only (8-byte key, doc_id)
+    pairs with map-side combine (the oracle spells the same trigrams as
+    strings; a 64-bit collision would fold two trigrams and is
+    vanishingly improbable — the q_substring_spans precedent). Second
+    exchange joins first-occurrence back to the per-doc distinct
+    trigram stream on the same 8-byte key and aggregates per doc — two
+    corpus exchanges, both map-side combined, zero Python. min(doc_id)
+    as "first" is the deterministic tiebreak for same-snapshot
+    duplicates; with a crawl-date column the same plan keys min(ts)."""
+    d = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 3)
+    tri = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 2),"
+                        " i -> xxhash64(toks[i - 1], toks[i], toks[i + 1]))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    first = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    return (
+        tri.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("1000000 * n_novel div n_trigrams").alias("novel_ppm"),
+        )
+    )
