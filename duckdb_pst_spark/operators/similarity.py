@@ -1718,3 +1718,165 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b_u",
         F.abs(F.col("c_a_u") - F.col("c_b_u")).alias("abs_diff_u"),
     ).orderBy("dim")
+
+
+# ------------------------------------------------------------ IVF + PQ
+_IVFPQ_NPROBE = 2  # coarse lists probed per query
+
+_SUBD2_DUCK = (
+    "list_reduce(list_transform(range(1, {s} + 1), "
+    "i -> ({a}[m * {s} + i] - {b}[m * {s} + i])"
+    " * ({a}[m * {s} + i] - {b}[m * {s} + i])), (x, y) -> x + y)"
+)
+_SUBD2_SPARK = (
+    "aggregate(transform(sequence(1, {s}), "
+    "i -> ({a}[m * {s} + i - 1] - {b}[m * {s} + i - 1])"
+    " * ({a}[m * {s} + i - 1] - {b}[m * {s} + i - 1])), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def _ivfpq_oracle() -> str:
+    cdist = (
+        f"list_reduce(list_transform(range(1, {DIM} + 1), "
+        "i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i])), (x, y) -> x + y)"
+    )
+    sub = _SUBD2_DUCK.format(a="t.sv", b="b.cb_sv", s=PQ_SUB)
+    return (
+        _km_cte()
+        + f""",
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {cdist}, c.cid) AS rn
+        FROM af q CROSS JOIN c2 c
+        WHERE q.vec_id < {N_QUERIES}
+      ) t WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cb AS (
+      SELECT CAST(mm.m AS BIGINT) AS m, t.vec_id - {N_QUERIES} AS code,
+             t.sv AS cb_sv
+      FROM af t CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+      WHERE t.vec_id >= {N_QUERIES} AND t.vec_id < {N_QUERIES + PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT t.vec_id, b.m, b.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.vec_id, b.m ORDER BY {sub}, b.code) AS rn
+        FROM af t JOIN cb b ON true
+        WHERE t.vec_id >= {N_QUERIES}
+      ) x WHERE rn = 1
+    ),
+    qd AS (
+      SELECT t.vec_id AS qid, b.m, b.code, {sub} AS d2u
+      FROM af t JOIN cb b ON true
+      WHERE t.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT p.qid, ca.vec_id AS cand_id, CAST(sum(qd.d2u) AS BIGINT) AS adc_d2u
+      FROM probe p
+      JOIN af ca ON ca.cid = p.cid AND ca.vec_id >= {N_QUERIES}
+      JOIN enc e ON e.vec_id = ca.vec_id
+      JOIN qd ON qd.qid = p.qid AND qd.m = e.m AND qd.code = e.code
+      GROUP BY p.qid, ca.vec_id
+    )
+    SELECT qid, cand_id, rn, adc_d2u FROM (
+      SELECT qid, cand_id, adc_d2u,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY adc_d2u, cand_id) AS BIGINT) AS rn
+      FROM adc
+    ) t WHERE rn <= {TOP_K}
+    """
+    )
+
+
+@query(
+    "q_knn_ivfpq",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "iterative", "pipeline"),
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS's default at
+    billion scale, Jégou et al. TPAMI'11 §V): a TRAINED coarse
+    quantizer (q_kmeans_iter's fixed-point Lloyd) partitions the corpus
+    into inverted lists; queries probe their nprobe=2 nearest lists;
+    and within the probed lists candidates are ranked by PQ Asymmetric
+    Distance — 8 × 4-bit codes per vector, a per-query 8×16 lookup
+    table, the raw candidate vector never touched at query time. The
+    two index families the repo proves separately (q_knn_ivf_trained,
+    q_knn_pq) composed the way production serves them. Everything —
+    centroid training, probe ranking, codebook encode, ADC — runs on
+    the SAME scaled-integer lattice, so unlike the float-ADC q_knn_pq
+    the whole chain is exact integer arithmetic and the oracle
+    hash-matches every distance bit.
+
+    Scale shape: training + list assignment amortize over every query
+    batch (one corpus scan per Lloyd iteration); encoding is scan-local
+    against the broadcast 128-row codebook with a map-side min(struct)
+    argmin; the probe set is |Q|·nprobe rows joined on cid — ON A
+    PARTITIONED LAYOUT THE LISTS ARE PARTITION VALUES, so probing is
+    partition PRUNING and the scan touches nprobe/K of the corpus; the
+    ADC lookup table is |Q|·8·16 rows broadcast, and the only wide
+    exchange aggregates (qid, cand) partial sums within probed lists.
+    Memory per vector at serving time is 8 nibbles + one int64 id —
+    the 100 TB embedding corpus fits hot exactly because of this."""
+    final, cents = _lloyd(spark, sf_dir)
+    final = final.localCheckpoint(eager=True)  # read 4×: probe/cb/enc/qd
+    d2c = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2c"), F.asc("cid"))
+    probe = (
+        final.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "sv")  # drop the nprobe=1 home list: cid below is the centroid's
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("qid"), "cid", d2c.alias("d2c"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("qid", "cid")
+    )
+    mm = spark.range(PQ_M).select(F.col("id").cast("long").alias("m"))
+    cb = F.broadcast(
+        final.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("code"), F.col("sv").alias("cb_sv"))
+        .crossJoin(mm)
+        .select("m", "code", "cb_sv")
+    )
+    sub = F.expr(_SUBD2_SPARK.format(a="sv", b="cb_sv", s=PQ_SUB))
+    enc = (
+        final.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(cb)
+        .select("vec_id", "m", "code", sub.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("mc"))
+        .select(F.col("vec_id").alias("cand_id"), "m", F.col("mc.code").alias("code"))
+    )
+    qd = F.broadcast(
+        final.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(cb)
+        .select(F.col("vec_id").alias("qid"), "m", "code", sub.alias("d2u"))
+    )
+    cands = probe.join(
+        final.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("cand_id"), "cid"
+        ),
+        "cid",
+    ).select("qid", "cand_id")
+    adc = (
+        cands.join(enc, "cand_id")
+        .join(qd, ["qid", "m", "code"])
+        .groupBy("qid", "cand_id")
+        .agg(F.sum("d2u").cast("long").alias("adc_d2u"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc_d2u"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id", "rn", "adc_d2u")
+    )

@@ -137,7 +137,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
 # Round 7 window plan (keep the rotation math visible). With round 6 the
 # rotation becomes a steady-state re-verification cycle:
 #   0. The round-6 additions, never windowed: q_split_leakfree,
-#      q_oov_rate, q_ngram_novelty, q_triangle_count
+#      q_oov_rate, q_ngram_novelty, q_triangle_count, q_knn_ivfpq
 #      (locally hash-exact at sf0.001 AND sf0.01; new queries always
 #      take the front slots — same rule that cleared the r3/r4 backlog).
 #   1. Canaries for any plan ROUND 7 rewrites (the signature-kernel
