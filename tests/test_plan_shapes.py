@@ -517,3 +517,55 @@ def test_keep_best_kernel_one_exchange(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert pi.shuffle_count(df) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_split_leakfree_one_exchange(spark, sf_dir):
+    """q_split_leakfree: ONE text-keyed exchange (the window's
+    partitioning — the same exchange exact dedup pays) and no join; the
+    split predicate is per-row arithmetic on rep_id."""
+    df = SPECS["q_split_leakfree"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.shuffle_count(df) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_oov_vocab_is_broadcast(spark, sf_dir):
+    """q_oov_rate: the vocabulary joins the token stream as a BROADCAST
+    (vocab ≪ corpus at any scale) — a shuffled vocab join would move
+    the whole exploded corpus on token strings."""
+    df = SPECS["q_oov_rate"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.broadcast_join_count(df) >= 1, plan
+    assert pi.shuffle_count(df) <= 4, plan
+
+
+def test_ngram_novelty_no_corpus_joinback(spark, sf_dir):
+    """q_ngram_novelty: per-doc novel counts come from grouping the
+    first-occurrence table by its min-doc, NOT from joining it back to
+    the corpus-sized trigram stream (Zipf-100× A/B: 8.3 → 3.0 s). Three
+    map-side-combined exchanges; the only join is doc-cardinality."""
+    df = SPECS["q_ngram_novelty"].builder(spark, sf_dir)
+    assert pi.shuffle_count(df) <= 3, pi.executed_plan(df)
+
+
+def test_triangle_adjacency_intersect(spark, sf_dir):
+    """q_triangle_count: edge-iterator triangles over degree-ORIENTED
+    out-adjacency arrays — per-edge array_intersect, never a
+    materialized wedge set through an exchange (x10 interleaved
+    min-of-3: wedge-semi-join 72.8 s vs 23.2 s, identical counts)."""
+    df = SPECS["q_triangle_count"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "array_intersect" in plan, plan
+    assert pi.shuffle_count(df) <= 7, plan
+
+
+def test_ivfpq_codebook_broadcast(spark, sf_dir):
+    """q_knn_ivfpq: centroids, codebook, and the ADC lookup table are
+    broadcasts; only list-sized aggregates shuffle. A shuffled codebook
+    join would exchange the corpus per subspace."""
+    df = SPECS["q_knn_ivfpq"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.broadcast_join_count(df) >= 3, plan
+    # probe rank, encode argmin, ADC partial sum, final rank + AQE
+    # session variation — all skinny (list-sized or |Q|-sized) exchanges
+    assert pi.shuffle_count(df) <= 7, plan
