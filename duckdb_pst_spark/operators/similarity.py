@@ -1814,8 +1814,11 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training + list assignment amortize over every query
     batch (one corpus scan per Lloyd iteration); encoding is scan-local
-    against the broadcast 128-row codebook with a map-side min(struct)
-    argmin; the probe set is |Q|·nprobe rows joined on cid — ON A
+    exact-integer BLAS against the broadcast 128-row codebook (one
+    matmul per Arrow batch per subspace — the interpreted
+    crossJoin + fold it replaced lost 73.3 vs 37.3 s interleaved
+    min-of-3 at 1M vectors, identical top-k); the probe set is
+    |Q|·nprobe rows joined on cid — ON A
     PARTITIONED LAYOUT THE LISTS ARE PARTITION VALUES, so probing is
     partition PRUNING and the scan touches nprobe/K of the corpus; the
     ADC lookup table is |Q|·8·16 rows broadcast, and the only wide
@@ -1848,15 +1851,70 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mm)
         .select("m", "code", "cb_sv")
     )
-    sub = F.expr(_SUBD2_SPARK.format(a="sv", b="cb_sv", s=PQ_SUB))
+    # Encode via exact-integer BLAS (the _lloyd_gemm pattern): the
+    # interpreted crossJoin(cb) + aggregate() fold paid ~128 lambda
+    # evaluations per vector and dominated the chain at 1M vectors
+    # (A/B below). Components |sv| ≤ KM_SCALE·|v| ≪ _GEMM_EXACT_BOUND,
+    # so each 8-dim x·c partial sum stays < 2^53 and the float64 matmul
+    # is the exact integer dot product; d² finishes in int64 and
+    # np.argmin's first-min tiebreak over ascending codes equals the
+    # oracle's ORDER BY d2, code.
+    import numpy as np
+
+    cb_rows = sorted(
+        final.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select("vec_id", "sv")
+        .collect(),  # bounded: ≤ PQ_K = 16 seed rows
+        key=lambda r: r.vec_id,
+    )
+    cb_codes = np.array([r.vec_id - N_QUERIES for r in cb_rows], dtype=np.int64)
+    cb_mat = (
+        np.array([r.sv for r in cb_rows], dtype=np.int64)
+        .reshape(len(cb_rows), PQ_M, PQ_SUB)
+        .transpose(1, 0, 2)  # (m, code, sub)
+    )
+    bc = spark.sparkContext.broadcast((cb_codes, cb_mat))
+
+    def encode_gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        codes_arr, C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = (
+                np.stack(pdf["sv"].to_numpy())
+                .astype(np.int64)
+                .reshape(len(ids), PQ_M, PQ_SUB)
+            )
+            out = np.empty((len(ids), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                Xm, Cm = X[:, m, :], C[m]
+                dot = Xm.astype(np.float64) @ Cm.astype(np.float64).T
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                    - 2 * dot.astype(np.int64)
+                )
+                out[:, m] = codes_arr[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "cand_id": np.repeat(ids, PQ_M),
+                    "m": np.tile(np.arange(PQ_M, dtype=np.int64), len(ids)),
+                    "code": out.ravel(),
+                }
+            )
+
     enc = (
         final.filter(F.col("vec_id") >= N_QUERIES)
-        .crossJoin(cb)
-        .select("vec_id", "m", "code", sub.alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("mc"))
-        .select(F.col("vec_id").alias("cand_id"), "m", F.col("mc.code").alias("code"))
+        .select("vec_id", "sv")
+        .mapInPandas(encode_gemm, "cand_id long, m long, code long")
     )
+    sub = F.expr(_SUBD2_SPARK.format(a="sv", b="cb_sv", s=PQ_SUB))
     qd = F.broadcast(
         final.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(cb)
