@@ -10,12 +10,12 @@ WAV are decodable from their public specifications with nothing beyond
 - PNG per RFC 2083 / W3C PNG spec: 8-byte signature, length-tagged CRC
   chunks, IHDR geometry, concatenated-IDAT zlib stream, and the five
   per-scanline filters (None/Sub/Up/Average/Paeth, §6) undone row by
-  row. Supported: bit depths 8 and 16 (16-bit filters run byte-wise
-  at bpp = 2c per §6.2), color types 0 (gray), 2 (RGB), 3 (palette,
-  PLTE resolved to RGB), 4 (gray+alpha), 6 (RGBA), sequential AND
-  Adam7-interlaced (§8.2: seven independently-filtered pass
-  sub-images). Sub-byte depths raise ``NotImplementedError``
-  (honest gate).
+  row. Supported: bit depths 1/2/4 (gray and palette; samples packed
+  MSB-first per §7.2, filters on the packed bytes at bpp=1 per §6.2),
+  8, and 16 (filters byte-wise at bpp = 2c), color types 0 (gray),
+  2 (RGB), 3 (palette, PLTE resolved to RGB), 4 (gray+alpha),
+  6 (RGBA), sequential AND Adam7-interlaced (§8.2: seven
+  independently-filtered pass sub-images).
 - WAV per the public RIFF/WAVE layout: chunk walk to 'fmt ' and
   'data'; integer PCM 8/16/24/32-bit and IEEE float32, including
   WAVE_FORMAT_EXTENSIBLE (SubFormat GUID resolution); mono or
@@ -27,9 +27,10 @@ filters per scanline, so every decoder filter path is exercised against
 ground truth). Baseline JPEG is decoded by the pure-numpy Huffman+IDCT
 decoder in ``multimodal/jpegc.py`` (baseline AND progressive SOF2,
 with a salvage mode for corrupt streams); PNG decodes sequential AND
-Adam7-interlaced streams at depths 8/16 including palette images, and
-GIF decodes interlaced frames; only sub-byte PNG depths remain gated
-behind honest ``NotImplementedError``.
+Adam7-interlaced streams at every spec bit depth (1/2/4/8/16)
+including palette images, and GIF decodes interlaced frames — the PNG
+envelope is closed; remaining codec gates are the rare JPEG variants
+(arithmetic/lossless/12-bit) and compressed WAV (A-law/µ-law/ADPCM).
 """
 
 from __future__ import annotations
@@ -115,6 +116,67 @@ def _png_body(px_bytes: np.ndarray, filter_type: int, interlace: bool) -> bytes:
     return bytes(_png_filter_rows(px_bytes, filter_type))
 
 
+def _pack_samples(rows: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) samples < 2^depth → (h, rb, 1) packed scanline bytes,
+    MSB-first within each byte, rows padded with zero bits (spec §7.2)."""
+    h, w = rows.shape
+    bits = (
+        ((rows[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+        .astype(np.uint8)
+        .reshape(h, w * depth)
+    )
+    return np.packbits(bits, axis=1)[:, :, None]
+
+
+def _unpack_samples(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, rb) packed scanline bytes → (h, w) samples, inverse of
+    :func:`_pack_samples` (trailing pad bits discarded)."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)
+    spp = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+    vals = (spp << np.arange(depth - 1, -1, -1)).sum(axis=2)
+    return vals[:, :w].astype(np.uint8)
+
+
+def png_encode_sub(
+    samples: np.ndarray,
+    depth: int,
+    *,
+    palette: np.ndarray | None = None,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Sub-byte PNG: (h, w) uint8 samples < 2^depth at depth 1/2/4 →
+    grayscale (color type 0) or, with a palette, indexed (color type 3)
+    PNG bytes. Samples pack MSB-first into scanline bytes (spec §7.2)
+    and the five filters then operate on the PACKED bytes with bpp=1
+    (spec §6.2 — the left neighbor is the previous byte, not the
+    previous sample); Adam7 packs each pass sub-image's rows to its own
+    byte boundary."""
+    if depth not in (1, 2, 4):
+        raise ValueError("depth in (1, 2, 4)")
+    if samples.dtype != np.uint8 or samples.max(initial=0) >= (1 << depth):
+        raise ValueError("need uint8 samples < 2^depth")
+    h, w = samples.shape
+    color_type = 0 if palette is None else 3
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_rows(_pack_samples(sub, depth), filter_type)
+        body = bytes(raw)
+    else:
+        body = bytes(_png_filter_rows(_pack_samples(samples, depth), filter_type))
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(body, 6)) + _chunk(b"IEND", b"")
+
+
 def png_encode(px: np.ndarray, filter_type: int = 0, *, interlace: bool = False) -> bytes:
     """(h, w) or (h, w, c) uint8 — or uint16 for a 16-bit PNG — → PNG
     bytes, one filter for every scanline (0..4; decoders must handle
@@ -171,10 +233,10 @@ def png_encode_palette(
 
 
 def png_decode(raw: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, c) array. Bit depth 8 (uint8 out) or 16
-    (uint16 out), color types 0/2/3/4/6 (palette resolved to RGB),
-    sequential or Adam7-interlaced; sub-8-bit depths raise
-    NotImplementedError.
+    """PNG bytes → (h, w, c) array. Bit depths 1/2/4 (gray scaled to
+    uint8 per §12.5, or palette), 8 (uint8 out), and 16 (uint16 out),
+    color types 0/2/3/4/6 (palette resolved to RGB), sequential or
+    Adam7-interlaced.
 
     The 16-bit path reuses the 8-bit unfilter verbatim: PNG filtering
     is BYTE-wise with the left neighbor at bpp = 2c bytes (spec §6.2),
@@ -205,19 +267,48 @@ def png_decode(raw: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     palette = color_type == 3
+    sub_byte = depth in (1, 2, 4)
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or (depth == 16 and palette)
+        or (sub_byte and color_type not in (0, 3))
         or (not palette and color_type not in _PNG_CHANNELS)
         or interlace not in (0, 1)
     ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} interlace={interlace}"
-            " outside the pure-numpy envelope (8/16-bit, sequential or"
-            " Adam7, gray/RGB/palette/gray+alpha/RGBA)"
+            " outside the pure-numpy envelope (1/2/4-bit gray or palette,"
+            " 8/16-bit gray/RGB/palette/gray+alpha/RGBA, sequential or Adam7)"
         )
     if palette and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    if sub_byte:
+        # Packed scanlines: filters ran on the PACKED bytes (bpp=1, spec
+        # §6.2), so unfilter rb-byte rows, then unpack MSB-first samples;
+        # each Adam7 pass packs its own rows to a fresh byte boundary.
+        data = zlib.decompress(bytes(idat))
+        if interlace == 0:
+            rb = (w * depth + 7) // 8
+            samples = _unpack_samples(_png_unfilter(data, h, rb, 1)[:, :, 0], w, depth)
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                ph = (h - y0 + dy - 1) // dy
+                pw = (w - x0 + dx - 1) // dx
+                if ph <= 0 or pw <= 0:
+                    continue
+                prb = (pw * depth + 7) // 8
+                nbytes = ph * (prb + 1)
+                sub = _png_unfilter(data[off : off + nbytes], ph, prb, 1)
+                samples[y0::dy, x0::dx] = _unpack_samples(sub[:, :, 0], pw, depth)
+                off += nbytes
+            if off != len(data):
+                raise ValueError("PNG Adam7 payload size mismatch")
+        if palette:
+            return plte[samples]
+        # spec §12.5 sample scaling: 255/(2^d−1) is exact for d=1/2/4
+        return (samples * (255 // ((1 << depth) - 1)))[:, :, None].astype(np.uint8)
     # byte-channels per pixel: filters operate on bytes at bpp offsets
     bc = 1 if palette else _PNG_CHANNELS[color_type] * (depth // 8)
     data = zlib.decompress(bytes(idat))
