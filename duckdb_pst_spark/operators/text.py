@@ -728,9 +728,9 @@ def _occ(col_sql: str, m: str) -> str:
     return f"(length({col_sql}) - length(replace({col_sql}, '{esc}', ''))) / {len(m)}"
 
 
-@query(
-    "q_lang_ngram",
-    oracle=f"""
+# the scored argmax SELECT — shared verbatim by q_lang_ngram (per-doc
+# output) and q_lang_confusion (the classifier's eval against gold)
+_DUCK_LANG_GUESS = f"""
     SELECT doc_id, lang,
            CASE
              WHEN octet_length(encode(text)) - length(text) > length(text) / 2 THEN 'zh'
@@ -747,16 +747,11 @@ def _occ(col_sql: str, m: str) -> str:
              {" + ".join(_occ("text", m) for m in _LANG_MARKERS["es"])} AS s_es
       FROM documents
     ) t
-    """,
-    tags=("text", "pipeline"),
-)
-def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID by character-n-gram markers (the classic n-gram
-    profile heuristic, cheap enough for 100 TB): per-language marker
-    trigram occurrence counts via portable length/replace arithmetic, a
-    byte-vs-char-length signal for CJK, deterministic argmax with a
-    fixed tiebreak order. Map-only — no shuffle, no UDF; the stopword
-    detector (q_lang_stopword) is the English-centric sibling."""
+    """
+
+
+def _lang_guess_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, lang_guess) — the Spark twin of _DUCK_LANG_GUESS."""
     d = table(spark, sf_dir, "documents")
     scores = {
         lang: sum(
@@ -774,6 +769,68 @@ def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "q_lang_ngram",
+    oracle=_DUCK_LANG_GUESS,
+    tags=("text", "pipeline"),
+)
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-n-gram markers (the classic n-gram
+    profile heuristic, cheap enough for 100 TB): per-language marker
+    trigram occurrence counts via portable length/replace arithmetic, a
+    byte-vs-char-length signal for CJK, deterministic argmax with a
+    fixed tiebreak order. Map-only — no shuffle, no UDF; the stopword
+    detector (q_lang_stopword) is the English-centric sibling."""
+    return _lang_guess_df(spark, sf_dir)
+
+
+# ----------------------------------------- language-ID confusion matrix
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH g AS ({_DUCK_LANG_GUESS}),
+    c AS (
+      SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY lang, lang_guess
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_gold FROM c GROUP BY lang)
+    SELECT c.lang, c.lang_guess, c.n,
+           1000000 * c.n // t.n_gold AS cell_ppm
+    FROM c JOIN tot t ON t.lang = c.lang
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language classifier against the
+    gold ``lang`` column — the eval every lang-ID gate needs before it
+    filters a corpus: diagonal cell_ppm is per-language recall, and an
+    off-diagonal hot cell says which language pair the markers confuse
+    (the gate's false-drop budget comes straight from this table).
+    Classifier and scoring share one definition (_DUCK_LANG_GUESS /
+    _lang_guess_df), so the eval can never drift from the deployed
+    predictor.
+
+    Scale shape: one corpus scan into a map-side-combined aggregate
+    over ≤ |langs|² keys; gold totals come from re-aggregating those
+    cells (never a second corpus pass) and join back as a broadcast.
+    Everything after the scan is driver-trivial — the eval costs one
+    pass at any corpus size."""
+    g = _lang_guess_df(spark, sf_dir)
+    c = g.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_gold"))
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.expr("1000000 * n div n_gold").alias("cell_ppm"),
+        )
+    )
 
 
 # ------------------------------------------- corpus-quantile quality gate

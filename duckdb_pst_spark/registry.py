@@ -137,9 +137,13 @@ ROUND5_PLANNED: tuple[str, ...] = (
 # Round 7 window plan (keep the rotation math visible). With round 6 the
 # rotation becomes a steady-state re-verification cycle:
 #   0. The round-6 additions, never windowed: q_split_leakfree,
-#      q_oov_rate, q_ngram_novelty, q_triangle_count, q_knn_ivfpq
+#      q_oov_rate, q_ngram_novelty, q_triangle_count, q_knn_ivfpq,
+#      q_lang_confusion
 #      (locally hash-exact at sf0.001 AND sf0.01; new queries always
 #      take the front slots — same rule that cleared the r3/r4 backlog).
+#      q_lang_ngram needs a canary slot too: its oracle SQL was
+#      refactored into the shared _DUCK_LANG_GUESS constant (same
+#      semantics, green r3).
 #   1. Canaries for any plan ROUND 7 rewrites (the signature-kernel
 #      migration landed IN round 6 — signatures_for itself now runs on
 #      functions/polyhash_np.py and every consumer holds a round-6
