@@ -801,6 +801,7 @@ def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN tot t ON t.lang = c.lang
     """,
     tags=("text", "quality", "pipeline"),
+    bench=True,
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the n-gram language classifier against the
@@ -2939,6 +2940,7 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY tri.doc_id
     """,
     tags=("text", "dedup", "pipeline"),
+    bench=True,
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram NOVELTY — the fraction of a document's
