@@ -602,7 +602,7 @@ def _lloyd(
 _GEMM_EXACT_BOUND = 11_863_283
 
 
-def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int, *, with_vectors: bool = False):
     """Bit-exact drop-in twin of `_lloyd`'s assignment on the SAME
     fixed-point integer lattice, with the O(n·K·dim) distance arithmetic
     moved from interpreted JVM folds into one BLAS matmul per Arrow
@@ -625,7 +625,11 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     Scale shape per iteration: one corpus scan (mapInPandas), partial
     state K·(dim+1) int64 per task, one K·dim-row partial-agg shuffle,
     centroids (≤ 64k × 64 longs) live on the driver between iterations.
-    Returns the final assignment (vec_id, cid)."""
+    Returns the final assignment (vec_id, cid) — or, with
+    ``with_vectors=True``, the pair (assignment (vec_id, sv, cid),
+    trained centroids (cid, cvec)): the `_lloyd` return contract, for
+    consumers like q_knn_ivfpq that need the vectors and codebook
+    downstream of training."""
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
@@ -734,11 +738,25 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         Ci, ids = bcC.value, bcCids.value
         for pdf in rebatch(batches, 8192):
             Xi = np.stack(pdf["sv"].to_numpy()).astype(np.int64)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cid": ids[assign_ids(Xi, Ci)]}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cid": ids[assign_ids(Xi, Ci)]}
+            if with_vectors:
+                # explicit object dtype: the empty-partition float64
+                # inference cannot convert to list<int64> (house gotcha)
+                out = {
+                    "vec_id": out["vec_id"],
+                    "sv": pd.Series(list(pdf["sv"].to_numpy()), dtype="object"),
+                    "cid": out["cid"],
+                }
+            yield pd.DataFrame(out)
 
-    return pts.mapInPandas(assign_kernel, "vec_id long, cid long")
+    if not with_vectors:
+        return pts.mapInPandas(assign_kernel, "vec_id long, cid long")
+    final = pts.mapInPandas(assign_kernel, "vec_id long, sv array<long>, cid long")
+    cents = spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
+        "cid long, cvec array<long>",
+    )
+    return final, cents
 
 
 @query(
@@ -1813,11 +1831,13 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches every distance bit.
 
     Scale shape: training + list assignment amortize over every query
-    batch (one corpus scan per Lloyd iteration); encoding is scan-local
-    exact-integer BLAS against the broadcast 128-row codebook (one
-    matmul per Arrow batch per subspace — the interpreted
-    crossJoin + fold it replaced lost 73.3 vs 37.3 s interleaved
-    min-of-3 at 1M vectors, identical top-k); the probe set is
+    batch (one corpus scan per Lloyd iteration, `_lloyd_gemm`'s
+    exact-integer BLAS assignment — the interpreted `_lloyd` twin lost
+    39.3 vs 8.6 s interleaved min-of-3 at 1M vectors, identical
+    output); encoding is scan-local exact-integer BLAS against the
+    broadcast 128-row codebook (one matmul per Arrow batch per
+    subspace — the interpreted crossJoin + fold it replaced lost 73.3
+    vs 37.3 s on the same protocol); the probe set is
     |Q|·nprobe rows joined on cid — ON A
     PARTITIONED LAYOUT THE LISTS ARE PARTITION VALUES, so probing is
     partition PRUNING and the scan touches nprobe/K of the corpus; the
@@ -1825,7 +1845,10 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange aggregates (qid, cand) partial sums within probed lists.
     Memory per vector at serving time is 8 nibbles + one int64 id —
     the 100 TB embedding corpus fits hot exactly because of this."""
-    final, cents = _lloyd(spark, sf_dir)
+    # Train with the bit-exact BLAS twin of _lloyd (same lattice,
+    # test-gated equal): at 1M vectors the interpreted fold spent most
+    # of the chain's wall-clock in training (A/B in SCALE.md).
+    final, cents = _lloyd_gemm(spark, sf_dir, KM_K, with_vectors=True)
     final = final.localCheckpoint(eager=True)  # read 4×: probe/cb/enc/qd
     d2c = F.aggregate(
         F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
