@@ -517,8 +517,15 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration, centroids live on the driver between iterations
     (tiny), exactly how distributed k-means runs at 100 TB. The loop is
     a real driver-side iteration over DataFrame programs, not an
-    unrolled plan.""".format(it=KM_ITERS, k=KM_K, d=DIM)
-    final, centroids = _lloyd(spark, sf_dir)
+    unrolled plan. Since round 6 the assignment arithmetic runs in
+    _lloyd_gemm's exact-integer BLAS kernel (bit-identical to the
+    interpreted _lloyd, equivalence test-gated).""".format(
+        it=KM_ITERS, k=KM_K, d=DIM
+    )
+    # Bit-exact BLAS training twin (_lloyd is the interpreted reference
+    # the equivalence gate pins against): interleaved min-of-3 at
+    # Zipf-100×, 30.9 → 6.1 s, md5-equal output — 0.35× same-box DuckDB.
+    final, centroids = _lloyd_gemm(spark, sf_dir, KM_K, with_vectors=True)
     l1 = F.aggregate(
         F.transform(F.col("cvec"), lambda x: F.abs(x)),
         F.lit(0).cast("long"),
@@ -791,12 +798,14 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpora.
 
     Scale shape: training is per-iteration one corpus scan + a K·dim
-    partial-agg shuffle; the index assignment is the training loop's
-    last broadcast pass; the probe is an equi-join on cid — shuffle ∝
-    list sizes. At 100 TB the lists become partition values and the
-    probe becomes partition pruning (q_knn_ivf's docstring), with
-    centroids retrained offline exactly as here."""
-    final, _cent = _lloyd(spark, sf_dir)
+    partial-agg shuffle (BLAS assignment via `_lloyd_gemm` since round
+    6 — interleaved min-of-3 at Zipf-100×: 32.7 → 7.9 s, md5-equal
+    top-k, 0.35× same-box DuckDB); the index assignment is the training
+    loop's last broadcast pass; the probe is an equi-join on cid —
+    shuffle ∝ list sizes. At 100 TB the lists become partition values
+    and the probe becomes partition pruning (q_knn_ivf's docstring),
+    with centroids retrained offline exactly as here."""
+    final, _cent = _lloyd_gemm(spark, sf_dir, KM_K, with_vectors=True)
     q = final.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("sv").alias("q_sv"), "cid"
     )

@@ -143,7 +143,10 @@ ROUND5_PLANNED: tuple[str, ...] = (
 #      take the front slots — same rule that cleared the r3/r4 backlog).
 #      q_lang_ngram needs a canary slot too: its oracle SQL was
 #      refactored into the shared _DUCK_LANG_GUESS constant (same
-#      semantics, green r3).
+#      semantics, green r3). So do q_kmeans_iter and q_knn_ivf_trained
+#      (r4 greens whose training moved onto _lloyd_gemm late in round
+#      6 — bit-exact, md5-equal outputs at Zipf-100×, but the plans
+#      changed: 30.9 → 6.1 s and 32.7 → 7.9 s).
 #   1. Canaries for any plan ROUND 7 rewrites (the signature-kernel
 #      migration landed IN round 6 — signatures_for itself now runs on
 #      functions/polyhash_np.py and every consumer holds a round-6
