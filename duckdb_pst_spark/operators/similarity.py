@@ -1970,3 +1970,158 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cand_id", "rn", "adc_d2u")
     )
+
+
+# ------------------------------------------------- IVF nprobe sweep
+_NPROBE_MAX = 4  # sweep recall@k for nprobe = 1..4 (of KM_K lists)
+
+
+def _nprobe_oracle() -> str:
+    cdist = (
+        f"list_reduce(list_transform(range(1, {DIM} + 1), "
+        "i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i])), (x, y) -> x + y)"
+    )
+    vdist = (
+        f"list_reduce(list_transform(range(1, {DIM} + 1), "
+        "i -> (q.sv[i] - c.sv[i]) * (q.sv[i] - c.sv[i])), (x, y) -> x + y)"
+    )
+    return (
+        _km_cte()
+        + f""",
+    cdist AS (
+      SELECT qid, cid, cr FROM (
+        SELECT q.vec_id AS qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {cdist}, c.cid) AS cr
+        FROM af q CROSS JOIN c2 c
+        WHERE q.vec_id < {N_QUERIES}
+      ) t
+    ),
+    truth AS (
+      SELECT qid, cand_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {vdist}, c.vec_id) AS rn
+        FROM af q JOIN af c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+      ) t WHERE rn <= {TOP_K}
+    ),
+    pr AS (SELECT CAST(unnest(range(1, {_NPROBE_MAX + 1})) AS BIGINT) AS p),
+    cand AS (
+      SELECT cd.qid, pr.p, c.vec_id AS cand_id, {vdist} AS d2
+      FROM cdist cd
+      JOIN pr ON cd.cr <= pr.p
+      JOIN af c ON c.cid = cd.cid AND c.vec_id >= {N_QUERIES}
+      JOIN af q ON q.vec_id = cd.qid
+    ),
+    topk AS (
+      SELECT qid, p, cand_id FROM (
+        SELECT qid, p, cand_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid, p ORDER BY d2, cand_id) AS rn
+        FROM cand
+      ) t WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+      SELECT k.p, CAST(count(*) AS BIGINT) AS n_hits
+      FROM topk k JOIN truth t ON t.qid = k.qid AND t.cand_id = k.cand_id
+      GROUP BY k.p
+    )
+    SELECT pr.p AS nprobe,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           1000000 * CAST(COALESCE(hits.n_hits, 0) AS BIGINT)
+             // (SELECT count(*) FROM truth) AS recall_ppm
+    FROM pr LEFT JOIN hits ON hits.p = pr.p
+    """
+    )
+
+
+@query(
+    "q_ivf_nprobe_sweep",
+    oracle=_nprobe_oracle(),
+    tags=("similarity", "quality", "iterative", "pipeline"),
+)
+def q_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the trained IVF index as a function of nprobe
+    (1..{pmax} of {kk} lists) — THE serving-configuration tuning table:
+    nprobe is the single knob that trades latency for recall on an IVF
+    deployment, and this curve (against exact ground truth on the query
+    sample) is how the knob is set before anything ships. One training
+    pass feeds every probe level; a candidate list probed at rank r
+    contributes to all nprobe ≥ r, so the sweep costs one coarse
+    ranking, one candidate expansion, and one exact re-rank per level —
+    never {pmax} retrainings. Ground truth, coarse ranking, and
+    candidate ranking all run on the same integer lattice as
+    q_kmeans_iter / q_knn_ivf_trained, so every distance bit
+    hash-matches.
+
+    Scale shape: training is the shared `_lloyd_gemm` BLAS loop; the
+    exact-truth pass is |Q|·corpus distances over the BOUNDED query
+    sample (the q_lsh_recall QA pattern — choose |Q| by QA budget);
+    candidate expansion joins the |Q|·K coarse table against list
+    assignments on cid and re-ranks per (query, level) with one window
+    — all map-side against broadcast query vectors. Output is
+    {pmax} audit rows.""".format(
+        k=TOP_K, pmax=_NPROBE_MAX, kk=KM_K
+    )
+    final, cents = _lloyd_gemm(spark, sf_dir, KM_K, with_vectors=True)
+    final = final.localCheckpoint(eager=True)
+    q = final.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("q_sv")
+    )
+    d2c = F.aggregate(
+        F.zip_with(F.col("q_sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d2v = F.aggregate(
+        F.zip_with(F.col("q_sv"), F.col("c_sv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("d2c"), F.asc("cid"))
+    cdist = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", d2c.alias("d2c"))
+        .withColumn("cr", F.row_number().over(wq).cast("long"))
+        .select("qid", "cid", "cr")
+    )
+    cands = final.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), "cid", F.col("sv").alias("c_sv")
+    )
+    wt = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cand_id"))
+    truth = (
+        cands.crossJoin(F.broadcast(q))
+        .select("qid", "cand_id", d2v.alias("d2"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cand_id")
+    )
+    pr = spark.range(1, _NPROBE_MAX + 1).select(F.col("id").cast("long").alias("p"))
+    probe = cdist.join(F.broadcast(pr), cdist["cr"] <= pr["p"])
+    wr = Window.partitionBy("qid", "p").orderBy(F.asc("d2"), F.asc("cand_id"))
+    topk = (
+        probe.join(cands, "cid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "p", "cand_id", d2v.alias("d2"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "p", "cand_id")
+    )
+    hits = (
+        topk.join(F.broadcast(truth), ["qid", "cand_id"])
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    return (
+        pr.join(hits, "p", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            F.col("p").alias("nprobe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "1000000 * coalesce(n_hits, CAST(0 AS BIGINT)) div nt"
+            ).alias("recall_ppm"),
+        )
+    )
