@@ -282,7 +282,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs_from_sigs(minhash_signatures(spark, sf_dir))
 
 
-def verified_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+def verified_pairs_from_sigs(
+    sigs: DataFrame, min_jaccard_u: int = JACCARD_THRESHOLD_U
+) -> DataFrame:
     """(doc_id, sh, sig_*) → Jaccard-verified LSH pairs
     (doc_a, doc_b, jaccard_u) — the q_dedup_minhash chain parameterized
     by its signature set, so callers can collapse duplicate texts to
@@ -334,7 +336,7 @@ def verified_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
             F.col("sb.sh").alias("sb_sh"),
         )
         .select("doc_a", "doc_b", jacc.alias("jaccard_u"))
-        .filter(F.col("jaccard_u") >= JACCARD_THRESHOLD_U)
+        .filter(F.col("jaccard_u") >= min_jaccard_u)
     )
 
 
@@ -2193,3 +2195,123 @@ def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_containers"),
         F.max("cont_u").alias("max_containment_u"),
     )
+
+
+# -------------------------------------------- dedup threshold sweep
+_SWEEP_TAUS = tuple(range(200_000, 800_001, 100_000))  # 0.2 .. 0.8
+
+
+@query(
+    "q_dedup_threshold_sweep",
+    oracle=_duck_minhash_cte()
+    + f"""
+    , bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx,"
+        f" (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    vp AS (
+      SELECT p.doc_a, p.doc_b,
+             (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000)
+               // len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_u
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    pb AS (
+      SELECT jaccard_u // 100000 AS b, CAST(count(*) AS BIGINT) AS n
+      FROM vp GROUP BY 1
+    ),
+    db AS (
+      SELECT mj // 100000 AS b, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT d, MAX(j) AS mj FROM (
+          SELECT doc_a AS d, jaccard_u AS j FROM vp
+          UNION ALL
+          SELECT doc_b AS d, jaccard_u AS j FROM vp
+        ) u GROUP BY d
+      ) m GROUP BY 1
+    ),
+    taus AS (SELECT CAST(unnest({list(_SWEEP_TAUS)}) AS BIGINT) AS tau_u)
+    SELECT tau_u,
+           CAST(COALESCE((SELECT SUM(n) FROM pb WHERE b * 100000 >= tau_u), 0)
+                AS BIGINT) AS n_pairs,
+           CAST(COALESCE((SELECT SUM(n) FROM db WHERE b * 100000 >= tau_u), 0)
+                AS BIGINT) AS n_dup_docs
+    FROM taus
+    """,
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair and affected-document counts as a function of the
+    Jaccard threshold (0.2..0.8) — the dedup twin of q_ivf_nprobe_sweep:
+    the threshold is near-dedup's one knob (too low deletes paraphrases
+    and licenses, too high keeps boilerplate clones), and this table —
+    how many pairs fire and how many documents would be touched at each
+    tau — is how the knob is set before a multi-day corpus dedup runs.
+
+    ONE signature pass and ONE band-join candidate set feed every
+    threshold: each verified pair lands in its Jaccard bucket
+    (jaccard_u div 10⁵) and each document in the bucket of its MAX pair
+    Jaccard, so per-tau counts are suffix sums over two ≤11-row
+    histograms — the sweep adds two skinny aggregates to the
+    q_dedup_minhash verify cost, never a per-threshold rerun. Taus are
+    bucket edges, so suffix-summing buckets is exact, not approximate.
+    Candidate completeness below the LSH design point decays with the
+    band curve (pairs under ~0.3 appear only when a band collides), so
+    low-tau rows read as "pairs the CANDIDATE GENERATOR surfaces" —
+    the production planning quantity — while q_lsh_recall quantifies
+    the generator itself against exact truth."""
+    vp = verified_pairs_from_sigs(
+        minhash_signatures(spark, sf_dir), min_jaccard_u=0
+    ).localCheckpoint(eager=True)  # read twice: pair + doc histograms
+    pb = (
+        vp.select(F.expr("jaccard_u div 100000").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    db = (
+        vp.select(F.col("doc_a").alias("d"), "jaccard_u")
+        .unionByName(vp.select(F.col("doc_b").alias("d"), "jaccard_u"))
+        .groupBy("d")
+        .agg(F.max("jaccard_u").alias("mj"))
+        .select(F.expr("mj div 100000").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TAUS], "tau_u long"
+    )
+    n_pairs = (
+        taus.crossJoin(F.broadcast(pb))
+        .groupBy("tau_u")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("b") * 100000 >= F.col("tau_u"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+    n_docs = (
+        taus.crossJoin(F.broadcast(db))
+        .groupBy("tau_u")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("b") * 100000 >= F.col("tau_u"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    return taus.join(n_pairs, "tau_u").join(n_docs, "tau_u")

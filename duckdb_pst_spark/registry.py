@@ -138,7 +138,7 @@ ROUND5_PLANNED: tuple[str, ...] = (
 # rotation becomes a steady-state re-verification cycle:
 #   0. The round-6 additions, never windowed: q_split_leakfree,
 #      q_oov_rate, q_ngram_novelty, q_triangle_count, q_knn_ivfpq,
-#      q_lang_confusion, q_ivf_nprobe_sweep
+#      q_lang_confusion, q_ivf_nprobe_sweep, q_dedup_threshold_sweep
 #      (locally hash-exact at sf0.001 AND sf0.01; new queries always
 #      take the front slots — same rule that cleared the r3/r4 backlog).
 #      q_lang_ngram needs a canary slot too: its oracle SQL was
