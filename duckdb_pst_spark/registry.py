@@ -134,6 +134,19 @@ ROUND5_PLANNED: tuple[str, ...] = (
     "q_kmv_grouped", "q_profile_columns",
 )
 
+# Round-7 rotation inputs, test-gated (tests/test_oracle_parity.py)
+# like ROUND5_PLANNED so the next window stays executable:
+ROUND6_ADDITIONS: tuple[str, ...] = (
+    "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
+    "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
+    "q_ivf_nprobe_sweep", "q_dedup_threshold_sweep",
+)
+ROUND7_CANARIES: tuple[str, ...] = (
+    # oracle-string refactor (green r3) + the two _lloyd_gemm
+    # training migrations (green r4, md5-equal outputs at Zipf-100×)
+    "q_lang_ngram", "q_kmeans_iter", "q_knn_ivf_trained",
+)
+
 # Round 7 window plan (keep the rotation math visible). With round 6 the
 # rotation becomes a steady-state re-verification cycle:
 #   0. The round-6 additions, never windowed: q_split_leakfree,

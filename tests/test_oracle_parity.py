@@ -63,16 +63,22 @@ def test_verify_window_rotation_consistent():
     must be oracle-bearing (a rows-only spec can never go green), the
     rows-only specs must sort last, and ROUND5_PLANNED must name real
     oracle-bearing queries so the next rotation stays executable."""
-    from duckdb_pst_spark.registry import ROUND5_PLANNED, VERIFY_FIRST
+    from duckdb_pst_spark.registry import (
+        ROUND5_PLANNED,
+        ROUND6_ADDITIONS,
+        ROUND7_CANARIES,
+        VERIFY_FIRST,
+    )
 
     names = list(SPECS)
     assert names[: len(VERIFY_FIRST)] == list(VERIFY_FIRST)
     assert all(SPECS[n].oracle is not None for n in VERIFY_FIRST)
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     assert names[-len(rows_only):] == rows_only
-    assert all(
-        n in SPECS and SPECS[n].oracle is not None for n in ROUND5_PLANNED
-    )
+    for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES):
+        assert all(
+            n in SPECS and SPECS[n].oracle is not None for n in planned
+        ), [n for n in planned if n not in SPECS or SPECS[n].oracle is None]
 
 
 def test_survey_inventory_matches_registry():
