@@ -172,9 +172,12 @@ def signatures_for(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
             )
             cols: dict = {}
             if len(rows):
-                # per-doc DISTINCT shingle hashes — the JVM path applied
-                # array_distinct; downstream set-ops are insensitive but
-                # the arrays stay bit-identical this way
+                # per-doc DISTINCT shingle hashes, emitted in SORTED
+                # order — the JVM array_distinct path preserved
+                # first-occurrence order instead, so element ORDER
+                # differs between the two paths; only the set semantics
+                # are identical, which every consumer (order-insensitive
+                # set ops; no query outputs sh) relies on
                 order = np.lexsort((h, didx))
                 dd, hh = didx[order], h[order]
                 first = np.r_[True, (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])]
@@ -2314,4 +2317,16 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_docs")
         )
     )
-    return taus.join(n_pairs, "tau_u").join(n_docs, "tau_u")
+    # LEFT join back onto taus: on a clean corpus vp is empty, the
+    # histograms are empty, and the crossJoin+groupBy above yields zero
+    # rows — an inner join would drop all 7 tau rows while the DuckDB
+    # oracle (COALESCE over a LEFT JOIN) keeps them with zero counts.
+    return (
+        taus.join(n_pairs, "tau_u", "left")
+        .join(n_docs, "tau_u", "left")
+        .select(
+            "tau_u",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+        )
+    )

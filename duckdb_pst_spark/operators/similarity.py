@@ -689,8 +689,15 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int, *, with_vectors: bool 
             for pdf in rebatch(batches, 8192):
                 Xi = np.stack(pdf["sv"].to_numpy()).astype(np.int64)
                 rows = assign_ids(Xi, Ci)
-                np.add.at(counts, rows, 1)
-                np.add.at(sums, rows, Xi)
+                counts += np.bincount(rows, minlength=len(Ci))
+                # sort + reduceat instead of np.add.at: the unbuffered
+                # ufunc scatter is the kernel's inner loop at the 65k-
+                # centroid cap; grouped reduceat is the same exact int64
+                # sum (integer addition is order-free) at C speed
+                order = np.argsort(rows, kind="stable")
+                rs = rows[order]
+                starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+                sums[rs[starts]] += np.add.reduceat(Xi[order], starts, axis=0)
             nz = np.nonzero(counts)[0]
             # explicit dtypes: an empty partition would otherwise infer
             # float64 ndarray columns, which pyarrow cannot convert to
@@ -1926,11 +1933,25 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = np.empty((len(ids), PQ_M), dtype=np.int64)
             for m in range(PQ_M):
                 Xm, Cm = X[:, m, :], C[m]
-                dot = Xm.astype(np.float64) @ Cm.astype(np.float64).T
+                # same runtime guard as assign_ids: BLAS float64 is the
+                # exact integer dot only while |components| stay under
+                # _GEMM_EXACT_BOUND; past it (larger KM_SCALE or
+                # embedding range) fall back to exact integer matmul
+                # rather than silently emitting inexact PQ codes
+                exact_blas = (
+                    np.abs(Xm).max(initial=0) < _GEMM_EXACT_BOUND
+                    and np.abs(Cm).max(initial=0) < _GEMM_EXACT_BOUND
+                )
+                if exact_blas:
+                    dot = np.rint(
+                        Xm.astype(np.float64) @ Cm.astype(np.float64).T
+                    ).astype(np.int64)
+                else:
+                    dot = Xm @ Cm.T
                 d2 = (
                     (Xm * Xm).sum(axis=1)[:, None]
                     + (Cm * Cm).sum(axis=1)[None, :]
-                    - 2 * dot.astype(np.int64)
+                    - 2 * dot
                 )
                 out[:, m] = codes_arr[np.argmin(d2, axis=1)]
             yield pd.DataFrame(

@@ -61,55 +61,49 @@ def query(
 # rows-only specs LAST — a rows-only spec can never produce a green row,
 # so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 6 window (per VERDICT r4 item 8's pre-planned arithmetic; the
-# round-5 window came back 49/50, so every oracle-bearing query now has a
-# driver row and round 6 is the re-verification round):
-#   1. q_decimal_money — the ONE round-5 red (hash mismatch on decimal128
-#      outputs; rows+schema matched and values printed identically, so the
-#      driver's value-hash is representation-sensitive for decimals).
-#      Round 6 rewrote the outputs to the scaled-BIGINT discipline the
-#      other 212 greens use; this slot re-proves it.
-#   2. Canaries for plans round 6 rewrites after round 5's green row
-#      (q_token_gini / q_phrase_pmi / q_dedup_incremental — the remaining
-#      >2× perf items this round works on; green r5, re-check on the new
-#      plans; q_degree_distribution's r5 rewrite was already inside the
-#      r5 run, listed here because round 6 records its missing A/B).
-#   3. The r4-rewritten greens that never got a canary slot (6).
-#   4. Oldest-green one-per-family canaries (12), r1/r2 vintage.
-#   5. Fill by registration order with the oldest r1 relational greens —
-#      the least-recently-verified plans in the repo.
+# Round 7 window (executes the plan pre-queued in round 6; arithmetic
+# below sums to exactly 50):
+#   1. ROUND6_ADDITIONS (8) — oracle-bearing queries registered in round
+#      6 that have never been inside a driver window (new queries always
+#      take the front slots — the rule that cleared the r3/r4 backlog).
+#   2. ROUND7_CANARIES (3) — greens that predate a round-6 plan change
+#      (q_lang_ngram oracle-string refactor; q_kmeans_iter /
+#      q_knn_ivf_trained moved onto _lloyd_gemm).
+#   3. Round-7 rewrite canaries (4) — plans this round touches after
+#      their last green row: q_vocab_df (hash-key df exchange attack on
+#      the 4.6×), q_degree_distribution + q_sequence_gaps (two-level
+#      partial distinct), q_hybrid_rrf (Zipf re-measure may fold the
+#      dense arm into the BM25 scan). If a rewrite ends up not shipping,
+#      the slot still re-verifies the current plan — never wasted.
+#   4. Fill (35) — continue the registration-order re-verification cycle
+#      where round 6 stopped: after q_join_agg_topn comes the r1/r3
+#      relational block (19), then windows.py r2 greens (7), then
+#      text.py r2 greens in file order (9).
 VERIFY_FIRST: tuple[str, ...] = (
-    # the round-5 red, fixed this round (1)
-    "q_decimal_money",
-    # canaries: plans (possibly) rewritten in round 6 (5)
-    "q_token_gini", "q_phrase_pmi", "q_dedup_incremental",
-    "q_degree_distribution", "q_vocab_df",
-    # canaries: r4-rewritten greens never re-windowed (6)
-    "q_substring_spans", "q_dedup_semantic", "q_countmin", "q_kmv_jaccard",
-    "q_passage_dedup", "q_winnowing",
-    # oldest-green one-per-family canaries (12)
-    "q_scan_project", "q_join_inner", "q_window_rank", "q_asof_join",
-    "q_sessionize", "q_knn_lsh", "q_hll_distinct", "q_hash_sample",
-    "q_minhash_sig", "q_ngram_jaccard", "q_tpch_q1", "q_pipeline_pretrain",
-    # fill: oldest r1/r2 greens in registration order (26)
-    "q_filter_eq", "q_filter_like", "q_filter_null", "q_count_star",
-    "q_count_distinct", "q_groupby_count_order", "q_orderby_multi", "q_topn",
-    "q_late_materialization", "q_distinct", "q_semi_join", "q_from_subquery",
-    "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
-    "q_join_agg_topn",
-    # round-6 rewrites discovered after the fill was drafted: the DSIR
-    # pair shares _dsir_scored (feat checkpoint changed both plans),
-    # chi2 moved to the scan-local one-exchange contingency plan, the
-    # media_real fixture grew progressive JPEGs (v5/v6 cycle) which
-    # changes q_media_decode_real's pinned result set, keep_best moved
-    # to the numpy poly-hash signature kernel, and then signatures_for
-    # ITSELF migrated to that kernel — so every remaining signature
-    # consumer (q_minhash_sig / q_dedup_minhash / q_dedup_incremental
-    # already hold slots above) needs one too
-    "q_dsir_weights", "q_dsir_resample", "q_chi2_terms",
-    "q_media_decode_real", "q_dedup_keep_best",
-    "q_lsh_recall", "q_dedup_cluster", "q_dedup_cluster_star",
-    "q_cluster_size_histogram",
+    # round-6 additions, never windowed (8)
+    "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
+    "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
+    "q_ivf_nprobe_sweep", "q_dedup_threshold_sweep",
+    # pre-queued canaries for round-6 plan changes (3)
+    "q_lang_ngram", "q_kmeans_iter", "q_knn_ivf_trained",
+    # canaries for plans round 7 rewrites (4)
+    "q_vocab_df", "q_degree_distribution", "q_sequence_gaps",
+    "q_hybrid_rrf",
+    # fill: registration-order re-verification, resuming after
+    # q_join_agg_topn (19 relational)
+    "q_multi_join", "q_agg_stats", "q_rollup_agg", "q_cube_agg",
+    "q_intersect", "q_except", "q_join_left_outer", "q_join_full_outer",
+    "q_anti_join", "q_percentile", "q_pivot", "q_correlated_scalar",
+    "q_having", "q_in_subquery", "q_grouping_sets", "q_string_agg",
+    "q_sql_functions", "q_json_extract", "q_unpivot",
+    # fill: windows.py r2 greens (7)
+    "q_window_lag", "q_window_running", "q_window_range_frame",
+    "q_latest_per_key", "q_window_ntiles", "q_time_bucket",
+    "q_gapfill_locf",
+    # fill: text.py r2 greens in file order (9)
+    "q_explode", "q_explode_agg", "q_list_first", "q_length",
+    "q_text_tokens", "q_lang_stopword", "q_quality_score",
+    "q_pack_sequences", "q_contamination",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -147,32 +141,18 @@ ROUND7_CANARIES: tuple[str, ...] = (
     "q_lang_ngram", "q_kmeans_iter", "q_knn_ivf_trained",
 )
 
-# Round 7 window plan (keep the rotation math visible). With round 6 the
-# rotation becomes a steady-state re-verification cycle:
-#   0. The round-6 additions, never windowed: q_split_leakfree,
-#      q_oov_rate, q_ngram_novelty, q_triangle_count, q_knn_ivfpq,
-#      q_lang_confusion, q_ivf_nprobe_sweep, q_dedup_threshold_sweep
-#      (locally hash-exact at sf0.001 AND sf0.01; new queries always
-#      take the front slots — same rule that cleared the r3/r4 backlog).
-#      q_lang_ngram needs a canary slot too: its oracle SQL was
-#      refactored into the shared _DUCK_LANG_GUESS constant (same
-#      semantics, green r3). So do q_kmeans_iter and q_knn_ivf_trained
-#      (r4 greens whose training moved onto _lloyd_gemm late in round
-#      6 — bit-exact, md5-equal outputs at Zipf-100×, but the plans
-#      changed: 30.9 → 6.1 s and 32.7 → 7.9 s).
-#   1. Canaries for any plan ROUND 7 rewrites (the signature-kernel
-#      migration landed IN round 6 — signatures_for itself now runs on
-#      functions/polyhash_np.py and every consumer holds a round-6
-#      window slot, so no migration debt carries over).
-#   2. Continue the registration-order fill where round 6 stopped: after
-#      q_join_agg_topn comes q_multi_join q_agg_stats q_rollup_agg
-#      q_cube_agg q_intersect q_except q_join_left_outer
-#      q_join_full_outer q_anti_join q_percentile q_pivot
-#      q_correlated_scalar q_having q_in_subquery q_grouping_sets
-#      q_string_agg q_sql_functions q_json_extract q_unpivot, then
-#      windows.py (q_window_lag q_window_running q_latest_per_key
-#      q_window_range_frame q_window_ntiles q_time_bucket
-#      q_gapfill_locf), then text.py / dedup.py / similarity.py /
+# Round 8 window plan (keep the rotation math visible; finalized at the
+# end of round 7 once this round's rewrites are known):
+#   0. Any round-7 registry additions, never windowed (new queries
+#      always take the front slots).
+#   1. ROUND8_CANARIES — plans rewritten in round 7 AFTER this round's
+#      window list was frozen (none expected: the round-7 rewrites all
+#      hold slots 12-15 above, so same-round re-verification covers
+#      them; the driver runs correctness at round end, after commits).
+#   2. Continue the registration-order fill where round 7 stopped: after
+#      q_contamination comes the rest of text.py r2/r3 greens
+#      (q_repetition q_pii_scrub q_fingerprint q_doc_chunk
+#      q_text_tokens_bpe ...), then dedup.py / similarity.py /
 #      sketches.py / sampling.py r2-r3 greens in file order until the
 #      50 slots are full.
 # Done = every oracle-bearing query re-verified within ~3 rounds of its

@@ -882,3 +882,40 @@ def test_fuzz_filter_cascade(spark, docs):
     fires first and shadows later rules), one-word repeats (repetition
     kill), stopword-free docs, all-kept corpora."""
     _check(spark, "q_filter_cascade", {"documents": lambda p: _write_rich_documents(docs, p)})
+
+
+def test_threshold_sweep_clean_corpus(spark):
+    """Round-7 advisor fix: on a corpus with ZERO LSH-verified pairs the
+    pair/doc histograms are empty — the sweep must still return all 7
+    tau rows with zero counts (the oracle COALESCEs over a LEFT JOIN;
+    an inner join back onto taus returned 0 rows and diverged)."""
+
+    def write(path: str) -> None:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(8),
+                # disjoint vocabularies: no shared shingles, no band
+                # collisions, hence zero candidate pairs
+                "text": [
+                    " ".join(f"tok{i}x{j}" for j in range(40)) for i in range(8)
+                ],
+                "lang": ["en"] * 8,
+                "source": ["web"] * 8,
+                "n_chars": [200] * 8,
+            }
+        )
+        _copy_to_parquet(
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+            " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+            pdf,
+            path,
+        )
+
+    d = _fuzz_dir({"documents": write})
+    try:
+        compare(spark, REGISTRY["q_dedup_threshold_sweep"], d)
+        rows = REGISTRY["q_dedup_threshold_sweep"].builder(spark, d).collect()
+        assert len(rows) == 7
+        assert all(r.n_pairs == 0 and r.n_dup_docs == 0 for r in rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
