@@ -219,10 +219,10 @@ def test_doc_chunk_is_map_only_generator(spark, sf_dir):
 
 
 def test_vocab_df_shape(spark, sf_dir):
-    """q_vocab_df: exactly ONE shuffle (the vocab-keyed sum over the df
-    kernel's batch-preaggregated partials — r4 removed the pair-distinct
-    exchange, r6 moved within-doc dedup AND batch pre-aggregation into
-    the scan-local kernel) and a TakeOrdered heap for the top-50 —
+    """q_vocab_df: exactly ONE shuffle (the vocab-keyed count over
+    per-doc-distinct tokens — r4 removed the pair-distinct exchange, r7
+    moved the whole plan JVM-side: split + array_distinct in codegen,
+    map-side-combined hash agg) and a TakeOrdered heap for the top-50 —
     never a global sort."""
     df = SPECS["q_vocab_df"].builder(spark, sf_dir)
     assert pi.shuffle_count(df) == 1, pi.executed_plan(df)
