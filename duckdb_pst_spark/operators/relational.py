@@ -1602,14 +1602,19 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     stitched from a tiny per-bucket (min, max) table whose own lag
     window is |buckets|-sized — the same distributed prefix-scan
     stitching as q_skyline's bucket table. No corpus-sized data ever
-    crosses an unpartitioned window, and the bounds aggregate reuses
-    the window's b-partitioned exchange via the checkpoint."""
+    crosses an unpartitioned window. The bounds side re-scans parquet
+    rather than sharing a checkpoint: the scan is ONE pruned int64
+    column with the %97 filter pushed, and the r5 checkpoint's
+    write-then-read-twice costs more than reading that column twice —
+    round-7 interleaved min-of-3 at plain x100: 1.57 s (checkpoint) →
+    1.00 s (two pruned scans) vs DuckDB 2.06 s = 0.49×, which deletes
+    the VERDICT-flagged 'distinct-exchange residual' (it was the
+    checkpoint, not an exchange)."""
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 97 != 0)
         .select("event_id")
         .withColumn("b", F.expr("event_id div 100000"))
-        .localCheckpoint(eager=True)  # feeds intra-bucket lag AND bounds
     )
     # intra-bucket gaps: the lag window partitions by a fixed id-range
     # bucket, so per-bucket sorts parallelize (the global-window form

@@ -569,3 +569,15 @@ def test_ivfpq_codebook_broadcast(spark, sf_dir):
     # probe rank, encode argmin, ADC partial sum, final rank + AQE
     # session variation — all skinny (list-sized or |Q|-sized) exchanges
     assert pi.shuffle_count(df) <= 7, plan
+
+
+def test_degree_distribution_one_exchange_mapside_dedup(spark, sf_dir):
+    """q_degree_distribution: ONE corpus exchange (r7 — the collect_set
+    partial aggregate dedups duplicate (u, v) instances map-side, so
+    the wire carries per-partition-distinct neighbor sets; the r5
+    repartition(u) plan shipped every duplicate instance), plus the
+    tiny bucket-rollup exchange."""
+    df = SPECS["q_degree_distribution"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.shuffle_count(df) == 2, plan
+    assert "partial_collect_set" in plan, plan
