@@ -1643,22 +1643,77 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind _bm25_scored's own internal checkpoint), so the extra eager
     jobs only ADD a materialization pass per arm. Arm breakdown at
     100×: sparse pool 3.0 s, dense pool 2.3 s — the total IS the two
-    single passes; cutting it means faster arms, not fewer runs."""
+    single passes; cutting it means faster arms, not fewer runs.
+
+    Round 7 made the dense arm's pass fast WITHOUT changing a single
+    output bit: the interpreted zip_with/aggregate cosine fold became a
+    sequential-fold-order numpy kernel — accumulating dimension by
+    dimension (``acc += X[:, j] * q[j]``) performs the SAME IEEE-754
+    operation sequence per element as the JVM left-fold (and the
+    oracle's list_reduce), so doubles stay bit-identical (verified:
+    top-200 (doc_id, cs) pairs bit-equal on the Zipf-100× corpus),
+    while each batch is scored in 2·dim vectorized passes instead of
+    per-element lambda evaluations, pre-trimmed to its local (cs DESC,
+    doc_id ASC) top-pool so the TakeOrdered merge sees ≤pool rows per
+    batch. Dense arm at Zipf-100×, interleaved min-of-3: 2.10 →
+    1.15 s. If no query vector exists, the arm falls back to the
+    (empty) declarative plan rather than scoring against garbage."""
+    import numpy as np
+
     from duckdb_pst_spark.operators.text import _bm25_scored
 
     sparse = _top_ranked(_bm25_scored(spark, sf_dir), "score", "r_sparse")
     e = table(spark, sf_dir, "embeddings")
-    qv = F.broadcast(
-        e.filter(F.col("vec_id") == _HYB_QVEC).select(F.col("embedding").alias("q_emb"))
-    )
-    dense0 = (
-        e.filter(F.col("vec_id") != _HYB_QVEC)
-        .crossJoin(qv)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            cosine(F.col("embedding"), F.col("q_emb")).alias("cs"),
+    q_rows = e.filter(F.col("vec_id") == _HYB_QVEC).select("embedding").collect()
+    if q_rows:  # bounded: exactly one query row
+        q = np.array(q_rows[0].embedding, dtype=np.float64)
+        qn_acc = 0.0
+        for j in range(len(q)):  # same sequential fold as duck_norm
+            qn_acc = qn_acc + q[j] * q[j]
+        bq = spark.sparkContext.broadcast((q, float(np.sqrt(qn_acc))))
+
+        def cos_kernel(batches):
+            import pandas as pd
+
+            from duckdb_pst_spark.functions.batches import rebatch
+
+            qv, qnv = bq.value
+            for pdf in rebatch(batches, 8192):
+                ids = pdf["vec_id"].to_numpy()
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                acc = np.zeros(len(ids))
+                nacc = np.zeros(len(ids))
+                for j in range(X.shape[1]):
+                    c = X[:, j]
+                    acc += c * qv[j]
+                    nacc += c * c
+                cs = acc / (np.sqrt(nacc) * qnv)
+                # local (cs DESC, doc_id ASC) top-pool — the tie at the
+                # pool edge must break exactly like the global order
+                order = np.lexsort((ids, -cs))[: min(_HYB_POOL, len(ids))]
+                yield pd.DataFrame({"doc_id": ids[order], "cs": cs[order]})
+
+        from duckdb_pst_spark.functions.partitioning import spread
+
+        dense0 = (
+            spread(e.filter(F.col("vec_id") != _HYB_QVEC))
+            .select("vec_id", "embedding")
+            .mapInPandas(cos_kernel, "doc_id long, cs double")
         )
-    )
+    else:
+        qv = F.broadcast(
+            e.filter(F.col("vec_id") == _HYB_QVEC).select(
+                F.col("embedding").alias("q_emb")
+            )
+        )
+        dense0 = (
+            e.filter(F.col("vec_id") != _HYB_QVEC)
+            .crossJoin(qv)
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                cosine(F.col("embedding"), F.col("q_emb")).alias("cs"),
+            )
+        )
     dense = _top_ranked(dense0, "cs", "r_dense")
     fused = sparse.join(dense, "doc_id", "full_outer").select(
         "doc_id",
