@@ -24,7 +24,13 @@ ZIPF = "--zipf" in sys.argv
 # rewrites) so a Zipf variant of an existing replica dir can reuse its
 # other tables via symlinks instead of re-copying ~2 GB of facts.
 DOCS_ONLY = "--docs-only" in sys.argv
-_args = [a for a in sys.argv[1:] if a not in ("--zipf", "--docs-only")]
+VECS = "--vecs" in sys.argv
+# --vecs-only: write only embeddings.parquet (the single table --vecs
+# rewrites), mirror of --docs-only.
+VECS_ONLY = "--vecs-only" in sys.argv
+_args = [
+    a for a in sys.argv[1:] if a not in ("--zipf", "--docs-only", "--vecs", "--vecs-only")
+]
 FACTOR = int(_args[0]) if _args else 10
 SRC = _args[1] if len(_args) > 1 else "/root/testdata/sf0.1"
 DST = (
@@ -49,6 +55,22 @@ DST = (
 # replicas. n_chars is recomputed from the rewritten text.
 _ZIPF_TAIL_PPM = 100_000  # 10% of occurrences move to the tail
 _ZIPF_VMAX = 10_000_000  # tail id space; V(N) ~ integral of min(1, draws/k)
+
+# --vecs: cluster-structured growth for the EMBEDDINGS table. Plain
+# replication copies every vector verbatim, so a query's true top-k are
+# its own literal copies — they share the query's IVF cell by
+# construction and recall pins at 10⁶ ppm for every nprobe (the round-6
+# artifact SCALE.md documents). In --vecs mode copy 0 stays pristine
+# and every copy i>0 adds per-(vec_id, dim) hash noise uniform in
+# ±_VEC_NOISE: with the driver's unit-norm dim-64 vectors (measured
+# inter-base NN distance ≈ 1.08) this yields sibling→base distance
+# ≈ _VEC_NOISE·√(dim/3) ≈ 0.46 and sibling↔sibling ≈ 0.65 — each base
+# becomes a REAL cluster of FACTOR near-neighbors, tight enough that
+# true top-k stay within the cluster but wide enough to straddle
+# trained IVF cell boundaries, so recall must climb with nprobe like
+# it does on organic data. Deterministic: one hash-seeded closed form,
+# no RNG state.
+_VEC_NOISE = 0.15
 
 # Key DOMAINS: one span per domain, computed from the OWNING dimension's
 # key column — never from a referencing column. (A referencing column's
@@ -95,6 +117,8 @@ def main() -> None:
     for t, keys in OFFSETS.items():
         if DOCS_ONLY and t != "documents":
             continue
+        if VECS_ONLY and t != "embeddings":
+            continue
         src = f"{SRC}/{t}.parquet"
         if not keys or (FACTOR == 1 and not (ZIPF and t == "documents")):
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{DST}/{t}.parquet' (FORMAT parquet)")
@@ -102,6 +126,21 @@ def main() -> None:
         cols = [d[0] for d in con.execute(f"SELECT * FROM '{src}' LIMIT 0").description]
         parts = []
         for i in range(FACTOR):
+            if VECS and t == "embeddings" and i > 0:
+                off = i * spans["vec_id"]
+                dim = con.execute(
+                    f"SELECT max(len(embedding)) FROM '{src}'"
+                ).fetchone()[0]
+                parts.append(
+                    f"""SELECT vec_id + {off} AS vec_id,
+                    list_transform(range(1, {dim} + 1), j -> CAST(
+                      CAST(embedding[j] AS DOUBLE) + {_VEC_NOISE} *
+                      (CAST(hash((vec_id + {off}) * 1000003 + j) % 2000001
+                            AS BIGINT)
+                       - 1000000) / 1000000.0 AS FLOAT)) AS embedding,
+                    label FROM '{src}'"""
+                )
+                continue
             sel = ", ".join(
                 f"{c} + {i * spans[keys[c]]} AS {c}" if c in keys else c for c in cols
             )
