@@ -2330,3 +2330,52 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
         )
     )
+
+
+# ----------------------------------------- cheap-key dedup fidelity audit
+@query(
+    "q_dedup_prefix_exact",
+    oracle="""
+    WITH g AS (
+      SELECT substr(text, 1, 64) AS pfx,
+             CAST(count(*) AS BIGINT) AS nd,
+             CAST(count(DISTINCT text) AS BIGINT) AS nt
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY pfx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_prefix_keys,
+           CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_exact_texts,
+           CAST(coalesce(sum(nt - 1), 0) AS BIGINT) AS false_merge_texts
+    FROM g
+    """,
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity audit of the cheap prefix dedup key: production exact
+    dedup at 100 TB often keys on hash(first-N-chars) instead of the
+    full text (the full string never needs to cross the wire); this
+    table says what that costs — false_merge_texts counts DISTINCT
+    texts that the 64-char prefix key would collapse into another text
+    (boilerplate-headed documents are the classic failure). Run before
+    switching a dedup pipeline onto the cheap key.
+
+    Scale shape: Catalyst's two-level COUNT(DISTINCT text) expansion —
+    map-side (pfx, text) partial dedup, one pair-keyed exchange, then
+    the prefix-keyed rollup whose exchange carries one row per prefix
+    key; the final single-row reduce is driver-trivial. At 100 TB swap
+    text for xxhash64(text) in the distinct to shrink the dedup
+    exchange to 8-byte keys (q_corpus_card's documented step-up)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = d.groupBy(F.substring("text", 1, 64).alias("pfx")).agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.countDistinct("text").cast("long").alias("nt"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix_keys"),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_exact_texts"),
+        F.coalesce(F.sum(F.col("nt") - 1), F.lit(0))
+        .cast("long")
+        .alias("false_merge_texts"),
+    )

@@ -1821,6 +1821,80 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ TPC-H Q5
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_c DESC, n_name
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): revenue per nation where the
+    ordering customer and the line's supplier share that nation, one
+    region, one order-date year — the canonical star-join + selective-
+    dim benchmark (reference README.md:402-469 query family; revenue in
+    floor-scaled cents per the repo money discipline).
+
+    Scale shape: the true dimensions (region → nation, 5/25 rows) are
+    broadcast into customer so the ASIA filter prunes customers before
+    any fact join; the fact-side joins (orders⋈customer on custkey,
+    then lineitem⋈that on orderkey, supplier on suppkey) are declared
+    as plain equi-joins and left to Catalyst/AQE — at test scale the
+    statistics pick broadcasts, on a 100 TB cluster AQE picks
+    sort-merge with the date filter already pushed into the orders
+    scan and only ASIA-customer orders surviving to the big join. The
+    c_nationkey = s_nationkey locality predicate rides the supplier
+    probe; the ≤|nations| aggregate is map-side combined."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("n_name"))
+    )
+
+
 # --------------------------------------------------- one-pass table profile
 _PROFILE_COLS: list[tuple[str, str]] = [
     # (column, integer projection for min/max; None -> string column)

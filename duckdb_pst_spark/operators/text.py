@@ -2989,3 +2989,144 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 * coalesce(n_novel, CAST(0 AS BIGINT)) div n_trigrams"
         ).alias("novel_ppm"),
     )
+
+
+# --------------------------------------------- two-sample KS drift test
+@query(
+    "q_quality_ks",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars AS v,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM documents WHERE lang IN ('en', 'fr')
+      GROUP BY n_chars
+    ),
+    c AS (
+      SELECT CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb
+      FROM h
+    ),
+    t AS (
+      SELECT CAST(coalesce(sum(na), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_b
+      FROM h
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(1000000 *
+                     (SELECT max(abs(ca * n_b - cb * n_a)) FROM c)
+                     // (n_a * n_b) AS BIGINT)
+           END AS ks_ppm
+    FROM t
+    """,
+    tags=("text", "quality", "pipeline"),
+)
+def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the length
+    distributions of two corpus slices (en vs fr documents) — the
+    distribution-drift gate a pipeline runs when comparing a new crawl
+    slice against a reference slice: KS is non-parametric, so it fires
+    on shape changes (truncation, boilerplate injection) that mean/
+    variance monitors miss. Exact integers end-to-end: D is computed
+    as max |ca·n_b − cb·n_a| over the merged support and reported as
+    1e6·D div (n_a·n_b), so engines agree bit-for-bit (cross-products
+    stay < 2⁶³ up to ~10⁹ docs per side; past that, pre-bucket the
+    support).
+
+    Scale shape: ONE map-side-combined groupBy over n_chars (the
+    exchange carries ≤|distinct lengths| rows — histogram-sized, the
+    q_token_histogram class), then a window cumsum and max over that
+    tiny table. Nothing corpus-sized crosses an unpartitioned window."""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
+    h = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.select(
+        F.sum("na").over(w).cast("long").alias("ca"),
+        F.sum("nb").over(w).cast("long").alias("cb"),
+    )
+    t = h.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    # max |ca*n_b - cb*n_a| needs n_a/n_b: broadcast the 1-row totals
+    diff = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("d_num")
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(diff))
+        .select(
+            "n_a",
+            "n_b",
+            F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("1000000 * coalesce(d_num, CAST(0 AS BIGINT)) div (n_a * n_b)")
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+    )
+
+
+# --------------------------------------------- tokenizer fertility audit
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+             AS BIGINT) AS ws_tokens,
+           CASE WHEN CAST(sum(len(list_filter(string_split(text, ' '),
+                                              x -> x != ''))) AS BIGINT) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE 1000000 * CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}')))
+                       AS BIGINT)
+                     // CAST(sum(len(list_filter(string_split(text, ' '),
+                                                 x -> x != ''))) AS BIGINT)
+           END AS fertility_ppm
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "pipeline"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens per whitespace
+    word (×10⁶), the standard multilingual tokenizer-QA table: fertility
+    far above the corpus norm for a language means the tokenizer
+    fragments it (training-compute and context-length are billed in
+    produced tokens, not words), which is how under-served languages are
+    caught before a training run. Reuses the shared _BPE_PAT so the
+    pretokenizer cannot drift from q_text_tokens_bpe.
+
+    Scale shape: map-only regex + size() in the JVM, one ≤|langs|-key
+    map-side-combined aggregate — no exchange grows with the corpus."""
+    toks = F.expr(f'regexp_extract_all(text, "{_BPE_PAT}", 0)')
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("bpe_tokens"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("ws_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        F.when(F.col("ws_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("1000000 * bpe_tokens div ws_tokens"))
+        .cast("long")
+        .alias("fertility_ppm"),
+    ).orderBy("lang")

@@ -66,6 +66,7 @@ def test_verify_window_rotation_consistent():
     from duckdb_pst_spark.registry import (
         ROUND5_PLANNED,
         ROUND6_ADDITIONS,
+        ROUND7_ADDITIONS,
         ROUND7_CANARIES,
         VERIFY_FIRST,
     )
@@ -75,7 +76,11 @@ def test_verify_window_rotation_consistent():
     assert all(SPECS[n].oracle is not None for n in VERIFY_FIRST)
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     assert names[-len(rows_only):] == rows_only
-    for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES):
+    # the round-7 window must actually front-load its rotation inputs
+    for required in (*ROUND6_ADDITIONS, *ROUND7_CANARIES, *ROUND7_ADDITIONS):
+        assert required in VERIFY_FIRST, required
+    for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES,
+                    ROUND7_ADDITIONS):
         assert all(
             n in SPECS and SPECS[n].oracle is not None for n in planned
         ), [n for n in planned if n not in SPECS or SPECS[n].oracle is None]
