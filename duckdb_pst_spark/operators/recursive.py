@@ -577,3 +577,237 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
     )
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ---------------------------------------- triangle counting, PTE twin
+_TRI_RHO = 6  # vertex-bucket count; subproblems = C(rho, 3) = 20
+_TRI_PACK = 1 << 32  # (v, w) edge-key packing base — ids must be < 2^32
+
+
+def _pte_count_kernel(pdf):
+    """Per-triple local triangle counter for the PTE plan.
+
+    Input: one bucket-triple's oriented sub-adjacency, ONE ROW PER
+    SOURCE — (s, bs, nt: neighbors in orientation order, nbt: their
+    buckets), pre-filtered to the triple's buckets JVM-side. The JVM
+    pre-groups edges into these arrays (sort_array on struct(dt, t,
+    bt) gives orientation order in codegen) so the Arrow stream
+    crossing into Python is source-cardinality, not edge-cardinality —
+    with the payload-safe 256-row session batch cap, streaming raw
+    edge rows cost 234k Arrow batches per x10 triple and dominated
+    wall time. Output: ONE row (c1, c2, c3) — local triangles
+    classified by how many DISTINCT buckets their three vertices span,
+    exactly the multiplicity class the global de-duplication divides
+    by.
+
+    Vectorized: all i<j neighbor pairs are generated per ~4M-pair
+    chunk (small working sets keep the allocator in reused arenas —
+    the 32M-pair chunk paid 5-20x first-touch page faults) with the
+    triangular-number decode and probed into the sorted packed
+    (s·2³²+t) edge-key array via searchsorted; probe keys are sorted
+    first so the binary searches stay cache-coherent. i<j in
+    orientation order means (v, w) already points the right way, so
+    each local triangle is probed exactly once. Per-source pair counts
+    are bounded by C(max-out-deg, 2), and out-degree is O(√m) by the
+    orientation bound."""
+    import numpy as np
+    import pandas as pd
+
+    s = pdf["s"].to_numpy()
+    out = {"c1": 0, "c2": 0, "c3": 0}
+    if len(s):
+        bs_row = pdf["bs"].to_numpy()
+        nt = pdf["nt"].to_numpy()
+        nbt = pdf["nbt"].to_numpy()
+        counts = np.fromiter((len(x) for x in nt), dtype=np.int64, count=len(s))
+        t = np.concatenate([np.asarray(x, dtype=np.int64) for x in nt])
+        bt = np.concatenate([np.asarray(x, dtype=np.int64) for x in nbt])
+        src = np.repeat(s, counts)
+        bs = np.repeat(bs_row, counts)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        pk = np.sort(src * _TRI_PACK + t)
+        pair_n = counts * (counts - 1) // 2
+        acc = np.zeros(4, dtype=np.int64)
+        cum = np.cumsum(pair_n)
+        total_pairs = int(cum[-1]) if len(cum) else 0
+        bounds = np.searchsorted(
+            cum, np.arange(1, total_pairs + 4_194_304, 4_194_304)
+        ) if total_pairs else np.array([], dtype=np.int64)
+        gi = 0
+        for gb in bounds:
+            ge = min(int(gb) + 1, len(counts))
+            if ge <= gi:
+                continue
+            off = starts[gi:ge]
+            pn = pair_n[gi:ge]
+            tot = int(pn.sum())
+            if tot:
+                gid = np.repeat(np.arange(ge - gi), pn)
+                r = np.arange(tot) - np.repeat(np.r_[0, np.cumsum(pn)[:-1]], pn)
+                # r = j*(j-1)/2 + i, 0 <= i < j  (exact: r < 2^50)
+                j = ((1.0 + np.sqrt(8.0 * r + 1.0)) // 2).astype(np.int64)
+                i = r - j * (j - 1) // 2
+                a = off[gid] + i
+                b = off[gid] + j
+                key = t[a] * _TRI_PACK + t[b]
+                so = np.argsort(key, kind="stable")
+                pos = np.searchsorted(pk, key[so])
+                found_s = (pos < len(pk)) & (
+                    pk[np.minimum(pos, len(pk) - 1)] == key[so]
+                )
+                found = np.zeros(tot, dtype=bool)
+                found[so] = found_s
+                b_s, b_v, b_w = bs[a[found]], bt[a[found]], bt[b[found]]
+                nb = (
+                    1
+                    + (b_v != b_s).astype(np.int64)
+                    + ((b_w != b_s) & (b_w != b_v)).astype(np.int64)
+                )
+                acc += np.bincount(nb, minlength=4)
+            gi = ge
+        out = {"c1": int(acc[1]), "c2": int(acc[2]), "c3": int(acc[3])}
+    return pd.DataFrame({k: pd.Series([v], dtype="int64") for k, v in out.items()})
+
+
+@query(
+    "q_triangle_count_pte",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e),
+    tri AS (
+      SELECT count(*) AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "iterative"),
+)
+def q_triangle_count_pte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count, PTE strategy twin of ``q_triangle_count``
+    (same graph, same oracle, different physical plan — the
+    q_knn_brute/q_knn_gemm pattern): degree-ordered orientation (Suri &
+    Vassilvitskii, WWW'11) + bucket-triple vertex partitioning (the
+    partition scheme of that paper, industrialized by Park et al.,
+    "PTE: Enumerating Trillion Triangles on Distributed Systems").
+    Vertices hash into ρ={rho} buckets; each oriented edge replicates
+    to every bucket triple (i<j<k) containing both endpoint buckets,
+    each triple's sub-edge list is pre-grouped JVM-side into
+    per-source adjacency ARRAYS and counted locally by a vectorized
+    numpy kernel. A triangle spanning q distinct buckets is found in
+    C(ρ-q, 3-q) triples, so local counts are classified by q and the
+    global sum divides exactly: Σc3 + Σc2/(ρ-2) + Σc1/C(ρ-1,2).
+
+    WHY a twin and not a replacement: only skinny rows and bounded
+    arrays ever cross an exchange — per-subproblem work is m·(3/ρ)²
+    edges counted at memory-bandwidth speed, and ρ scales the plan out
+    to any cluster (each subproblem sized to one executor: the
+    published trillion-edge recipe) — but on ONE box the scheme pays
+    a ~5× constant over the array_intersect plan (measured x10
+    interleaved: 106 s vs 23 s; replication factor ~5·m rows plus an
+    Arrow pass), while the array plan's 60 GB array-attached exchange
+    dies at x100 where PTE's skinny exchange survives (SCALE.md
+    round-7 section). Ids must fit 32 bits for the packed edge-key
+    probe (dense-rank relabel is the general fix). Output: one audit
+    row, identical to the twin's on every measured input (x10:
+    18,844,880 triangles on both).""".format(rho=_TRI_RHO)
+    lp = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice: degrees + orientation
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).select(
+        "s",
+        "t",
+        "dt",
+        F.pmod(F.xxhash64("s"), F.lit(_TRI_RHO)).cast("long").alias("bs"),
+        F.pmod(F.xxhash64("t"), F.lit(_TRI_RHO)).cast("long").alias("bt"),
+    )
+    rho = _TRI_RHO
+    triples = spark.createDataFrame(
+        [
+            (100 * i + 10 * j + k, i, j, k)
+            for i in range(rho)
+            for j in range(i + 1, rho)
+            for k in range(j + 1, rho)
+        ],
+        "tid long, i long, j long, k long",
+    )
+    member = lambda b: (F.col(b) == F.col("i")) | (F.col(b) == F.col("j")) | (
+        F.col(b) == F.col("k")
+    )
+    rep = (
+        oriented.crossJoin(F.broadcast(triples))
+        .filter(member("bs") & member("bt"))
+        .select("tid", "s", "t", "dt", "bs", "bt")
+    )
+    # pre-group to per-(triple, source) adjacency arrays in the JVM:
+    # sort_array(struct(dt, t, bt)) = orientation order inside codegen,
+    # and the Arrow stream into the kernel shrinks from edge- to
+    # source-cardinality. Measured alternatives, both worse: a single
+    # global adjacency build + HOF-filtered per-triple copies pays
+    # billions of INTERPRETED filter-lambda evals (225 s vs 106 s at
+    # x10), and kernel-side masking of full unfiltered array copies
+    # pays the full replicated Arrow volume (418 s).
+    adj = (
+        rep.groupBy("tid", "s")
+        .agg(
+            F.first("bs").alias("bs"),
+            F.sort_array(F.collect_list(F.struct("dt", "t", "bt"))).alias("nb"),
+        )
+        .select(
+            "tid",
+            "s",
+            "bs",
+            F.expr("transform(nb, x -> x.t)").alias("nt"),
+            F.expr("transform(nb, x -> x.bt)").alias("nbt"),
+        )
+    )
+    cls = adj.groupBy("tid").applyInPandas(
+        _pte_count_kernel, "c1 long, c2 long, c3 long"
+    )
+    n_tri = cls.agg(
+        (
+            F.coalesce(F.sum("c3"), F.lit(0))
+            + F.expr(f"coalesce(sum(c2), 0) div {rho - 2}")
+            + F.expr(
+                f"coalesce(sum(c1), 0) div {(rho - 1) * (rho - 2) // 2}"
+            )
+        )
+        .cast("long")
+        .alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

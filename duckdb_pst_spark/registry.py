@@ -80,10 +80,10 @@ def query(
 #      relational block (19), then windows.py r2 greens (7), then
 #      text.py r2 greens in file order (9).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-7 additions, registered this round (4) — new queries always
+    # round-7 additions, registered this round (5) — new queries always
     # take the front slots
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
-    "q_dedup_prefix_exact",
+    "q_dedup_prefix_exact", "q_triangle_count_pte",
     # round-6 additions, never windowed (8)
     "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
     "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
@@ -104,11 +104,11 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_window_lag", "q_window_running", "q_window_range_frame",
     "q_latest_per_key", "q_window_ntiles", "q_time_bucket",
     "q_gapfill_locf",
-    # fill: text.py r2 greens in file order (5; four slots went to the
-    # round-7 additions above — q_lang_stopword q_quality_score
-    # q_pack_sequences q_contamination head the round-8 fill instead)
+    # fill: text.py r2 greens in file order (4; five slots went to the
+    # round-7 additions above — q_text_tokens q_lang_stopword
+    # q_quality_score q_pack_sequences q_contamination head the
+    # round-8 fill instead)
     "q_explode", "q_explode_agg", "q_list_first", "q_length",
-    "q_text_tokens",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -148,7 +148,7 @@ ROUND7_CANARIES: tuple[str, ...] = (
 ROUND7_ADDITIONS: tuple[str, ...] = (
     # registered in round 7, windowed in round 7 (front slots)
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
-    "q_dedup_prefix_exact",
+    "q_dedup_prefix_exact", "q_triangle_count_pte",
 )
 
 # Round 8 window plan (keep the rotation math visible; finalized at the

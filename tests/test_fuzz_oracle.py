@@ -919,3 +919,56 @@ def test_threshold_sweep_clean_corpus(spark):
         assert all(r.n_pairs == 0 and r.n_dup_docs == 0 for r in rows)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_lineitem_op(pairs: list[tuple[int, int]], path: str) -> None:
+    """Minimal lineitem keyed for the co-purchase graph: fuzzed
+    (l_orderkey, l_partkey) pairs, production schema fillers."""
+    n = len(pairs)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [p[0] for p in pairs],
+            "l_partkey": [p[1] for p in pairs],
+            "l_suppkey": [1] * n,
+            "l_linenumber": [1] * n,
+            "l_quantity": [1.0] * n,
+            "l_extendedprice": [10.0] * n,
+            "l_discount": [0.0] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": [EPOCH] * n,
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber,"
+        " CAST(l_quantity AS DOUBLE) AS l_quantity,"
+        " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,"
+        " CAST(l_discount AS DOUBLE) AS l_discount,"
+        " CAST(l_tax AS DOUBLE) AS l_tax,"
+        " l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        pdf,
+        path,
+    )
+
+
+@given(pairs=st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                                st.integers(min_value=0, max_value=12)),
+                      min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_fuzz_triangle_count(spark, pairs):
+    """Both triangle strategies vs the id-ordered SQL oracle on
+    adversarial tiny co-purchase graphs: dense cliques from shared
+    orders (orders with many parts), single-bucket triangles (the
+    PTE c1/C(rho-1,2) weight path), duplicate (order, part) pairs
+    collapsed by the distinct, and triangle-free stars."""
+    d = _fuzz_dir({"lineitem": lambda p: _write_lineitem_op(pairs, p)})
+    try:
+        compare(spark, REGISTRY["q_triangle_count"], d)
+        compare(spark, REGISTRY["q_triangle_count_pte"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -559,6 +559,21 @@ def test_triangle_adjacency_intersect(spark, sf_dir):
     assert pi.shuffle_count(df) <= 7, plan
 
 
+def test_triangle_pte_shape(spark, sf_dir):
+    """q_triangle_count_pte (r7): the bucket-triple table joins as a
+    BROADCAST (never a shuffle of the edge side), the local counting
+    runs in ONE FlatMapGroupsInPandas kernel over per-(triple, source)
+    adjacency ARRAYS (sort_array pre-grouping — never raw edge rows
+    through the 256-row Arrow cap), and no O(m^1.5) wedge set or
+    per-edge neighbor-array join appears: the only Python stage is the
+    grouped kernel."""
+    df = SPECS["q_triangle_count_pte"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "array_intersect" not in plan, plan
+    assert pi.shuffle_count(df) <= 9, plan
+
+
 def test_ivfpq_codebook_broadcast(spark, sf_dir):
     """q_knn_ivfpq: centroids, codebook, and the ADC lookup table are
     broadcasts; only list-sized aggregates shuffle. A shuffled codebook
