@@ -690,14 +690,15 @@ def _lloyd_gemm(spark: SparkSession, sf_dir: str, k: int, *, with_vectors: bool 
                 Xi = np.stack(pdf["sv"].to_numpy()).astype(np.int64)
                 rows = assign_ids(Xi, Ci)
                 counts += np.bincount(rows, minlength=len(Ci))
-                # sort + reduceat instead of np.add.at: the unbuffered
-                # ufunc scatter is the kernel's inner loop at the 65k-
-                # centroid cap; grouped reduceat is the same exact int64
-                # sum (integer addition is order-free) at C speed
-                order = np.argsort(rows, kind="stable")
-                rs = rows[order]
-                starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
-                sums[rs[starts]] += np.add.reduceat(Xi[order], starts, axis=0)
+                # np.add.at KEPT for the row sums after a measured A/B
+                # (round 7): the suggested sort+reduceat swap loses at
+                # every K on the 8192-row batch shape (K=1000: 4.5 vs
+                # 5.6 ms; K=65536: 26 vs 38 ms, outputs identical) —
+                # an 8192-row batch scatters into mostly-singleton
+                # groups at large K, so the sort is pure overhead,
+                # unlike the text.py bincount win where each batch held
+                # many duplicates per key
+                np.add.at(sums, rows, Xi)
             nz = np.nonzero(counts)[0]
             # explicit dtypes: an empty partition would otherwise infer
             # float64 ndarray columns, which pyarrow cannot convert to

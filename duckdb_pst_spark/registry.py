@@ -151,20 +151,25 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
     "q_dedup_prefix_exact", "q_triangle_count_pte",
 )
 
-# Round 8 window plan (keep the rotation math visible; finalized at the
-# end of round 7 once this round's rewrites are known):
-#   0. Any round-7 registry additions, never windowed (new queries
+# Round 8 window plan (the rotation math, finalized end of round 7):
+#   0. Any round-8 registry additions, never windowed (new queries
 #      always take the front slots).
-#   1. ROUND8_CANARIES — plans rewritten in round 7 AFTER this round's
-#      window list was frozen (none expected: the round-7 rewrites all
-#      hold slots 12-15 above, so same-round re-verification covers
-#      them; the driver runs correctness at round end, after commits).
-#   2. Continue the registration-order fill where round 7 stopped: after
-#      q_contamination comes the rest of text.py r2/r3 greens
-#      (q_repetition q_pii_scrub q_fingerprint q_doc_chunk
-#      q_text_tokens_bpe ...), then dedup.py / similarity.py /
-#      sketches.py / sampling.py r2-r3 greens in file order until the
-#      50 slots are full.
+#   1. ROUND8_CANARIES: none owed — every plan round 7 rewrote
+#      (q_vocab_df, q_degree_distribution, q_sequence_gaps,
+#      q_hybrid_rrf dense arm, and the two triangle strategies) holds
+#      a round-7 window slot, so the round-7 run already verified the
+#      CURRENT plans (the driver runs correctness at round end, after
+#      all commits). If round 8 rewrites a green outside its own
+#      window (e.g. the q_bm25/_bm25_scored checkpoint de-eagering
+#      flagged in SCALE.md's hybrid-rrf section), that query takes a
+#      front slot.
+#   2. Continue the registration-order fill where round 7 stopped:
+#      q_text_tokens q_lang_stopword q_quality_score q_pack_sequences
+#      q_contamination (displaced by the round-7 additions), then the
+#      rest of text.py r2/r3 greens (q_repetition q_pii_scrub
+#      q_fingerprint q_doc_chunk q_text_tokens_bpe ...), then dedup.py
+#      / similarity.py / sketches.py / sampling.py r2-r3 greens in
+#      file order until the 50 slots are full.
 # Done = every oracle-bearing query re-verified within ~3 rounds of its
 # last plan change.
 
