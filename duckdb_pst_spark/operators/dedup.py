@@ -2379,3 +2379,66 @@ def q_dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("false_merge_texts"),
     )
+
+
+# --------------------------------------------- LSH band tuning table
+@query(
+    "q_minhash_band_stats",
+    oracle=_duck_minhash_cte()
+    + f"""
+    , bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {j} AS band_idx, (sig_{2 * j} * 31 + sig_{2 * j + 1}) % {P_HASH} AS band_val FROM sig"
+        for j in range(MINHASH_BANDS)
+      )}
+    ),
+    bk AS (
+      SELECT band_idx, band_val, CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY band_idx, band_val
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+             AS docs_in_colliding,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+    FROM bk GROUP BY band_idx ORDER BY band_idx
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket statistics — the banding tuning table read
+    BEFORE a corpus-scale near-dup run: n_cand_pairs per band prices the
+    verify stage (the sum of C(bucket, 2) IS the candidate-join output),
+    max_bucket exposes banding hot spots (a boilerplate-heavy corpus
+    collapses into one giant bucket and quadratic verify cost — the
+    signal to add bands or salt the band key), and docs_in_colliding is
+    the fraction of the corpus that generates any candidate at all.
+
+    Scale shape: signatures from the shared scan-local kernel, one
+    (band, value)-keyed map-side-combined aggregate (the SAME exchange
+    the production band join pays, so the table prices exactly what
+    will run), then a ≤4-group rollup. No pair is ever materialized —
+    C(sz, 2) is arithmetic on bucket sizes."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for j, c in enumerate(_band_cols()):
+        b = sig.select(
+            F.lit(j).cast("long").alias("band_idx"), c.alias("band_val")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    bk = bands.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        bk.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("docs_in_colliding"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("n_cand_pairs"),
+        )
+        .orderBy("band_idx")
+    )

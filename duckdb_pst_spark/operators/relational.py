@@ -1895,6 +1895,73 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- TPC-H Q10
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_c DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 20 customers who cost
+    the most revenue in returned items over one quarter — the classic
+    selective-fact star join with a wide grouped output and a top-n.
+    Revenue in floor-scaled cents per the repo money discipline.
+
+    Scale shape: both fact filters (order-date range, returnflag='R')
+    are pushed into their scans; nation broadcasts; the fact-fact joins
+    stay declarative for Catalyst/AQE (broadcast at test scale,
+    sort-merge on a cluster). The grouped aggregate is map-side
+    combined on the customer key and the top-20 is a TakeOrdered heap
+    with a deterministic custkey tie-break — no global sort."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_c",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------- one-pass table profile
 _PROFILE_COLS: list[tuple[str, str]] = [
     # (column, integer projection for min/max; None -> string column)

@@ -3130,3 +3130,48 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fertility_ppm"),
     ).orderBy("lang")
+
+
+# ------------------------------------------- top tokens per language
+@query(
+    "q_group_topk_freq",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY lang, tok
+    ),
+    r AS (
+      SELECT lang, tok, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+                  AS BIGINT) AS rk
+      FROM c
+    )
+    SELECT lang, tok, n, rk FROM r WHERE rk <= 3 ORDER BY lang, rk
+    """,
+    tags=("text", "pipeline"),
+)
+def q_group_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per language by occurrence count — the per-group
+    frequency leaderboard (stopword discovery, per-language boilerplate
+    detection, tokenizer-vocabulary sanity) and the canonical
+    grouped-top-k plan shape: a (group, key) aggregate feeding a
+    group-partitioned rank window.
+
+    Scale shape: one (lang, tok)-keyed map-side-combined aggregate
+    (the exchange carries per-partition distinct (lang, tok) rows),
+    then the row_number window runs over the AGGREGATED vocab-sized
+    table partitioned by lang — per-group sorts parallelize and no
+    corpus-sized data crosses an unpartitioned window."""
+    d = table(spark, sf_dir, "documents")
+    tf = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = tf.groupBy("lang", "tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )

@@ -80,10 +80,11 @@ def query(
 #      relational block (19), then windows.py r2 greens (7), then
 #      text.py r2 greens in file order (9).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-7 additions, registered this round (5) — new queries always
+    # round-7 additions, registered this round (8) — new queries always
     # take the front slots
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
     "q_dedup_prefix_exact", "q_triangle_count_pte",
+    "q_minhash_band_stats", "q_group_topk_freq", "q_tpch_q10",
     # round-6 additions, never windowed (8)
     "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
     "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
@@ -104,11 +105,11 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_window_lag", "q_window_running", "q_window_range_frame",
     "q_latest_per_key", "q_window_ntiles", "q_time_bucket",
     "q_gapfill_locf",
-    # fill: text.py r2 greens in file order (4; five slots went to the
-    # round-7 additions above — q_text_tokens q_lang_stopword
-    # q_quality_score q_pack_sequences q_contamination head the
-    # round-8 fill instead)
-    "q_explode", "q_explode_agg", "q_list_first", "q_length",
+    # fill: text.py r2 greens in file order (1; eight slots went to the
+    # round-7 additions above — q_explode_agg q_list_first q_length
+    # q_text_tokens q_lang_stopword q_quality_score q_pack_sequences
+    # q_contamination head the round-8 fill instead)
+    "q_explode",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -149,6 +150,7 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
     # registered in round 7, windowed in round 7 (front slots)
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
     "q_dedup_prefix_exact", "q_triangle_count_pte",
+    "q_minhash_band_stats", "q_group_topk_freq", "q_tpch_q10",
 )
 
 # Round 8 window plan (the rotation math, finalized end of round 7):
