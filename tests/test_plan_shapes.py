@@ -596,3 +596,41 @@ def test_degree_distribution_one_exchange_mapside_dedup(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert pi.shuffle_count(df) == 2, plan
     assert "partial_collect_set" in plan, plan
+
+
+def test_tpch_q10_pushdown_and_takeordered(spark, sf_dir):
+    """q_tpch_q10: the returnflag filter reaches the lineitem scan, the
+    order-date range runs before any join (pushed or codegen'd scan-side
+    Filter — the ts loader cast keeps it out of PushedFilters), and the
+    top-20 is a TakeOrdered heap — never a global sort of the grouped
+    output."""
+    df = SPECS["q_tpch_q10"].builder(spark, sf_dir)
+    pushed = pi.pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+    plan = pi.executed_plan(df)
+    assert any(
+        "Filter" in line and "o_orderdate" in line for line in plan.splitlines()
+    ), plan
+    assert pi.has_take_ordered(df), plan
+
+
+def test_group_topk_window_is_partitioned(spark, sf_dir):
+    """q_group_topk_freq: the rank window runs over the AGGREGATED
+    (lang, tok) table partitioned by lang — the plan must contain no
+    unpartitioned window (a corpus-sized single-task sort)."""
+    df = SPECS["q_group_topk_freq"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    # the window's required distribution is hash(lang); an unpartitioned
+    # window would demand a SinglePartition exchange instead
+    assert "hashpartitioning(lang" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_band_stats_no_pair_materialization(spark, sf_dir):
+    """q_minhash_band_stats: candidate-pair counts are ARITHMETIC on
+    bucket sizes — the plan may contain no self-join of the bands table
+    (the production band join this table prices must not run here)."""
+    df = SPECS["q_minhash_band_stats"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
