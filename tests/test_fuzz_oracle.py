@@ -972,3 +972,74 @@ def test_fuzz_triangle_count(spark, pairs):
         compare(spark, REGISTRY["q_triangle_count_pte"], d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_lang_documents(rows: list[tuple[int, list[str]]], path: str) -> None:
+    """Documents with fuzzed (lang, words): multilingual slices for the
+    KS / fertility / top-k family; every 5th row is a NULL text."""
+    langs = ["en", "fr", "de"]
+    texts = [None if i % 5 == 4 else " ".join(r[1]) for i, r in enumerate(rows)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": texts,
+            "lang": [langs[r[0] % 3] for r in rows],
+            "source": ["web"] * len(rows),
+            "n_chars": [0 if t is None else len(t) for t in texts],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+        " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+        pdf,
+        path,
+    )
+
+
+lang_docs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.lists(st.sampled_from(["aa", "bb", "ab", "the", "x"]), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=lang_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_quality_ks(spark, rows):
+    """Two-sample KS on adversarial slices: tie-heavy n_chars (tiny
+    vocab → repeated lengths), empty sides (all-en or all-fr corpora →
+    the 0-division guard), a third language that must be excluded, and
+    NULL-text rows contributing n_chars = 0 ties."""
+    _check(spark, "q_quality_ks", {"documents": lambda p: _write_lang_documents(rows, p)})
+
+
+@given(rows=lang_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_tokenizer_fertility(spark, rows):
+    """Fertility on adversarial slices: zero-token documents (empty
+    text / NULL text → the ws_tokens = 0 guard), languages with one
+    document, token soup identical across langs."""
+    _check(spark, "q_tokenizer_fertility", {"documents": lambda p: _write_lang_documents(rows, p)})
+
+
+@given(rows=lang_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_group_topk_freq(spark, rows):
+    """Grouped top-k on tie-heavy counts: a 5-token vocabulary forces
+    equal-count ties (the tok ASC tie-break decides rank), languages
+    with fewer than 3 distinct tokens, and NULL texts that contribute
+    nothing."""
+    _check(spark, "q_group_topk_freq", {"documents": lambda p: _write_lang_documents(rows, p)})
+
+
+@given(rows=lang_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_dedup_prefix_exact(spark, rows):
+    """Prefix-key audit on adversarial texts: every text is shorter
+    than the 64-char key (prefix == text → zero false merges by
+    construction), duplicate texts across docs, NULL texts excluded on
+    both engines."""
+    _check(spark, "q_dedup_prefix_exact", {"documents": lambda p: _write_lang_documents(rows, p)})
