@@ -162,9 +162,10 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
 #      a round-7 window slot, so the round-7 run already verified the
 #      CURRENT plans (the driver runs correctness at round end, after
 #      all commits). If round 8 rewrites a green outside its own
-#      window (e.g. the q_bm25/_bm25_scored checkpoint de-eagering
-#      flagged in SCALE.md's hybrid-rrf section), that query takes a
-#      front slot.
+#      window, that query takes a front slot. (The q_bm25/_bm25_scored
+#      checkpoint de-eagering candidate was measured late in round 7:
+#      a tie on both q_hybrid_rrf and q_bm25 — no-ship, no canary
+#      needed; see SCALE.md's hybrid-rrf section.)
 #   2. Continue the registration-order fill where round 7 stopped:
 #      q_text_tokens q_lang_stopword q_quality_score q_pack_sequences
 #      q_contamination (displaced by the round-7 additions), then the
