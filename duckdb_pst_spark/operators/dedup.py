@@ -2415,18 +2415,31 @@ def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal to add bands or salt the band key), and docs_in_colliding is
     the fraction of the corpus that generates any candidate at all.
 
-    Scale shape: signatures from the shared scan-local kernel, one
-    (band, value)-keyed map-side-combined aggregate (the SAME exchange
-    the production band join pays, so the table prices exactly what
-    will run), then a ≤4-group rollup. No pair is ever materialized —
-    C(sz, 2) is arithmetic on bucket sizes."""
+    Scale shape: signatures from the shared scan-local kernel — read
+    ONCE: the four band keys leave each row as one exploded
+    (band_idx, band_val) struct array, so the plan holds a single
+    MapInPandas stage (a 4-way UNION of per-band selects would
+    re-run the signature kernel per band — caught at registration and
+    plan-gated); then one (band, value)-keyed map-side-combined
+    aggregate (the SAME exchange the production band join pays, so the
+    table prices exactly what will run) and a ≤4-group rollup. No pair
+    is ever materialized — C(sz, 2) is arithmetic on bucket sizes."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for j, c in enumerate(_band_cols()):
-        b = sig.select(
-            F.lit(j).cast("long").alias("band_idx"), c.alias("band_val")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("band_idx"),
+                (
+                    (F.col(f"sig_{2 * j}") * 31 + F.col(f"sig_{2 * j + 1}"))
+                    % F.lit(P_HASH)
+                ).alias("band_val"),
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(F.explode(band_arr).alias("b")).select(
+        "b.band_idx", "b.band_val"
+    )
     bk = bands.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )

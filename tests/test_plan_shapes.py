@@ -634,3 +634,6 @@ def test_band_stats_no_pair_materialization(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+    # the checkpointed signature set is read ONCE (the exploded band
+    # array) — the 4-way per-band union read it once per band
+    assert plan.count("Scan ExistingRDD") == 1, plan
