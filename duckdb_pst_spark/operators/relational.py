@@ -1895,6 +1895,48 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ TPC-H Q6
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the purest
+    scan-filter-aggregate benchmark — one table, three pushable
+    predicates, one global sum. Revenue in floor-scaled cents per the
+    repo money discipline (SUM over per-row floors is order-free).
+
+    Scale shape: all three filters reach the parquet scan (row-group
+    pruning does the heavy lifting at 100 TB), the whole pipeline is
+    one WholeStageCodegen span into a partial+final aggregate — zero
+    corpus-keyed exchanges at any scale."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 # ----------------------------------------------------------- TPC-H Q10
 @query(
     "q_tpch_q10",

@@ -63,28 +63,29 @@ def query(
 #
 # Round 7 window (executes the plan pre-queued in round 6; arithmetic
 # below sums to exactly 50):
+#   0. ROUND7_ADDITIONS (9) — queries registered THIS round, all
+#      hash-exact at sf0.001 and sf0.01 and measured at registration
+#      (new queries always take the front slots).
 #   1. ROUND6_ADDITIONS (8) — oracle-bearing queries registered in round
-#      6 that have never been inside a driver window (new queries always
-#      take the front slots — the rule that cleared the r3/r4 backlog).
+#      6 that have never been inside a driver window.
 #   2. ROUND7_CANARIES (3) — greens that predate a round-6 plan change
 #      (q_lang_ngram oracle-string refactor; q_kmeans_iter /
 #      q_knn_ivf_trained moved onto _lloyd_gemm).
-#   3. Round-7 rewrite canaries (4) — plans this round touches after
-#      their last green row: q_vocab_df (hash-key df exchange attack on
-#      the 4.6×), q_degree_distribution + q_sequence_gaps (two-level
-#      partial distinct), q_hybrid_rrf (Zipf re-measure may fold the
-#      dense arm into the BM25 scan). If a rewrite ends up not shipping,
-#      the slot still re-verifies the current plan — never wasted.
-#   4. Fill (35) — continue the registration-order re-verification cycle
+#   3. Round-7 rewrite canaries (4) — plans this round rewrote after
+#      their last green row: q_vocab_df (JVM explode plan),
+#      q_degree_distribution (map-side collect_set dedup),
+#      q_sequence_gaps (checkpoint deleted), q_hybrid_rrf (bit-exact
+#      vectorized dense arm).
+#   4. Fill (26) — continue the registration-order re-verification cycle
 #      where round 6 stopped: after q_join_agg_topn comes the r1/r3
-#      relational block (19), then windows.py r2 greens (7), then
-#      text.py r2 greens in file order (9).
+#      relational block (19), then windows.py r2 greens (7).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-7 additions, registered this round (8) — new queries always
+    # round-7 additions, registered this round (9) — new queries always
     # take the front slots
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
     "q_dedup_prefix_exact", "q_triangle_count_pte",
     "q_minhash_band_stats", "q_group_topk_freq", "q_tpch_q10",
+    "q_tpch_q6",
     # round-6 additions, never windowed (8)
     "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
     "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
@@ -105,11 +106,10 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_window_lag", "q_window_running", "q_window_range_frame",
     "q_latest_per_key", "q_window_ntiles", "q_time_bucket",
     "q_gapfill_locf",
-    # fill: text.py r2 greens in file order (1; eight slots went to the
-    # round-7 additions above — q_explode_agg q_list_first q_length
-    # q_text_tokens q_lang_stopword q_quality_score q_pack_sequences
-    # q_contamination head the round-8 fill instead)
-    "q_explode",
+    # (no fill slots left: nine went to the round-7 additions above —
+    # q_explode q_explode_agg q_list_first q_length q_text_tokens
+    # q_lang_stopword q_quality_score q_pack_sequences q_contamination
+    # head the round-8 fill instead)
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -151,6 +151,7 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
     "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
     "q_dedup_prefix_exact", "q_triangle_count_pte",
     "q_minhash_band_stats", "q_group_topk_freq", "q_tpch_q10",
+    "q_tpch_q6",
 )
 
 # Round 8 window plan (the rotation math, finalized end of round 7):
@@ -167,7 +168,8 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
 #      a tie on both q_hybrid_rrf and q_bm25 — no-ship, no canary
 #      needed; see SCALE.md's hybrid-rrf section.)
 #   2. Continue the registration-order fill where round 7 stopped:
-#      q_text_tokens q_lang_stopword q_quality_score q_pack_sequences
+#      q_explode q_explode_agg q_list_first q_length q_text_tokens
+#      q_lang_stopword q_quality_score q_pack_sequences
 #      q_contamination (displaced by the round-7 additions), then the
 #      rest of text.py r2/r3 greens (q_repetition q_pii_scrub
 #      q_fingerprint q_doc_chunk q_text_tokens_bpe ...), then dedup.py
