@@ -621,6 +621,14 @@ def _pte_count_kernel(pdf):
         nbt = pdf["nbt"].to_numpy()
         counts = np.fromiter((len(x) for x in nt), dtype=np.int64, count=len(s))
         t = np.concatenate([np.asarray(x, dtype=np.int64) for x in nt])
+        # the packed (s·2³² + t) edge key needs ids < 2³²; past that,
+        # keys collide and the count is silently wrong — fail loudly
+        # instead (dense-rank relabel upstream is the general fix)
+        mx = max(int(s.max()), int(t.max())) if len(t) else int(s.max())
+        if mx >= _TRI_PACK or int(s.min()) < 0 or (len(t) and int(t.min()) < 0):
+            raise ValueError(
+                f"vertex id out of packed-key range [0, 2^32): max={mx}"
+            )
         bt = np.concatenate([np.asarray(x, dtype=np.int64) for x in nbt])
         src = np.repeat(s, counts)
         bs = np.repeat(bs_row, counts)

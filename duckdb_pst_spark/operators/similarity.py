@@ -1688,6 +1688,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c = X[:, j]
                     acc += c * qv[j]
                     nacc += c * c
+                if not nacc.all():
+                    # zero-norm embedding: cosine is 0/0. The declarative
+                    # fallback raises here too (ANSI DIVIDE_BY_ZERO), so
+                    # the kernel must not silently emit NaN — lexsort
+                    # would trim it while Spark/DuckDB desc rank NaN
+                    # first, diverging the paths on garbage input.
+                    bad = ids[nacc == 0.0][:3].tolist()
+                    raise ValueError(
+                        f"zero-norm embedding(s) in cosine kernel: vec_id {bad}"
+                    )
                 cs = acc / (np.sqrt(nacc) * qnv)
                 # local (cs DESC, doc_id ASC) top-pool — the tie at the
                 # pool edge must break exactly like the global order

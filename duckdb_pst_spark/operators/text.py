@@ -3014,9 +3014,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
            CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST(1000000 *
-                     (SELECT max(abs(ca * n_b - cb * n_a)) FROM c)
-                     // (n_a * n_b) AS BIGINT)
+                ELSE CAST(1000000 * CAST(
+                     (SELECT max(abs(CAST(ca AS HUGEINT) * n_b
+                                     - CAST(cb AS HUGEINT) * n_a)) FROM c)
+                     AS HUGEINT)
+                     // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
            END AS ks_ppm
     FROM t
     """,
@@ -3030,9 +3032,13 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shape changes (truncation, boilerplate injection) that mean/
     variance monitors miss. Exact integers end-to-end: D is computed
     as max |ca·n_b − cb·n_a| over the merged support and reported as
-    1e6·D div (n_a·n_b), so engines agree bit-for-bit (cross-products
-    stay < 2⁶³ up to ~10⁹ docs per side; past that, pre-bucket the
-    support).
+    1e6·D div (n_a·n_b). Both the cross-products and the ×1e6 rescale
+    run in 128-bit-safe intermediates (DECIMAL(38,0) here, HUGEINT in
+    the oracle) because the worst case D = n_a·n_b pushes 1e6·D past
+    2⁶³ at only ~3×10⁶ docs per side — BIGINT math would wrap silently
+    on Spark while DuckDB raised, diverging exactly at scale. The
+    decimal envelope is 1e6·n_a·n_b < 10³⁸ ≈ 10¹⁶ docs per side, and
+    past it Spark nulls / DuckDB raises — loud, never wrong.
 
     Scale shape: ONE map-side-combined groupBy over n_chars (the
     exchange carries ≤|distinct lengths| rows — histogram-sized, the
@@ -3052,12 +3058,18 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
         F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
     )
-    # max |ca*n_b - cb*n_a| needs n_a/n_b: broadcast the 1-row totals
+    # max |ca*n_b - cb*n_a| needs n_a/n_b: broadcast the 1-row totals.
+    # DECIMAL(38,0) intermediates: ca*n_b can reach n_a*n_b, and the
+    # final 1e6 rescale reaches 1e6*n_a*n_b — both wrap BIGINT long
+    # before the corpus sizes this repo targets (see docstring).
     diff = (
         c.crossJoin(F.broadcast(t))
         .agg(
             F.max(
-                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                )
             ).alias("d_num")
         )
     )
@@ -3068,7 +3080,11 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0).cast("long"))
             .otherwise(
-                F.expr("1000000 * coalesce(d_num, CAST(0 AS BIGINT)) div (n_a * n_b)")
+                # decimal `div` (IntegralDivide) returns BIGINT exactly
+                F.expr(
+                    "coalesce(d_num, CAST(0 AS DECIMAL(38,0))) * 1000000"
+                    " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                )
             )
             .cast("long")
             .alias("ks_ppm"),

