@@ -2405,6 +2405,7 @@ def q_dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bk GROUP BY band_idx ORDER BY band_idx
     """,
     tags=("dedup", "pipeline"),
+    bench=True,
 )
 def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band LSH bucket statistics — the banding tuning table read

@@ -1841,6 +1841,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue_c DESC, n_name
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local-supplier volume): revenue per nation where the
@@ -1909,6 +1910,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     tags=("relational", "agg"),
+    bench=True,
 )
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): the purest
@@ -1958,6 +1960,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): the 20 customers who cost

@@ -3023,6 +3023,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t
     """,
     tags=("text", "quality", "pipeline"),
+    bench=True,
 )
 def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov distance between the length
@@ -3169,6 +3170,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, tok, n, rk FROM r WHERE rk <= 3 ORDER BY lang, rk
     """,
     tags=("text", "pipeline"),
+    bench=True,
 )
 def q_group_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tokens per language by occurrence count — the per-group

@@ -637,3 +637,15 @@ def test_band_stats_no_pair_materialization(spark, sf_dir):
     # the checkpointed signature set is read ONCE (the exploded band
     # array) — the 4-way per-band union read it once per band
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_group_topk_windowgrouplimit_fires(spark, sf_dir):
+    """q_group_topk_freq: Catalyst's WindowGroupLimit (rank-filter
+    pushdown) must fire on the rk<=3 filter, in BOTH modes — Partial
+    (per-task top-k heaps run before the lang exchange, so only <=3k
+    rows per task per group cross it) and Final. Without it the window
+    sorts and ranks the full vocab-sized aggregate per group."""
+    df = SPECS["q_group_topk_freq"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
