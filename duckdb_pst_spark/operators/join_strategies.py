@@ -301,3 +301,60 @@ def q_fuzzy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+# ------------------------------------------------- join-key skew audit
+@query(
+    "q_join_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS mx FROM k)
+    SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(1000000 * max(n) // any_value(total) AS BIGINT)
+             AS max_key_share_ppm
+    FROM k CROSS JOIN tot
+    GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("join", "quality"),
+)
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key multiplicity audit — the table read BEFORE choosing a
+    join strategy at 100 TB: the log2 histogram of per-key row counts
+    on the fact join key (l_orderkey) says whether the shuffle will be
+    balanced (flat head) or needs salting / AQE skew splitting (a
+    bucket whose max_rows dwarfs the rest), and max_key_share_ppm is
+    the single-task worst case as a fraction of the table (the number
+    AQE's skewedPartitionFactor reasons about). The same audit shape
+    as q_degree_distribution, pointed at a JOIN key instead of a graph
+    — together with q_minhash_band_stats these are the pre-flight
+    tuning tables a production run publishes first.
+
+    Scale shape: one (key) map-side-combined count aggregate — the
+    identical exchange the audited join itself would pay, so the audit
+    prices what will run; then a ≤64-group rollup crossed with a
+    1-row broadcast total. floor(log2(n)) of a BIGINT count is exact
+    in both engines (same contract as q_degree_distribution)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("long").alias("total"), F.max("n").alias("mx")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST(floor(log2(n)) AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows"),
+            F.expr("CAST(1000000 * max(n) div any_value(total) AS BIGINT)").alias(
+                "max_key_share_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -2088,3 +2088,155 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------------------ TPC-H Q4
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the schema at
+    hand: the reference's commitdate<receiptdate lateness predicate
+    becomes l_shipdate >= o_orderdate + 90 days (the testdata lineitem
+    carries no commit/receipt dates) — the SHAPE is preserved exactly:
+    a quarter-windowed order scan EXISTS-joined to the fact table with
+    an inequality ON TOP of the equi-key, rolled up by priority
+    (reference README.md:402-469 query family).
+
+    Scale shape: the date window prunes orders at the scan (pushed);
+    the EXISTS compiles to a left-semi SortMergeJoin on orderkey with
+    the lateness inequality as a join-side residual — the semi form
+    stops probing an order's lines at the FIRST late hit and never
+    materializes the join payload; output is a ≤5-row rollup. The
+    orderkey exchange is this plan's budget; on bucketed tables
+    (tools/ab_bucketed_tpch.py) it disappears."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q12
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode / priority), adapted: the testdata has
+    no l_shipmode, so the grouping key is l_linestatus — the shape (a
+    year-windowed fact scan joined to orders for a conditional
+    two-priority count split) is the reference's (README.md:402-469).
+
+    Scale shape: the ship-date window prunes lineitem at the scan; the
+    join carries only (l_orderkey, l_linestatus) against
+    (o_orderkey, o_orderpriority) — two skinny columns per side; the
+    CASE split happens inside the map-side partial aggregate so the
+    final exchange is ≤2 groups. One orderkey exchange is the budget
+    (bucketed twin: zero)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q14
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_rev_c,
+      CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS total_rev_c,
+      CAST(1000000 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) ELSE 0 END)
+           // SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS promo_share_ppm
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the revenue share of promo parts
+    in one ship month. The testdata's p_type is a plain category
+    ('PROMO' among six), so the predicate is equality instead of the
+    reference's LIKE 'PROMO%' — same shape (README.md:402-469). Share
+    in exact-integer ppm over floor-scaled cents (the repo money
+    discipline; a float ratio would be engine-ordering-dependent).
+
+    Scale shape: the one-month window prunes lineitem to ~1/80 at the
+    scan; the join carries (l_partkey, revenue cents) against
+    (p_partkey, p_type) — part is the smaller side and AQE picks the
+    strategy (forcing a broadcast on the 2M-row x100 part measured
+    worse on q_tpch_q10's analogous choice); one global single-row
+    aggregate ends the plan map-side."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0)).alias("promo_c"),
+        rev_c.alias("rev_c"),
+    )
+    return j.agg(
+        F.sum("promo_c").cast("long").alias("promo_rev_c"),
+        F.sum("rev_c").cast("long").alias("total_rev_c"),
+        F.expr("CAST(1000000 * sum(promo_c) div sum(rev_c) AS BIGINT)").alias(
+            "promo_share_ppm"
+        ),
+    )

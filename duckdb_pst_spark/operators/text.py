@@ -3193,3 +3193,97 @@ def q_group_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("lang", "rk")
     )
+
+
+# -------------------------------------------- per-source char-class profile
+@query(
+    "q_char_class_profile",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS alpha,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS digit,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS space
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN sum(n) = 0 THEN 0
+                ELSE 1000000 * sum(alpha) // sum(n) END AS BIGINT) AS alpha_ppm,
+           CAST(CASE WHEN sum(n) = 0 THEN 0
+                ELSE 1000000 * sum(digit) // sum(n) END AS BIGINT) AS digit_ppm,
+           CAST(CASE WHEN sum(n) = 0 THEN 0
+                ELSE 1000000 * sum(space) // sum(n) END AS BIGINT) AS space_ppm,
+           CAST(CASE WHEN sum(n) = 0 THEN 0
+                ELSE 1000000 * sum(n - alpha - digit - space) // sum(n) END
+                AS BIGINT) AS other_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality"),
+)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile — the encoding-health audit a
+    crawl pipeline runs before tokenization: a source whose other_ppm
+    (neither letter, digit, nor space) jumps between snapshots has an
+    encoding/mojibake regression or markup leakage; digit_ppm flags
+    table/log-dump sources that poison an LM corpus; space_ppm near
+    zero flags lost whitespace. Complements q_char_diversity (per-doc
+    entropy) and q_quality_score (per-doc gates) with the per-SOURCE
+    exact-integer figures a data card quotes.
+
+    Scale shape: class counts are length-differences after JVM-side
+    regexp_replace — computed inside the scan's codegen span, so the
+    only exchange is the ≤|sources|-group rollup of five int64s per
+    partition. Nothing grows with the corpus; ppm figures are exact
+    integers so cards from different engines or cluster sizes are
+    bit-comparable (q_corpus_card's contract)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.length("text").cast("long")
+    alpha = (
+        F.length("text") - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+    ).cast("long")
+    digit = (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast(
+        "long"
+    )
+    space = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ).cast("long")
+    c = d.select(
+        "source",
+        n.alias("n"),
+        alpha.alias("alpha"),
+        digit.alias("digit"),
+        space.alias("space"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_chars"),
+            # zero-char guard: a source whose every kept text is '' must
+            # yield 0, not NULL-vs-error engine divergence (DuckDB //0
+            # raises, non-ANSI Spark div 0 is NULL)
+            F.expr(
+                "CAST(CASE WHEN sum(n) = 0 THEN 0"
+                " ELSE 1000000 * sum(alpha) div sum(n) END AS BIGINT)"
+            ).alias("alpha_ppm"),
+            F.expr(
+                "CAST(CASE WHEN sum(n) = 0 THEN 0"
+                " ELSE 1000000 * sum(digit) div sum(n) END AS BIGINT)"
+            ).alias("digit_ppm"),
+            F.expr(
+                "CAST(CASE WHEN sum(n) = 0 THEN 0"
+                " ELSE 1000000 * sum(space) div sum(n) END AS BIGINT)"
+            ).alias("space_ppm"),
+            F.expr(
+                "CAST(CASE WHEN sum(n) = 0 THEN 0"
+                " ELSE 1000000 * sum(n - alpha - digit - space) div sum(n) END"
+                " AS BIGINT)"
+            ).alias("other_ppm"),
+        )
+    )

@@ -61,55 +61,55 @@ def query(
 # rows-only specs LAST — a rows-only spec can never produce a green row,
 # so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 7 window (executes the plan pre-queued in round 6; arithmetic
+# Round 8 window (executes the plan pre-queued in round 7; arithmetic
 # below sums to exactly 50):
-#   0. ROUND7_ADDITIONS (9) — queries registered THIS round, all
-#      hash-exact at sf0.001 and sf0.01 and measured at registration
-#      (new queries always take the front slots).
-#   1. ROUND6_ADDITIONS (8) — oracle-bearing queries registered in round
-#      6 that have never been inside a driver window.
-#   2. ROUND7_CANARIES (3) — greens that predate a round-6 plan change
-#      (q_lang_ngram oracle-string refactor; q_kmeans_iter /
-#      q_knn_ivf_trained moved onto _lloyd_gemm).
-#   3. Round-7 rewrite canaries (4) — plans this round rewrote after
-#      their last green row: q_vocab_df (JVM explode plan),
-#      q_degree_distribution (map-side collect_set dedup),
-#      q_sequence_gaps (checkpoint deleted), q_hybrid_rrf (bit-exact
-#      vectorized dense arm).
-#   4. Fill (26) — continue the registration-order re-verification cycle
-#      where round 6 stopped: after q_join_agg_topn comes the r1/r3
-#      relational block (19), then windows.py r2 greens (7).
+#   0. ROUND8_ADDITIONS (5) — queries registered THIS round, all
+#      hash-exact at sf0.001 and sf0.01 under the hostile-timezone
+#      probe (new queries always take the front slots).
+#   1. Canaries: none owed — the round-7 window verified every plan
+#      round 7 rewrote, and round 8's A/B program shipped NO plan
+#      changes (the signature-kernel re-check CONFIRMED the r6 ship
+#      idle; the group-topk fusion and the runtime bloom filter were
+#      measured no-ships; bucketed TPC-H twins are tools/, not
+#      registered plans).
+#   2. Fill (45) — continue the registration-order re-verification
+#      cycle where round 7 stopped: the 9 text.py r2 greens the
+#      round-7 additions displaced, the rest of the text.py r2/r3
+#      block (5), then dedup/similarity/sketches/sampling r1-r3
+#      greens in file order (10), the r1 recursive trio (3),
+#      join_strategies r2 (2), multimodal r2/r3 (6), and the first
+#      pstbin r3 block (10).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-7 additions, registered this round (9) — new queries always
-    # take the front slots
-    "q_tpch_q5", "q_quality_ks", "q_tokenizer_fertility",
-    "q_dedup_prefix_exact", "q_triangle_count_pte",
-    "q_minhash_band_stats", "q_group_topk_freq", "q_tpch_q10",
-    "q_tpch_q6",
-    # round-6 additions, never windowed (8)
-    "q_split_leakfree", "q_oov_rate", "q_ngram_novelty",
-    "q_triangle_count", "q_knn_ivfpq", "q_lang_confusion",
-    "q_ivf_nprobe_sweep", "q_dedup_threshold_sweep",
-    # pre-queued canaries for round-6 plan changes (3)
-    "q_lang_ngram", "q_kmeans_iter", "q_knn_ivf_trained",
-    # canaries for plans round 7 rewrites (4)
-    "q_vocab_df", "q_degree_distribution", "q_sequence_gaps",
-    "q_hybrid_rrf",
-    # fill: registration-order re-verification, resuming after
-    # q_join_agg_topn (19 relational)
-    "q_multi_join", "q_agg_stats", "q_rollup_agg", "q_cube_agg",
-    "q_intersect", "q_except", "q_join_left_outer", "q_join_full_outer",
-    "q_anti_join", "q_percentile", "q_pivot", "q_correlated_scalar",
-    "q_having", "q_in_subquery", "q_grouping_sets", "q_string_agg",
-    "q_sql_functions", "q_json_extract", "q_unpivot",
-    # fill: windows.py r2 greens (7)
-    "q_window_lag", "q_window_running", "q_window_range_frame",
-    "q_latest_per_key", "q_window_ntiles", "q_time_bucket",
-    "q_gapfill_locf",
-    # (no fill slots left: nine went to the round-7 additions above —
-    # q_explode q_explode_agg q_list_first q_length q_text_tokens
-    # q_lang_stopword q_quality_score q_pack_sequences q_contamination
-    # head the round-8 fill instead)
+    # round-8 additions, registered this round (5)
+    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
+    "q_char_class_profile",
+    # fill: text.py r2 greens displaced from the round-7 window (9)
+    "q_explode", "q_explode_agg", "q_list_first", "q_length",
+    "q_text_tokens", "q_lang_stopword", "q_quality_score",
+    "q_pack_sequences", "q_contamination",
+    # fill: rest of the text.py r2/r3 block (5)
+    "q_repetition", "q_pii_scrub", "q_fingerprint", "q_doc_chunk",
+    "q_text_tokens_bpe",
+    # fill: dedup.py r1-r3 greens in file order (3)
+    "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash_vec",
+    # fill: similarity.py r2/r3 greens (6)
+    "q_embedding_norm", "q_knn_brute", "q_dedup_embedding",
+    "q_knn_ivf", "q_embedding_quantize", "q_knn_recall",
+    # fill: sketches.py + sampling.py r2 greens (3)
+    "q_kmv_distinct", "q_approx_quantile", "q_stratified_sample",
+    # fill: recursive.py r1 greens — the OLDEST standing rows (3)
+    "q_recursive_descendants", "q_recursive_ancestors",
+    "q_recursive_native",
+    # fill: join_strategies.py r2 greens (2)
+    "q_range_join", "q_skew_join_salted",
+    # fill: multimodal r2/r3 greens (6)
+    "q_media_stats", "q_media_meta_consistent", "q_video_frame_sample",
+    "q_image_resize_bytes", "q_media_probe_real", "q_media_doc_join",
+    # fill: first pstbin r3 block (8)
+    "q_pstbin_folders", "q_pstbin_class_counts",
+    "q_pstbin_sticky_geometry", "q_pstbin_appointment",
+    "q_pstbin_dlist_members", "q_pstbin_task", "q_pstbin_counts",
+    "q_pstbin_count_stats",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -154,27 +154,39 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
     "q_tpch_q6",
 )
 
-# Round 8 window plan (the rotation math, finalized end of round 7):
-#   0. Any round-8 registry additions, never windowed (new queries
+ROUND8_ADDITIONS: tuple[str, ...] = (
+    # registered in round 8, windowed in round 8 (front slots)
+    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
+    "q_char_class_profile",
+)
+
+# Round 9 window plan (the rotation math, finalized end of round 8):
+#   0. Any round-9 registry additions, never windowed (new queries
 #      always take the front slots).
-#   1. ROUND8_CANARIES: none owed — every plan round 7 rewrote
-#      (q_vocab_df, q_degree_distribution, q_sequence_gaps,
-#      q_hybrid_rrf dense arm, and the two triangle strategies) holds
-#      a round-7 window slot, so the round-7 run already verified the
-#      CURRENT plans (the driver runs correctness at round end, after
-#      all commits). If round 8 rewrites a green outside its own
-#      window, that query takes a front slot. (The q_bm25/_bm25_scored
-#      checkpoint de-eagering candidate was measured late in round 7:
-#      a tie on both q_hybrid_rrf and q_bm25 — no-ship, no canary
-#      needed; see SCALE.md's hybrid-rrf section.)
-#   2. Continue the registration-order fill where round 7 stopped:
-#      q_explode q_explode_agg q_list_first q_length q_text_tokens
-#      q_lang_stopword q_quality_score q_pack_sequences
-#      q_contamination (displaced by the round-7 additions), then the
-#      rest of text.py r2/r3 greens (q_repetition q_pii_scrub
-#      q_fingerprint q_doc_chunk q_text_tokens_bpe ...), then dedup.py
-#      / similarity.py / sketches.py / sampling.py r2-r3 greens in
-#      file order until the 50 slots are full.
+#   1. ROUND9_CANARIES: none owed as of end of round 8 — round 8
+#      shipped zero plan changes to green queries (its A/B program
+#      confirmed the r6 signature-kernel ship idle and no-shipped the
+#      group-topk fusion and the runtime bloom filter; the bucketed
+#      TPC-H twins live in tools/, not in registered plans). If round
+#      9 rewrites a green outside its own window, that query takes a
+#      front slot.
+#   2. Continue the registration-order fill where round 8 stopped:
+#      the remaining pstbin r3/r4 greens (q_pstbin_body_truncate
+#      q_pstbin_read_limit q_pstbin_attachment_gate
+#      q_pstbin_folder_tree q_pstbin_parent_tree q_pstbin_dlist_ids),
+#      the pst_queries r3 block (9), the streaming r3 greens
+#      (q_stream_dedup q_stream_window_counts q_stream_stream_join
+#      q_stream_stateful_sessions), then the r4 greens in file order
+#      (windows.py q_sessionize/q_asof_join are r6 — skip; text.py
+#      q_quality_gate_quantile q_token_histogram q_quality_gopher
+#      q_bm25 q_bpe_pairs q_histogram_drift, dedup.py
+#      q_dedup_simhash_hamming q_setsim_prefix, join_strategies
+#      q_bloom_prune q_fuzzy_blocking, similarity q_knn_recall_ivf
+#      q_ann_rerank q_knn_pq q_knn_recall_pq q_auc q_embedding_drift,
+#      sketches q_source_overlap q_exact_median_2pass, sampling
+#      q_source_mix q_source_cap q_global_shuffle, recursive
+#      q_pagerank, relational q_lateral_topk q_tpch_q19 q_tpch_q13
+#      q_nullsafe_join q_not_in_nulls) until the 50 slots are full.
 # Done = every oracle-bearing query re-verified within ~3 rounds of its
 # last plan change.
 

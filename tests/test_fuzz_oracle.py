@@ -1137,3 +1137,190 @@ def test_pte_kernel_id_range_guard():
     )
     with pytest.raises(ValueError, match="packed-key range"):
         _pte_count_kernel(bad)
+
+
+# ------------------------------------------------- round-8 additions
+
+def _write_ol_pair(rows: list[tuple[int, int, int, float]], path_o: str, path_l: str) -> None:
+    """Joined orders+lineitem slice for the Q4/Q12 family.
+
+    rows: (orderkey, priority_idx, ship_lag_days, price). Order dates
+    march through the Q4 quarter INCLUDING its edges; ship_lag lands
+    ON the 90-day lateness boundary (the >= must behave identically
+    through Spark interval arithmetic and DuckDB INTERVAL). Every 7th
+    order has NO lines (EXISTS must drop it); line prices sit at the
+    floor-scaling boundary (x.xx5)."""
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[0] % 17 for r in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": [
+                datetime.datetime(1996, 1, 1)
+                + datetime.timedelta(days=(r[0] * 13) % 120)  # spills past Mar 31
+                for r in rows
+            ],
+            "o_orderpriority": [pri[r[1] % 5] for r in rows],
+        }
+    )
+    keep = [r for i, r in enumerate(rows) if r[0] % 7 != 0]
+    l = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in keep],
+            "l_partkey": [r[0] % 11 for r in keep],
+            "l_suppkey": [r[0] % 5 for r in keep],
+            "l_linenumber": [1] * len(keep),
+            "l_quantity": [float(r[0] % 50) for r in keep],
+            "l_extendedprice": [r[3] for r in keep],
+            "l_discount": [0.05] * len(keep),
+            "l_tax": [0.0] * len(keep),
+            "l_returnflag": ["R" if r[0] % 2 else "N" for r in keep],
+            "l_linestatus": ["O" if r[0] % 3 else "F" for r in keep],
+            "l_shipdate": [
+                datetime.datetime(1996, 1, 1)
+                + datetime.timedelta(days=(r[0] * 13) % 120 + r[2])
+                for r in keep
+            ],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM pdf",
+        o,
+        path_o,
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        l,
+        path_l,
+    )
+
+
+ol_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=60),
+        st.integers(min_value=0, max_value=4),
+        st.sampled_from([0, 89, 90, 91, 120]),  # lateness boundary
+        st.sampled_from([0.01, 99.995, 100.005, 9999.99]),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=ol_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_q4(spark, rows):
+    """Q4 lateness EXISTS on the 90-day boundary: ship_lag exactly 89/
+    90/91 days (>= must agree through Spark INTERVAL vs DuckDB
+    INTERVAL), orders with no lines, quarter-edge order dates."""
+    d = _fuzz_dir({})
+    try:
+        for t in ("orders", "lineitem"):
+            os.unlink(os.path.join(d, f"{t}.parquet"))
+        _write_ol_pair(
+            rows, os.path.join(d, "orders.parquet"), os.path.join(d, "lineitem.parquet")
+        )
+        compare(spark, REGISTRY["q_tpch_q4"], d)
+        compare(spark, REGISTRY["q_tpch_q12"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_skew_lineitem(mults: list[int], path: str) -> None:
+    """lineitem with per-key multiplicities `mults` — key i repeats
+    mults[i] times (one hot key saturates max_key_share_ppm at 10⁶
+    when len==1)."""
+    keys = [i for i, m in enumerate(mults) for _ in range(m)]
+    l = pd.DataFrame(
+        {
+            "l_orderkey": keys,
+            "l_partkey": [k % 7 for k in keys],
+            "l_suppkey": [k % 3 for k in keys],
+            "l_linenumber": [1] * len(keys),
+            "l_quantity": [1.0] * len(keys),
+            "l_extendedprice": [1.0] * len(keys),
+            "l_discount": [0.0] * len(keys),
+            "l_tax": [0.0] * len(keys),
+            "l_returnflag": ["N"] * len(keys),
+            "l_linestatus": ["O"] * len(keys),
+            "l_shipdate": [EPOCH] * len(keys),
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        l,
+        path,
+    )
+
+
+@given(mults=st.lists(st.sampled_from([1, 1, 2, 3, 4, 7, 8, 64]), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_fuzz_join_key_skew(spark, mults):
+    """Skew audit on adversarial multiplicities: single-key tables
+    (max share = 10⁶ ppm exactly), power-of-two counts sitting ON
+    log2 bucket edges (floor(log2(8)) must bucket as 3 in both
+    engines), all-unique tables (one bucket 0 row)."""
+    _check(spark, "q_join_key_skew", {"lineitem": lambda p: _write_skew_lineitem(mults, p)})
+
+
+def _write_class_documents(rows: list[tuple[int, int, int, int]], path: str) -> None:
+    """Documents whose text is a deterministic char-class soup:
+    (source_idx, n_alpha, n_digit, n_space). Includes empty texts
+    (all-zero rows → the sum(n)=0 guard when a whole source is empty)
+    and every-5th NULL text."""
+    texts = [
+        None if i % 5 == 4 else ("a" * r[1] + "7" * r[2] + " " * r[3])
+        for i, r in enumerate(rows)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": texts,
+            "lang": ["en"] * len(rows),
+            "source": [f"s{r[0] % 3}" for r in rows],
+            "n_chars": [0 if t is None else len(t) for t in texts],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,"
+        " CAST(n_chars AS BIGINT) AS n_chars FROM pdf",
+        pdf,
+        path,
+    )
+
+
+class_docs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=class_docs_st)
+@settings(**_SETTINGS)
+def test_fuzz_char_class_profile(spark, rows):
+    """Char-class profile on adversarial soups: empty texts, all-digit
+    sources, a source whose every kept text is '' (sum(n)=0 → the
+    guard yields 0 ppm on both engines instead of NULL-vs-error)."""
+    _check(spark, "q_char_class_profile", {"documents": lambda p: _write_class_documents(rows, p)})

@@ -649,3 +649,60 @@ def test_group_topk_windowgrouplimit_fires(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_tpch_q4_semi_join_with_date_pushdown(spark, sf_dir):
+    """q_tpch_q4: the EXISTS compiles to a left-semi join (no join
+    payload ever materializes) and the quarter window prunes orders
+    scan-side (pushed or codegen'd scan-side Filter — the ts loader
+    cast keeps it out of PushedFilters)."""
+    df = SPECS["q_tpch_q4"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any(
+        "Filter" in line and "o_orderdate" in line for line in plan.splitlines()
+    ), plan
+
+
+def test_tpch_q12_skinny_join_columns(spark, sf_dir):
+    """q_tpch_q12: the fact scan reads ONLY the two join/group columns
+    plus the pushed date column — the CASE split must not drag wide
+    columns through the orderkey exchange."""
+    df = SPECS["q_tpch_q12"].builder(spark, sf_dir)
+    schemas = pi.read_schemas(df)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all(
+        "l_extendedprice" not in s and "l_quantity" not in s for s in li
+    ), schemas
+
+
+def test_tpch_q14_prunes_fact_scan(spark, sf_dir):
+    """q_tpch_q14: lineitem reads exactly the 4 needed columns
+    (partkey, price, discount + the pushed shipdate)."""
+    df = SPECS["q_tpch_q14"].builder(spark, sf_dir)
+    schemas = pi.read_schemas(df)
+    li = [s for s in schemas if "l_partkey" in s]
+    assert li and all(
+        "l_orderkey" not in s and "l_returnflag" not in s for s in li
+    ), schemas
+
+
+def test_join_key_skew_no_join_of_fact(spark, sf_dir):
+    """q_join_key_skew: the audit is ONE key-keyed aggregate plus a
+    1-row broadcast total — no sort-merge join of anything
+    fact-sized, and the scan reads only the key column."""
+    df = SPECS["q_join_key_skew"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    schemas = pi.read_schemas(df)
+    assert any("l_orderkey" in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_char_class_profile_scan_local(spark, sf_dir):
+    """q_char_class_profile: class counts are codegen'd length/regex
+    expressions — no Python stage, and the only exchange is the
+    ≤|sources|-group rollup."""
+    df = SPECS["q_char_class_profile"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert pi.shuffle_count(df) == 1, plan
