@@ -57,3 +57,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def free_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persisted RDD in the session; returns how many.
+
+    The operator library materializes shared subtrees with
+    ``localCheckpoint(eager=True)`` (signature sets, oriented edge
+    lists, dedup representatives). Those blocks are never freed by
+    Catalyst: in a long-lived session running many independent queries
+    they accumulate on the driver heap until GC pressure degrades
+    every later job — measured in round 8, an interleaved nine-query
+    measurement session read up to 2× slower than fresh per-query
+    processes, and a three-run triangle sweep OOM'd a 16 GiB heap on
+    its second run (SCALE.md round-8 weak-list section).
+
+    Call BETWEEN independent queries — a checkpointed DataFrame from
+    before the call cannot be recomputed afterwards (the checkpoint
+    truncated its lineage), so free only when prior results are fully
+    materialized or discarded. On a production cluster this is the
+    between-jobs ``unpersist`` a pipeline scheduler issues."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(False)
+    return len(rdds)

@@ -91,9 +91,19 @@ def main() -> None:
     for name, _ in PLAN:
         noop(name, "/root/testdata/sf0.001")
 
+    # SPARK_GRAFT_FREE_CKPT=1: release resident localCheckpoint blocks
+    # between queries (session.free_checkpoints) — the mitigation for
+    # confound 1; with it the interleaved session should read like the
+    # fresh-process protocol.
+    free_ckpt = os.environ.get("SPARK_GRAFT_FREE_CKPT") == "1"
+    if free_ckpt:
+        from duckdb_pst_spark.session import free_checkpoints
+
     best = {name: float("inf") for name, _ in PLAN}
     for rep in range(REPS):
         for name, d in PLAN:
+            if free_ckpt:
+                free_checkpoints(spark)
             t0 = time.perf_counter()
             noop(name, d)
             dt = time.perf_counter() - t0
