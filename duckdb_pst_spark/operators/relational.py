@@ -2240,3 +2240,135 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share_ppm"
         ),
     )
+
+
+# ----------------------------------------------------------- TPC-H Q17
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_qty_rev_c,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pk = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue of brand lines
+    whose quantity is below 20% of that part's average — the canonical
+    correlated-aggregate query, decorrelated to a per-part aggregate
+    joined back to the fact table. The threshold is evaluated in EXACT
+    integers: qty < 0.2·avg(qty) ⇔ 5·qty·cnt < sum (l_quantity is
+    integral in this corpus; both engines compare the same BIGINTs, so
+    no float-avg boundary row can flip — the repo's exact-arithmetic
+    discipline applied to a predicate instead of an output).
+
+    Scale shape: brand is a per-PART property, so every line of a
+    Brand#12 part is itself a Brand#12 line — the per-part (sum, cnt)
+    aggregate is therefore computed over the brand-filtered broadcast
+    join output (1/|brands| of the fact), NOT the full table, with
+    values identical for every surviving part (the oracle aggregates
+    the full table and hash-matches, proving the restriction exact).
+    Both consumers of the filtered join — the aggregate and the probe
+    side — hash-partition it by l_partkey over an identical subtree,
+    so Catalyst's ReuseExchange ships ONE fact exchange of the
+    filtered lines (plan-gated); its output is |brand parts|-sized and
+    the final rollup is a single row. Same-session A/B vs the naive
+    full-fact aggregate plan at x100: 2.29 vs 2.34 s — a LOCAL tie
+    (both plans scan lineitem twice and the scan dominates on one
+    box), but exchanged fact rows drop 60M → ~2.4M (1/|brands|),
+    which is the term a cluster pays in network; the cheaper exchange
+    wins the tie."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    lif = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pq = lif.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("cnt_qty"),
+    )
+    j = lif.join(pq, F.col("pk") == F.col("l_partkey")).filter(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt_qty")
+        < F.col("sum_qty")
+    )
+    return j.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("small_qty_rev_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q15
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_c
+    FROM supplier JOIN rev ON sk = s_suppkey
+    WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
+    in one quarter — the view-plus-scalar-max shape (ties all
+    returned, which is why the predicate is = max, not a top-1 limit).
+    Revenue in floor-scaled cents, so the max and the tie comparison
+    are exact integers on both engines.
+
+    Scale shape: the quarter filter prunes lineitem at the scan; ONE
+    map-side-combined suppkey aggregate produces the |suppliers|-sized
+    revenue view, read twice (max + filter) from its materialization —
+    at 100 TB that view is the small side and broadcasts into the
+    supplier join; nothing fact-sized crosses a second exchange."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("total_rev_c")
+        )
+        .localCheckpoint(eager=True)  # read twice: max + tie filter
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_c") == F.col("mx"))
+        .join(s, F.col("sk") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+        .orderBy("s_suppkey")
+    )

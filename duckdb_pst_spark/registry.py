@@ -63,7 +63,7 @@ def query(
 #
 # Round 8 window (executes the plan pre-queued in round 7; arithmetic
 # below sums to exactly 50):
-#   0. ROUND8_ADDITIONS (5) — queries registered THIS round, all
+#   0. ROUND8_ADDITIONS (7) — queries registered THIS round, all
 #      hash-exact at sf0.001 and sf0.01 under the hostile-timezone
 #      probe (new queries always take the front slots).
 #   1. Canaries: none owed — the round-7 window verified every plan
@@ -72,17 +72,17 @@ def query(
 #      idle; the group-topk fusion and the runtime bloom filter were
 #      measured no-ships; bucketed TPC-H twins are tools/, not
 #      registered plans).
-#   2. Fill (45) — continue the registration-order re-verification
+#   2. Fill (43) — continue the registration-order re-verification
 #      cycle where round 7 stopped: the 9 text.py r2 greens the
 #      round-7 additions displaced, the rest of the text.py r2/r3
 #      block (5), then dedup/similarity/sketches/sampling r1-r3
 #      greens in file order (10), the r1 recursive trio (3),
 #      join_strategies r2 (2), multimodal r2/r3 (6), and the first
-#      pstbin r3 block (10).
+#      pstbin r3 block (6).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-8 additions, registered this round (5)
+    # round-8 additions, registered this round (7)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
-    "q_char_class_profile",
+    "q_char_class_profile", "q_tpch_q17", "q_tpch_q15",
     # fill: text.py r2 greens displaced from the round-7 window (9)
     "q_explode", "q_explode_agg", "q_list_first", "q_length",
     "q_text_tokens", "q_lang_stopword", "q_quality_score",
@@ -105,11 +105,12 @@ VERIFY_FIRST: tuple[str, ...] = (
     # fill: multimodal r2/r3 greens (6)
     "q_media_stats", "q_media_meta_consistent", "q_video_frame_sample",
     "q_image_resize_bytes", "q_media_probe_real", "q_media_doc_join",
-    # fill: first pstbin r3 block (8)
+    # fill: first pstbin r3 block (6 — q_pstbin_counts and
+    # q_pstbin_count_stats were displaced by the late Q17/Q15
+    # additions and head the round-9 fill)
     "q_pstbin_folders", "q_pstbin_class_counts",
     "q_pstbin_sticky_geometry", "q_pstbin_appointment",
-    "q_pstbin_dlist_members", "q_pstbin_task", "q_pstbin_counts",
-    "q_pstbin_count_stats",
+    "q_pstbin_dlist_members", "q_pstbin_task",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -157,7 +158,7 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
 ROUND8_ADDITIONS: tuple[str, ...] = (
     # registered in round 8, windowed in round 8 (front slots)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
-    "q_char_class_profile",
+    "q_char_class_profile", "q_tpch_q17", "q_tpch_q15",
 )
 
 # Round 9 window plan (the rotation math, finalized end of round 8):
@@ -171,7 +172,9 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
 #      9 rewrites a green outside its own window, that query takes a
 #      front slot.
 #   2. Continue the registration-order fill where round 8 stopped:
-#      the remaining pstbin r3/r4 greens (q_pstbin_body_truncate
+#      q_pstbin_counts q_pstbin_count_stats (displaced by the late
+#      round-8 Q17/Q15 additions), the remaining pstbin r3/r4 greens
+#      (q_pstbin_body_truncate
 #      q_pstbin_read_limit q_pstbin_attachment_gate
 #      q_pstbin_folder_tree q_pstbin_parent_tree q_pstbin_dlist_ids),
 #      the pst_queries r3 block (9), the streaming r3 greens

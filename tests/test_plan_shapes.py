@@ -706,3 +706,24 @@ def test_char_class_profile_scan_local(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
     assert pi.shuffle_count(df) == 1, plan
+
+
+def test_tpch_q17_reuses_filtered_fact_exchange(spark, sf_dir):
+    """q_tpch_q17: the per-part aggregate and the probe side both
+    partition the SAME brand-filtered broadcast-join subtree by
+    partkey — Catalyst must reuse that exchange (one fact exchange of
+    filtered lines), and the part side must broadcast."""
+    df = SPECS["q_tpch_q17"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "ReusedExchange" in plan, plan
+    assert pi.broadcast_join_count(df) >= 1, plan
+
+
+def test_tpch_q15_scalar_max_broadcast(spark, sf_dir):
+    """q_tpch_q15: the revenue view materializes once (checkpoint) and
+    the scalar max joins back as a 1-row broadcast — no sort-merge
+    join of anything fact-sized."""
+    df = SPECS["q_tpch_q15"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
