@@ -1324,3 +1324,21 @@ def test_fuzz_char_class_profile(spark, rows):
     sources, a source whose every kept text is '' (sum(n)=0 → the
     guard yields 0 ppm on both engines instead of NULL-vs-error)."""
     _check(spark, "q_char_class_profile", {"documents": lambda p: _write_class_documents(rows, p)})
+
+
+@given(mults=st.lists(st.sampled_from([1, 2, 5, 5, 8]), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_fuzz_tpch_q17_q15_degenerate(spark, mults):
+    """Q17/Q15 on degenerate slices: every line of a part has IDENTICAL
+    quantity (sum = qty·cnt, so the strict 5·qty·cnt < sum threshold
+    excludes everything — the empty-aggregate NULL/0 row must match
+    across engines), and every shipdate sits OUTSIDE Q15's quarter
+    (empty revenue view → scalar max over empty → zero rows on both
+    engines)."""
+    writers = {"lineitem": lambda p: _write_skew_lineitem(mults, p)}
+    d = _fuzz_dir(writers)
+    try:
+        compare(spark, REGISTRY["q_tpch_q17"], d)
+        compare(spark, REGISTRY["q_tpch_q15"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
