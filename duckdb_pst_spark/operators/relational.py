@@ -2372,3 +2372,770 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_rev_c")
         .orderBy("s_suppkey")
     )
+
+
+# ------------------------------------------------------------ TPC-H Q7
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS rev_c
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year (reference README.md:402-469 query family;
+    nations adapted to the synthetic NATION_* names, revenue in
+    floor-scaled cents, year as BIGINT to match DuckDB's year()).
+
+    Scale shape: the two-nation filter broadcasts into BOTH fact-side
+    dimensions before any fact join — supplier and customer each shrink
+    to 2/25 of their rows, so the orders⋈customer and lineitem⋈supplier
+    joins prune the facts early; the cross-pair disjunction then only
+    removes same-nation pairs post-join (cheap, two string columns).
+    The ship-date window is pushed into the lineitem scan. Fact⋈fact
+    (lineitem⋈orders on orderkey) stays declarative for AQE; the final
+    aggregate has ≤ 2·2·years groups and map-side combines."""
+    pair = ["NATION_1", "NATION_2"]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            rev_c.alias("rev_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q8
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c
+                         ELSE 0 END) AS BIGINT) AS nation_rev_c,
+           CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+           CAST(1000000 * SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN rev_c ELSE 0 END)
+                // SUM(rev_c) AS BIGINT) AS mkt_share_ppm
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS rev_c,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the share of ASIA-market
+    revenue for one part type supplied by one nation, by order year
+    (reference README.md:402-469 family; p_type equality instead of
+    the reference's LIKE — the synthetic type is a plain category —
+    and the share in exact-integer ppm over floor-scaled cents, the
+    q_tpch_q14 discipline, so no float division crosses engines).
+
+    Scale shape: THE most selective filter (p_type, 1/6 of a dim
+    table) broadcasts into lineitem first, pruning the fact before
+    anything else touches it; region→nation (ASIA) broadcasts into
+    customer exactly as q_tpch_q5; the order-date window is pushed
+    into the orders scan. The only fact⋈fact join (pruned lineitem ⋈
+    windowed orders on orderkey) stays declarative for AQE. supp_nation
+    attaches via two broadcast hops (supplier→nation); the final
+    aggregate is ≤ |years| groups, map-side combined, and the CASE
+    split rides inside it — one pass computes both revenue arms."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2.select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(nat).cast("long").alias("nation_rev_c"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN supp_nation = 'NATION_3' "
+                "THEN rev_c ELSE 0 END) div sum(rev_c) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q9
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount_c) AS BIGINT) AS sum_profit_c
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) AS amount_c
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit on name-matched parts by
+    supplier nation and order year (reference README.md:402-469
+    family). The testdata has no partsupp table, so the reference's
+    ps_supplycost becomes p_retailprice — the cost side of the profit
+    expression rides the part row the join already carries, keeping
+    Q9's defining shape: a substring part filter, a 5-table join, and
+    profit arithmetic INSIDE the aggregate. All money is exact
+    integers (floor-cents × integral quantity), so cross-engine sums
+    cannot drift.
+
+    Scale shape: the p_name LIKE filter (~1/8 of parts) broadcasts
+    into lineitem first — the only fact-sized rows that survive carry
+    a matched part; supplier→nation attaches by two broadcast hops;
+    the lineitem⋈orders orderkey join stays declarative for AQE. The
+    final aggregate is ≤ |nations|·|years| groups, map-side combined.
+    One fact exchange (orderkey) is the plan's budget — the same
+    class (and the same bucketed-twin cure) as q_tpch_q5/q4/q12."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount_c = (
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        - F.floor(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_c.alias("amount_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_c").cast("long").alias("sum_profit_c"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ------------------------------------------------------------ TPC-H Q2
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name,
+             CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_c, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT acctbal_c, s_name, n_name, p_partkey, p_brand, cost_c
+    FROM part
+    JOIN offers ON pk = p_partkey
+    JOIN eu ON sk = s_suppkey
+    WHERE p_size <= 25 AND p_type = 'LARGE'
+      AND cost_c = (SELECT MIN(o2.cost_c) FROM offers o2
+                    JOIN eu e2 ON o2.sk = e2.s_suppkey
+                    WHERE o2.pk = p_partkey)
+    ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    EUROPE supplier(s) quoting the minimum cost, top-100 by account
+    balance (reference README.md:402-469 family). The testdata has no
+    partsupp table, so the part↔supplier catalog is derived from the
+    lineitem bridge: an offer is min observed discounted line cents
+    per (partkey, suppkey) — Q2's defining correlated-min subquery
+    over a per-part supplier pool is preserved exactly, and ties
+    (several suppliers at the min) are all returned, as in the
+    reference.
+
+    Scale shape: the part filter (type × size, ~1/12 of a dim table)
+    broadcasts as a LEFT SEMI into lineitem BEFORE the offers
+    aggregate — filters on group keys commute with the groupBy, so
+    the (partkey, suppkey) exchange carries only matching parts'
+    lines; the EUROPE supplier pool is dimension-sized and broadcasts
+    both into the offer filter and the name attach. The correlated
+    min decorrelates to a partkey aggregate broadcast-joined back
+    (survivor set ≈ |qualifying parts|, KB-sized at any scale); the
+    top-100 is TakeOrdered over a deterministic 4-key order."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_brand")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "n_name",
+        )
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    offers = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cost_c")
+    )
+    best = offers.groupBy("pk").agg(F.min("cost_c").alias("best_c"))
+    return (
+        offers.join(F.broadcast(best), "pk")
+        .filter(F.col("cost_c") == F.col("best_c"))
+        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .select("acctbal_c", "s_name", "n_name", "p_partkey", "p_brand", "cost_c")
+        .orderBy(F.col("acctbal_c").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q11
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+      GROUP BY l_partkey
+    )
+    SELECT pk AS p_partkey, value_c
+    FROM val
+    WHERE value_c > (SELECT CAST(SUM(value_c) AS BIGINT) FROM val) // 800
+    ORDER BY value_c DESC, p_partkey
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose traded value through
+    one region's suppliers exceeds a fixed fraction (1/800) of that
+    region's total — the defining group-vs-global-scalar-subquery
+    shape (reference README.md:402-469 family; no partsupp table, so
+    ps_supplycost·ps_availqty becomes floor-cents·quantity over the
+    lineitem bridge, and the supplier filter is region-wide so the
+    pool is non-empty at every test scale).
+
+    The fraction test is exact-integer: value > total div 800 is
+    algebraically identical to value·800 > total for positive BIGINTs
+    but can never overflow — the multiplication form would wrap once
+    a part's value passes 2^63/800 (the q_quality_ks overflow class,
+    fixed by the same rewrite).
+
+    Scale shape: the region's supplier keys broadcast as a LEFT SEMI
+    into lineitem before the aggregate, so the ONE partkey exchange
+    carries only that region's lines; the |parts|-sized value view
+    localCheckpoints and is read twice (global sum + filter) without
+    recomputing the fact pass; the scalar total is a 1-row broadcast."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    afs = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(afs), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+                * F.col("l_quantity").cast("long")
+            )
+            .cast("long")
+            .alias("value_c")
+        )
+        .localCheckpoint(eager=True)  # read twice: total + filter
+    )
+    tot = val.agg(F.expr("CAST(sum(value_c) AS BIGINT) div 800").alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") > F.col("thr"))
+        .select(F.col("pk").alias("p_partkey"), "value_c")
+        .orderBy(F.col("value_c").desc(), "p_partkey")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q16
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    (brand, type, size) for a negated part spec, excluding a
+    blacklisted supplier set (reference README.md:402-469 family; the
+    part↔supplier pairs come from the lineitem bridge — no partsupp —
+    and the reference's comment-LIKE complaint filter becomes a
+    negative-balance filter, the closest predicate the schema
+    carries). NOT IN is safe here because s_suppkey is never null;
+    the Spark side still uses LEFT ANTI, which is the null-robust
+    form.
+
+    Scale shape: the part spec (8 sizes × negated brand/type)
+    broadcasts into lineitem, pruning the fact at the scan; the
+    blacklist is a dimension subset broadcast as LEFT ANTI. The
+    count-distinct compiles to Spark's two-phase distinct aggregate:
+    partial (group, suppkey) dedup map-side, then ONE exchange on the
+    group keys — the same shape DuckDB runs, and the only exchange in
+    the plan."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q20
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_name, CAST(FLOOR(s_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 25
+      )
+    ORDER BY s_name
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one region
+    who moved more than a threshold quantity of a name-matched part in
+    one year (reference README.md:402-469 family). Without partsupp
+    there is no availqty, so the reference's 0.5·shipped-vs-stock test
+    becomes an absolute shipped-quantity threshold over the same
+    nested-IN chain: part-name semi → grouped quantity HAVING → 
+    supplier semi — the three-level nesting is the point of Q20 and
+    survives intact. Quantity sums are integral (BIGINT cast), so the
+    HAVING boundary is exact on both engines.
+
+    Scale shape: the name-filtered part keys broadcast as a LEFT SEMI
+    into the year-windowed lineitem scan (both filters pushed), so
+    the (suppkey, partkey) aggregate exchange carries only candidate
+    lines; the qualifying suppkey set is dimension-sized and LEFT
+    SEMI joins into the region's suppliers — nothing fact-sized
+    crosses a second exchange, and the region chain is all broadcast."""
+    redp = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(redp), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+    )
+    qual = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 25)
+        .select("l_suppkey")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_name",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q21
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+      AND r_name = 'AFRICA'
+      AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    multi-supplier orders, count late lines whose supplier was the
+    ONLY late one — the EXISTS + NOT-EXISTS self-join pair that makes
+    Q21 the hardest decorrelation in the suite (reference
+    README.md:402-469 family; lateness adapted to l_shipdate ≥
+    o_orderdate + 90 days, the q_tpch_q4 convention — the testdata
+    carries no commit/receipt dates).
+
+    Scale shape: both correlated subqueries are per-order set
+    predicates, so they decorrelate into ONE window pass over the
+    orderkey-partitioned fact: n_supp = |collect_set(suppkey)| and
+    n_late = |collect_set(late suppkey)| per order (sets bounded by
+    suppliers-per-order, ~4 — never corpus-sized). EXISTS l2 ⇔
+    n_supp ≥ 2; NOT EXISTS late l3 ⇔ n_late = 1 (the probe line is
+    itself late, so its supplier is the one). One orderkey exchange
+    + sort replaces BOTH self-joins — three skinny columns cross it;
+    the status filter prunes orders at the scan and the region chain
+    broadcasts; the final rollup is |suppliers|-bounded with a
+    TakeOrdered top-100."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        j.filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------- TPC-H Q22
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c
+      FROM customer
+      WHERE c_nationkey IN (2, 5, 9, 13, 17, 21, 24)
+    ), pos AS (
+      SELECT CAST(SUM(acctbal_c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pool WHERE acctbal_c > 0
+    )
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(acctbal_c) AS BIGINT) AS totacctbal_c
+    FROM pool, pos
+    WHERE acctbal_c > s // n
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    tags=("relational", "agg", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    a country set who have LAPSED — no orders in the trailing window —
+    grouped by country (reference README.md:402-469 family). The
+    testdata has no c_phone, so the country code is c_nationkey (an
+    IN-set of 7); and since every synthetic customer has at least one
+    order, the reference's NOT-EXISTS-any-order becomes NOT EXISTS an
+    order since 2000-01-01 — the anti-join shape is identical and
+    non-trivial at every test scale.
+
+    The above-average-balance test is exact-integer: acctbal_c >
+    sum div n over the positive-balance pool (algebraically equal to
+    acctbal_c·n > sum for n > 0, but overflow-free — the q_tpch_q11
+    rewrite). No float mean crosses engines.
+
+    Scale shape: the pool filter prunes customer at the scan; the
+    positive-pool mean is a 1-row broadcast; the lapsed test is a
+    LEFT ANTI against the date-windowed orders scan (the window
+    pushed down, so the anti probe side is the recent fraction of the
+    fact, not all of it); the rollup is ≤7 groups, map-side combined.
+    The custkey anti-join exchange is the plan's only fact-sized
+    shuffle."""
+    pool = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(2, 5, 9, 13, 17, 21, 24))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("cntrycode"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+    )
+    pos = pool.filter(F.col("acctbal_c") > 0).agg(
+        F.expr("CAST(sum(acctbal_c) AS BIGINT) div count(*)").alias("thr")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(pos))
+        .filter(F.col("acctbal_c") > F.col("thr"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("acctbal_c").cast("long").alias("totacctbal_c"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -63,9 +63,11 @@ def query(
 #
 # Round 8 window (executes the plan pre-queued in round 7; arithmetic
 # below sums to exactly 50):
-#   0. ROUND8_ADDITIONS (7) — queries registered THIS round, all
+#   0. ROUND8_ADDITIONS (16) — queries registered THIS round, all
 #      hash-exact at sf0.001 and sf0.01 under the hostile-timezone
-#      probe (new queries always take the front slots).
+#      probe (new queries always take the front slots). The second
+#      batch (TPC-H Q7/Q8/Q9/Q2/Q11/Q16/Q20/Q21/Q22 — the suite
+#      completion) displaced nine more fill slots to round 9.
 #   1. Canaries: none owed — the round-7 window verified every plan
 #      round 7 rewrote, and round 8's A/B program shipped NO plan
 #      changes (the signature-kernel re-check CONFIRMED the r6 ship
@@ -80,9 +82,11 @@ def query(
 #      join_strategies r2 (2), multimodal r2/r3 (6), and the first
 #      pstbin r3 block (6).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-8 additions, registered this round (7)
+    # round-8 additions, registered this round (16)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
     "q_char_class_profile", "q_tpch_q17", "q_tpch_q15",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q2", "q_tpch_q11",
+    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     # fill: text.py r2 greens displaced from the round-7 window (9)
     "q_explode", "q_explode_agg", "q_list_first", "q_length",
     "q_text_tokens", "q_lang_stopword", "q_quality_score",
@@ -102,15 +106,10 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_recursive_native",
     # fill: join_strategies.py r2 greens (2)
     "q_range_join", "q_skew_join_salted",
-    # fill: multimodal r2/r3 greens (6)
+    # fill: multimodal r2/r3 greens (3 — the rest of the multimodal
+    # block and the first pstbin r3 block were displaced by the
+    # TPC-H-completion batch and head the round-9 fill)
     "q_media_stats", "q_media_meta_consistent", "q_video_frame_sample",
-    "q_image_resize_bytes", "q_media_probe_real", "q_media_doc_join",
-    # fill: first pstbin r3 block (6 — q_pstbin_counts and
-    # q_pstbin_count_stats were displaced by the late Q17/Q15
-    # additions and head the round-9 fill)
-    "q_pstbin_folders", "q_pstbin_class_counts",
-    "q_pstbin_sticky_geometry", "q_pstbin_appointment",
-    "q_pstbin_dlist_members", "q_pstbin_task",
 )
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
@@ -159,6 +158,11 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
     # registered in round 8, windowed in round 8 (front slots)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
     "q_char_class_profile", "q_tpch_q17", "q_tpch_q15",
+    # second round-8 batch: the TPC-H suite completion — all 22
+    # reference-family queries now registered (adapted to the
+    # testdata schema where it lacks partsupp / commit dates)
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q2", "q_tpch_q11",
+    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
 )
 
 # Round 9 window plan (the rotation math, finalized end of round 8):
@@ -172,6 +176,12 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
 #      9 rewrites a green outside its own window, that query takes a
 #      front slot.
 #   2. Continue the registration-order fill where round 8 stopped:
+#      the three multimodal greens the TPC-H-completion batch
+#      displaced (q_image_resize_bytes q_media_probe_real
+#      q_media_doc_join), the full pstbin r3 block
+#      (q_pstbin_folders q_pstbin_class_counts
+#      q_pstbin_sticky_geometry q_pstbin_appointment
+#      q_pstbin_dlist_members q_pstbin_task),
 #      q_pstbin_counts q_pstbin_count_stats (displaced by the late
 #      round-8 Q17/Q15 additions), the remaining pstbin r3/r4 greens
 #      (q_pstbin_body_truncate
