@@ -2391,8 +2391,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     ) shipping
@@ -2415,7 +2415,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ship-date window is pushed into the lineitem scan. Fact⋈fact
     (lineitem⋈orders on orderkey) stays declarative for AQE; the final
     aggregate has ≤ 2·2·years groups and map-side combines."""
-    pair = ["NATION_1", "NATION_2"]
+    pair = ["NATION_3", "NATION_8"]
     n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
     s = (
         table(spark, sf_dir, "supplier")

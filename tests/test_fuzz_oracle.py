@@ -1342,3 +1342,249 @@ def test_fuzz_tpch_q17_q15_degenerate(spark, mults):
         compare(spark, REGISTRY["q_tpch_q15"], d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_q21_pair(rows: list[tuple[int, int, int, int]], path_o: str, path_l: str) -> None:
+    """Orders+lineitem slice for the Q21 waiting-supplier family.
+
+    rows: (orderkey, n_supps, late_bits, status_idx). Each order gets
+    n_supps lines from suppkeys 0..n-1; supplier i's line is late iff
+    bit i of late_bits (lag 91d) else lag 89d — one day each side of
+    the 90-day boundary, so single-supplier orders (EXISTS must drop),
+    all-late orders (NOT EXISTS must drop) and exactly-one-late orders
+    (the countable class) are all generated, under every orderstatus."""
+    status = ["F", "O", "P"]
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[0] % 17 for r in rows],
+            "o_orderstatus": [status[r[3] % 3] for r in rows],
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": [
+                EPOCH + datetime.timedelta(days=r[0] % 40) for r in rows
+            ],
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    lk, ls, lag = [], [], []
+    for r in rows:
+        n = max(1, r[1] % 4)
+        for i in range(n):
+            lk.append(r[0])
+            ls.append(i % 10)
+            lag.append(91 if (r[2] >> i) & 1 else 89)
+    l = pd.DataFrame(
+        {
+            "l_orderkey": lk,
+            "l_partkey": [k % 11 for k in lk],
+            "l_suppkey": ls,
+            "l_linenumber": [1] * len(lk),
+            "l_quantity": [1.0] * len(lk),
+            "l_extendedprice": [10.0] * len(lk),
+            "l_discount": [0.0] * len(lk),
+            "l_tax": [0.0] * len(lk),
+            "l_returnflag": ["N"] * len(lk),
+            "l_linestatus": ["O"] * len(lk),
+            "l_shipdate": [
+                EPOCH + datetime.timedelta(days=k % 40 + d)
+                for k, d in zip(lk, lag)
+            ],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM pdf",
+        o,
+        path_o,
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        l,
+        path_l,
+    )
+
+
+q21_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=q21_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_q21(spark, rows):
+    """Q21 on adversarial order compositions: the decorrelated window
+    form (n_supp/n_late collect_sets) must match DuckDB's literal
+    EXISTS + NOT-EXISTS on single-supplier orders, all-late orders,
+    orders one day each side of the lateness boundary, and every
+    orderstatus."""
+    d = _fuzz_dir({})
+    try:
+        for t in ("orders", "lineitem"):
+            os.unlink(os.path.join(d, f"{t}.parquet"))
+        _write_q21_pair(
+            rows, os.path.join(d, "orders.parquet"), os.path.join(d, "lineitem.parquet")
+        )
+        compare(spark, REGISTRY["q_tpch_q21"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_offers_lineitem(rows: list[tuple[int, int, int]], path: str) -> None:
+    """lineitem as a raw offer book for the Q2/Q11/Q16/Q20 bridge
+    family: (partkey, suppkey, price_idx) with a TIE-HEAVY price set
+    (several suppliers hit the identical min cost — Q2 must return
+    ALL of them) and quantities cycling 1..3 (Q20's HAVING boundary,
+    Q11's value arithmetic)."""
+    prices = [1.0, 1.0, 1.005, 2.0, 2.0, 99.99]
+    l = pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_partkey": [r[0] % 200 for r in rows],
+            "l_suppkey": [r[1] % 10 for r in rows],
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [float(1 + i % 3) for i in range(len(rows))],
+            "l_extendedprice": [prices[r[2] % len(prices)] for r in rows],
+            "l_discount": [0.0 if r[2] % 2 else 0.5 for r in rows],
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": [
+                datetime.datetime(1996, 6, 1) + datetime.timedelta(days=i % 300)
+                for i in range(len(rows))
+            ],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        l,
+        path,
+    )
+
+
+offers_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=250),
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=offers_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_bridge_family(spark, rows):
+    """Q2/Q11/Q16/Q20 on an adversarial offer book: min-cost ties
+    across suppliers (Q2 returns all), 50%-discount floors at the
+    half-cent boundary, single-line parts, values vs the div-800
+    threshold on tiny totals (Q11's strict > at the boundary), and
+    HAVING sums exactly at Q20's cutoff."""
+    writers = {"lineitem": lambda p: _write_offers_lineitem(rows, p)}
+    d = _fuzz_dir(writers)
+    try:
+        for q in ("q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20"):
+            compare(spark, REGISTRY[q], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_q22_customer(rows: list[tuple[int, int, int]], path_c: str, path_o: str) -> None:
+    """customer+orders for Q22: (custkey, nation_idx, bal_idx) with a
+    tie-heavy balance set (ALL-EQUAL pools make the strict above-mean
+    test empty — both engines must agree on zero groups), negative and
+    boundary-cent balances, and orders alternating recent/old so the
+    lapsed anti-join sees both sides."""
+    bals = [-5.0, 0.0, 0.005, 100.0, 100.0, 100.0, 9999.99]
+    c = pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_name": [f"Customer#{r[0]:09d}" for r in rows],
+            "c_nationkey": [[2, 5, 9, 13, 0, 1][r[1] % 6] for r in rows],
+            "c_acctbal": [bals[r[2] % len(bals)] for r in rows],
+            "c_mktsegment": ["BUILDING"] * len(rows),
+        }
+    )
+    o = pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [r[0] for r in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": [
+                datetime.datetime(2000, 1, 1)
+                if r[0] % 2
+                else datetime.datetime(1999, 12, 31)
+                for r in rows
+            ],
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
+        " CAST(c_nationkey AS INTEGER) AS c_nationkey, c_acctbal,"
+        " c_mktsegment FROM pdf",
+        c,
+        path_c,
+    )
+    _copy_to_parquet(
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM pdf",
+        o,
+        path_o,
+    )
+
+
+q22_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=q22_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_q22(spark, rows):
+    """Q22 on adversarial pools: all-equal balances (strict > mean →
+    empty output must match), balances at the floor-cent boundary,
+    negative-only pools (n=0 positive rows never occurs by
+    construction in testdata, but all-negative pools here exercise
+    the empty-threshold row), and 2000-01-01 boundary order dates on
+    the lapsed anti-join."""
+    d = _fuzz_dir({})
+    try:
+        for t in ("customer", "orders"):
+            os.unlink(os.path.join(d, f"{t}.parquet"))
+        _write_q22_customer(
+            rows, os.path.join(d, "customer.parquet"), os.path.join(d, "orders.parquet")
+        )
+        compare(spark, REGISTRY["q_tpch_q22"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -727,3 +727,120 @@ def test_tpch_q15_scalar_max_broadcast(spark, sf_dir):
     plan = pi.executed_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_tpch_q7_nation_pair_prunes_before_fact_join(spark, sf_dir):
+    """q_tpch_q7: the two-nation filter reaches the supplier and
+    customer sides as broadcast joins (no fact-sized nation attach),
+    and the ship-date window filters the lineitem scan."""
+    df = SPECS["q_tpch_q7"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.broadcast_join_count(df) >= 3, plan  # n->s, n->c, s->li
+    assert any(
+        "l_shipdate" in f for f in pi.pushed_filters(df)
+    ) or any(
+        "Filter" in line and "l_shipdate" in line for line in plan.splitlines()
+    ), plan
+
+
+def test_tpch_q8_part_filter_broadcasts_into_fact(spark, sf_dir):
+    """q_tpch_q8: the p_type filter (the most selective predicate)
+    broadcasts into lineitem, and no wide money columns survive past
+    the aggregate's input."""
+    df = SPECS["q_tpch_q8"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert pi.broadcast_join_count(df) >= 4, plan  # p, s(+n1), r->n2->c chain
+    assert any(
+        "Filter" in line and "p_type" in line for line in plan.splitlines()
+    ) or any("p_type" in f for f in pi.pushed_filters(df)), plan
+
+
+def test_tpch_q9_reads_only_needed_lineitem_columns(spark, sf_dir):
+    """q_tpch_q9: the lineitem scan must not read l_shipdate /
+    l_returnflag etc — only the 6 columns the profit expression and
+    joins need."""
+    df = SPECS["q_tpch_q9"].builder(spark, sf_dir)
+    schemas = pi.read_schemas(df)
+    li = [s for s in schemas if "l_partkey" in s and "l_orderkey" in s]
+    assert li and all(
+        "l_shipdate" not in s and "l_returnflag" not in s for s in li
+    ), schemas
+
+
+def test_tpch_q2_offers_aggregate_sees_only_matching_parts(spark, sf_dir):
+    """q_tpch_q2: both LEFT SEMI prunes (part spec, EU suppliers) sit
+    BELOW the (partkey, suppkey) offers aggregate, so the exchange
+    carries only candidate lines; the correlated min decorrelates to a
+    broadcast join-back (no sort-merge join anywhere)."""
+    df = SPECS["q_tpch_q2"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert pi.sort_merge_join_count(df) == 0, plan
+    assert pi.has_take_ordered(df), plan
+
+
+def test_tpch_q11_single_fact_exchange(spark, sf_dir):
+    """q_tpch_q11: the region's supplier keys broadcast-semi into the
+    fact BEFORE the partkey aggregate; the scalar total is a 1-row
+    broadcast (crossJoin of an aggregate), not a second fact pass."""
+    df = SPECS["q_tpch_q11"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    # the value view checkpoints (like q_tpch_q15), so the fact pass is
+    # below the ExistingRDD boundary; assert the view is read from the
+    # checkpoint and the scalar threshold attaches as a broadcast
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the semi prune lives in the checkpointed fragment — assert it in
+    # the builder source instead (the _fn_code gate style)
+    code = _fn_code(SPECS["q_tpch_q11"].builder)
+    assert '"left_semi"' in code or "'left_semi'" in code, code
+
+
+def test_tpch_q16_anti_join_and_two_phase_distinct(spark, sf_dir):
+    """q_tpch_q16: the blacklist is LEFT ANTI (null-robust NOT IN) and
+    the count-distinct runs as the two-phase partial/final aggregate —
+    exactly one exchange on the group keys."""
+    df = SPECS["q_tpch_q16"].builder(spark, sf_dir)
+    # the blacklist can be EMPTY at smoke scale, and AQE then eliminates
+    # the anti join outright — assert the shape on the pre-AQE plan
+    plan = pi.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    # (group+suppkey) dedup exchange, group exchange, final sort — the
+    # canonical two-phase distinct; anything more means a join leaked
+    # fact-sized rows above the aggregate
+    assert pi.shuffle_count(df) <= 3, plan
+
+
+def test_tpch_q20_nested_semis_never_materialize_payload(spark, sf_dir):
+    """q_tpch_q20: the three-level IN chain compiles to two LEFT SEMI
+    joins (part names into the fact, qualifying suppliers into the
+    region's suppliers) — no inner join duplicates a fact row."""
+    df = SPECS["q_tpch_q20"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert any(
+        "Filter" in line and "l_shipdate" in line for line in plan.splitlines()
+    ) or any("l_shipdate" in f for f in pi.pushed_filters(df)), plan
+
+
+def test_tpch_q21_one_window_pass_replaces_self_joins(spark, sf_dir):
+    """q_tpch_q21: the EXISTS/NOT-EXISTS pair must NOT appear as two
+    extra fact self-joins — the plan carries ONE window over the
+    orderkey partitioning and at most the orders join on the fact
+    side (collect_set appears in the window, bounded per order)."""
+    df = SPECS["q_tpch_q21"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "Window" in plan and "collect_set" in plan, plan
+    assert pi.sort_merge_join_count(df) <= 1, plan  # li⋈o only
+
+
+def test_tpch_q22_anti_probe_is_windowed(spark, sf_dir):
+    """q_tpch_q22: the lapsed test anti-joins against the date-windowed
+    orders scan (the window filters the probe side), and the
+    above-mean threshold is a 1-row broadcast."""
+    df = SPECS["q_tpch_q22"].builder(spark, sf_dir)
+    plan = pi.executed_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert any(
+        "Filter" in line and "o_orderdate" in line for line in plan.splitlines()
+    ) or any("o_orderdate" in f for f in pi.pushed_filters(df)), plan
