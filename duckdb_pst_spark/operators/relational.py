@@ -2501,6 +2501,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): the share of ASIA-market
@@ -2605,6 +2606,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year DESC
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product-type profit): profit on name-matched parts by
@@ -3000,6 +3002,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("relational", "join", "subquery"),
+    bench=True,
 )
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting): for finished
