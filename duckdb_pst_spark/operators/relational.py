@@ -2407,14 +2407,17 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations adapted to the synthetic NATION_* names, revenue in
     floor-scaled cents, year as BIGINT to match DuckDB's year()).
 
-    Scale shape: the two-nation filter broadcasts into BOTH fact-side
-    dimensions before any fact join — supplier and customer each shrink
-    to 2/25 of their rows, so the orders⋈customer and lineitem⋈supplier
-    joins prune the facts early; the cross-pair disjunction then only
-    removes same-nation pairs post-join (cheap, two string columns).
-    The ship-date window is pushed into the lineitem scan. Fact⋈fact
-    (lineitem⋈orders on orderkey) stays declarative for AQE; the final
-    aggregate has ≤ 2·2·years groups and map-side combines."""
+    Scale shape: the two-nation filter (a broadcast of the
+    fixed-cardinality nation dim) prunes supplier and customer to 2/25
+    of their rows BEFORE any fact join, so the orders⋈customer and
+    lineitem⋈supplier joins prune the facts early; the cross-pair
+    disjunction then only removes same-nation pairs post-join (cheap,
+    two string columns). The ship-date window is pushed into the
+    lineitem scan. The fact-side joins carry NO broadcast hints:
+    supplier and customer scale WITH the corpus (unlike region/
+    nation), so AQE broadcasts them while they fit — it always does at
+    test scale — and right-sizes to shuffled joins past that; the
+    final aggregate has ≤ 2·2·years groups and map-side combines."""
     pair = ["NATION_3", "NATION_8"]
     n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
     s = (
@@ -2454,7 +2457,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select(
@@ -2511,15 +2514,17 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the share in exact-integer ppm over floor-scaled cents, the
     q_tpch_q14 discipline, so no float division crosses engines).
 
-    Scale shape: THE most selective filter (p_type, 1/6 of a dim
-    table) broadcasts into lineitem first, pruning the fact before
-    anything else touches it; region→nation (ASIA) broadcasts into
-    customer exactly as q_tpch_q5; the order-date window is pushed
-    into the orders scan. The only fact⋈fact join (pruned lineitem ⋈
-    windowed orders on orderkey) stays declarative for AQE. supp_nation
-    attaches via two broadcast hops (supplier→nation); the final
-    aggregate is ≤ |years| groups, map-side combined, and the CASE
-    split rides inside it — one pass computes both revenue arms."""
+    Scale shape: THE most selective filter (p_type, 1/6 of part)
+    joins into lineitem first, pruning the fact before anything else
+    touches it; region→nation (ASIA, fixed cardinality) broadcasts
+    into customer exactly as q_tpch_q5; the order-date window is
+    pushed into the orders scan. Every join of an SF-scaled side
+    (part, supplier, the fact⋈fact orderkey join) is declarative —
+    AQE broadcasts the filtered part/supplier sides while they fit
+    and right-sizes past that (the forced-broadcast A/B on the orders
+    side measured a tie, tools/ab_q21_q8.py). The final aggregate is
+    ≤ |years| groups, map-side combined, and the CASE split rides
+    inside it — one pass computes both revenue arms."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
@@ -2560,8 +2565,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -2619,10 +2624,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (floor-cents × integral quantity), so cross-engine sums
     cannot drift.
 
-    Scale shape: the p_name LIKE filter (~1/8 of parts) broadcasts
-    into lineitem first — the only fact-sized rows that survive carry
-    a matched part; supplier→nation attaches by two broadcast hops;
-    the lineitem⋈orders orderkey join stays declarative for AQE. The
+    Scale shape: the p_name LIKE filter (~1/8 of parts) joins into
+    lineitem first — the only fact-sized rows that survive carry a
+    matched part; nation (fixed cardinality) broadcasts into supplier;
+    the part, supplier and lineitem⋈orders joins are all declarative,
+    since part/supplier scale WITH the corpus — AQE broadcasts them
+    while they fit (always at test scale) and shuffles past that. The
     final aggregate is ≤ |nations|·|years| groups, map-side combined.
     One fact exchange (orderkey) is the plan's budget — the same
     class (and the same bucketed-twin cure) as q_tpch_q5/q4/q12."""
@@ -2653,8 +2660,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("long")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "nation",
@@ -2708,15 +2715,18 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (several suppliers at the min) are all returned, as in the
     reference.
 
-    Scale shape: the part filter (type × size, ~1/12 of a dim table)
-    broadcasts as a LEFT SEMI into lineitem BEFORE the offers
-    aggregate — filters on group keys commute with the groupBy, so
-    the (partkey, suppkey) exchange carries only matching parts'
-    lines; the EUROPE supplier pool is dimension-sized and broadcasts
-    both into the offer filter and the name attach. The correlated
-    min decorrelates to a partkey aggregate broadcast-joined back
-    (survivor set ≈ |qualifying parts|, KB-sized at any scale); the
-    top-100 is TakeOrdered over a deterministic 4-key order."""
+    Scale shape: the part filter (type × size, ~1/12 of part) prunes
+    lineitem through a LEFT SEMI BEFORE the offers aggregate —
+    filters on group keys commute with the groupBy, so the
+    (partkey, suppkey) exchange carries only matching parts' lines;
+    the EUROPE supplier pool semi-filters the same scan. The
+    correlated min decorrelates to a partkey aggregate joined back on
+    its own partitioning. None of these SF-scaled sides carries a
+    broadcast hint — part and supplier grow with the corpus, so AQE
+    broadcasts them while they fit (always at test scale) and
+    shuffles past that; only the fixed-cardinality region→nation
+    chain is hinted. The top-100 is TakeOrdered over a deterministic
+    4-key order."""
     p = (
         table(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
@@ -2738,9 +2748,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(p.select("p_partkey")),
+        .join(p.select("p_partkey"),
               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(F.broadcast(eu.select("s_suppkey")),
+        .join(eu.select("s_suppkey"),
               F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
     )
     offers = li.groupBy(
@@ -2754,10 +2764,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = offers.groupBy("pk").agg(F.min("cost_c").alias("best_c"))
     return (
-        offers.join(F.broadcast(best), "pk")
+        offers.join(best, "pk")
         .filter(F.col("cost_c") == F.col("best_c"))
-        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+        .join(eu, F.col("sk") == F.col("s_suppkey"))
+        .join(p, F.col("pk") == F.col("p_partkey"))
         .select("acctbal_c", "s_name", "n_name", "p_partkey", "p_brand", "cost_c")
         .orderBy(F.col("acctbal_c").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -2801,11 +2811,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     a part's value passes 2^63/800 (the q_quality_ks overflow class,
     fixed by the same rewrite).
 
-    Scale shape: the region's supplier keys broadcast as a LEFT SEMI
-    into lineitem before the aggregate, so the ONE partkey exchange
-    carries only that region's lines; the |parts|-sized value view
-    localCheckpoints and is read twice (global sum + filter) without
-    recomputing the fact pass; the scalar total is a 1-row broadcast."""
+    Scale shape: the region's supplier keys LEFT-SEMI-prune lineitem
+    before the aggregate (declarative — suppliers scale with the
+    corpus, AQE broadcasts the 1/5 subset while it fits), so the ONE
+    partkey exchange carries only that region's lines; the
+    |parts|-sized value view localCheckpoints and is read twice
+    (global sum + filter) without recomputing the fact pass; the
+    scalar total is a genuine 1-row broadcast."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
     n = table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -2818,8 +2830,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = (
         table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-        .join(F.broadcast(afs), F.col("l_suppkey") == F.col("s_suppkey"),
-              "left_semi")
+        .join(afs, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(
             F.sum(
@@ -2869,9 +2880,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side still uses LEFT ANTI, which is the null-robust
     form.
 
-    Scale shape: the part spec (8 sizes × negated brand/type)
-    broadcasts into lineitem, pruning the fact at the scan; the
-    blacklist is a dimension subset broadcast as LEFT ANTI. The
+    Scale shape: the part spec (8 sizes × negated brand/type) joins
+    into lineitem, pruning the fact early; the blacklist excludes
+    suppliers through a LEFT ANTI. Both sides are SF-scaled, so both
+    joins are declarative — AQE broadcasts them while they fit
+    (always at test scale) and shuffles past that. The
     count-distinct compiles to Spark's two-phase distinct aggregate:
     partial (group, suppkey) dedup map-side, then ONE exchange on the
     group keys — the same shape DuckDB runs, and the only exchange in
@@ -2892,9 +2905,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
-              "left_anti")
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -2934,12 +2946,15 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives intact. Quantity sums are integral (BIGINT cast), so the
     HAVING boundary is exact on both engines.
 
-    Scale shape: the name-filtered part keys broadcast as a LEFT SEMI
-    into the year-windowed lineitem scan (both filters pushed), so
-    the (suppkey, partkey) aggregate exchange carries only candidate
-    lines; the qualifying suppkey set is dimension-sized and LEFT
+    Scale shape: the name-filtered part keys LEFT-SEMI-prune the
+    year-windowed lineitem scan (both filters pushed), so the
+    (suppkey, partkey) aggregate exchange carries only candidate
+    lines; the qualifying suppkey set is |suppliers|-bounded and LEFT
     SEMI joins into the region's suppliers — nothing fact-sized
-    crosses a second exchange, and the region chain is all broadcast."""
+    crosses a second exchange. Only the fixed-cardinality
+    region→nation chain is broadcast-hinted; the part and supplier
+    joins stay declarative (both scale with the corpus — AQE
+    broadcasts while they fit, always at test scale)."""
     redp = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
@@ -2952,8 +2967,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(redp), F.col("l_partkey") == F.col("p_partkey"),
-              "left_semi")
+        .join(redp, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     )
     qual = (
         li.groupBy("l_suppkey", "l_partkey")
@@ -3021,9 +3035,10 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp ≥ 2; NOT EXISTS late l3 ⇔ n_late = 1 (the probe line is
     itself late, so its supplier is the one). One orderkey exchange
     + sort replaces BOTH self-joins — three skinny columns cross it;
-    the status filter prunes orders at the scan and the region chain
-    broadcasts; the final rollup is |suppliers|-bounded with a
-    TakeOrdered top-100."""
+    the status filter prunes orders at the scan, the fixed-cardinality
+    region→nation chain broadcasts, and the SF-scaled supplier attach
+    stays declarative (AQE broadcasts it while it fits); the final
+    rollup is |suppliers|-bounded with a TakeOrdered top-100."""
     o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -3058,7 +3073,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
