@@ -1588,3 +1588,99 @@ def test_fuzz_tpch_q22(spark, rows):
         compare(spark, REGISTRY["q_tpch_q22"], d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_YEAR_EDGES = [
+    datetime.datetime(1995, 12, 31),
+    datetime.datetime(1996, 1, 1),
+    datetime.datetime(1996, 12, 31, 23, 0),
+    datetime.datetime(1997, 1, 1),
+    datetime.datetime(1997, 12, 31, 23, 59),
+    datetime.datetime(1998, 1, 1),
+    datetime.datetime(2000, 6, 15, 12, 30),
+]
+
+
+def _write_year_edge_pair(rows: list[tuple[int, int, int, int]], path_o: str, path_l: str) -> None:
+    """orders+lineitem for the Q7/Q8/Q9 year-extraction family:
+    (orderkey, odate_idx, sdate_idx, supp_idx) with order and ship
+    dates pinned ON window edges (1996-01-01 / 1998-01-01) and at
+    23:xx on Dec 31 — year(ts) must be zone-free under the hostile
+    America/New_York probe session, where an LTZ mistake would shift
+    Dec 31 23:00 into the next year."""
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[0] % 150 for r in rows],
+            "o_orderstatus": ["F" if r[0] % 2 else "O" for r in rows],
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": [_YEAR_EDGES[r[1] % len(_YEAR_EDGES)] for r in rows],
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    l = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[0] % 200 for r in rows],
+            "l_suppkey": [r[3] % 10 for r in rows],
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [float(1 + r[0] % 50) for r in rows],
+            "l_extendedprice": [1000.005] * len(rows),
+            "l_discount": [0.05 * (r[0] % 3) for r in rows],
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": [_YEAR_EDGES[r[2] % len(_YEAR_EDGES)] for r in rows],
+        }
+    )
+    _copy_to_parquet(
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey, o_orderstatus,"
+        " o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM pdf",
+        o,
+        path_o,
+    )
+    _copy_to_parquet(
+        "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,"
+        " CAST(l_partkey AS BIGINT) AS l_partkey,"
+        " CAST(l_suppkey AS BIGINT) AS l_suppkey,"
+        " CAST(l_linenumber AS INTEGER) AS l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM pdf",
+        l,
+        path_l,
+    )
+
+
+year_edge_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=year_edge_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_year_extraction(spark, rows):
+    """Q7/Q8/Q9 on year-edge dates: window predicates exactly AT the
+    half-open boundaries, and year() over Dec-31-23:xx timestamps —
+    the zone-free extraction must agree across engines under the
+    hostile-timezone test session."""
+    d = _fuzz_dir({})
+    try:
+        for t in ("orders", "lineitem"):
+            os.unlink(os.path.join(d, f"{t}.parquet"))
+        _write_year_edge_pair(
+            rows, os.path.join(d, "orders.parquet"), os.path.join(d, "lineitem.parquet")
+        )
+        for q in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q9"):
+            compare(spark, REGISTRY[q], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

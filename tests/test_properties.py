@@ -235,3 +235,53 @@ def test_star_components_match_union_find_model(spark, edges):
     if not real:
         return
     assert _run_star(spark, real) == _model_components(real)
+
+
+# ---------------------------------------------------------------------------
+# Overflow-free integer threshold rewrites (q_tpch_q11 / q_tpch_q22).
+# The registered plans test `value > total div K` where the naive form
+# `value * K > total` wraps int64 once value > 2^63/K. These properties
+# pin the algebraic identity the rewrite relies on, and that DuckDB's
+# `//` agrees with Python (and Spark's `div`) on the domains used.
+
+
+@given(
+    value=st.integers(min_value=0, max_value=2**63 - 1),
+    total=st.integers(min_value=0, max_value=2**63 - 1),
+    k=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=500, deadline=None)
+def test_div_threshold_identity_nonnegative(value, total, k):
+    """value·K > total  ⇔  value > total // K for non-negative ints —
+    the q_tpch_q11 fraction test (value_c and the total are sums of
+    positive cents, so the non-negative domain is the real one)."""
+    assert (value * k > total) == (value > total // k)
+
+
+@given(
+    a=st.integers(min_value=-(2**31), max_value=2**31),
+    s=st.integers(min_value=1, max_value=2**63 - 1),
+    n=st.integers(min_value=1, max_value=2**31),
+)
+@settings(max_examples=500, deadline=None)
+def test_div_mean_identity_any_numerator(a, s, n):
+    """a·n > s  ⇔  a > s // n for s, n > 0 and ANY integer a — the
+    q_tpch_q22 above-mean test (balances can be negative; the pool
+    sum and count are positive by construction)."""
+    assert (a * n > s) == (a > s // n)
+
+
+@given(
+    s=st.integers(min_value=0, max_value=2**62),
+    n=st.integers(min_value=1, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_duckdb_intdiv_matches_python_floor(s, n):
+    """DuckDB BIGINT `//` equals Python's floor-div on the positive
+    domain the rewrites use (Spark's `div` truncates toward zero,
+    which is identical for non-negative operands — the engines only
+    agree BECAUSE the rewrite keeps the numerator non-negative)."""
+    import duckdb
+
+    got = duckdb.sql(f"SELECT CAST({s} AS BIGINT) // CAST({n} AS BIGINT)").fetchone()[0]
+    assert got == s // n
