@@ -2236,9 +2236,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.sum("promo_c").cast("long").alias("promo_rev_c"),
         F.sum("rev_c").cast("long").alias("total_rev_c"),
-        F.expr("CAST(1000000 * sum(promo_c) div sum(rev_c) AS BIGINT)").alias(
-            "promo_share_ppm"
-        ),
+        F.expr(
+            # decimal(38) product — exact past the 2^63/1e6 cents where
+            # the int64 form wraps (DuckDB's HUGEINT sum never does)
+            "CAST(CAST(sum(promo_c) AS DECIMAL(38,0)) * 1000000"
+            " div sum(rev_c) AS BIGINT)"
+        ).alias("promo_share_ppm"),
     )
 
 
@@ -2581,8 +2584,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(nat).cast("long").alias("nation_rev_c"),
             F.sum("rev_c").cast("long").alias("total_rev_c"),
             F.expr(
-                "CAST(1000000 * sum(CASE WHEN supp_nation = 'NATION_3' "
-                "THEN rev_c ELSE 0 END) div sum(rev_c) AS BIGINT)"
+                # decimal(38) product (the q_quality_ks 128-bit-safe
+                # rescale): an int64 1e6*sum wraps past ~9.2e12 cents
+                # per year group while DuckDB's HUGEINT sum does not
+                "CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' "
+                "THEN rev_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div sum(rev_c) AS BIGINT)"
             ).alias("mkt_share_ppm"),
         )
         .orderBy("o_year")

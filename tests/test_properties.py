@@ -285,3 +285,40 @@ def test_duckdb_intdiv_matches_python_floor(s, n):
 
     got = duckdb.sql(f"SELECT CAST({s} AS BIGINT) // CAST({n} AS BIGINT)").fetchone()[0]
     assert got == s // n
+
+
+def test_ppm_rescale_decimal_safe_past_int64(spark):
+    """q_tpch_q8/q_tpch_q14 regression: the share-ppm rescale must ride
+    a DECIMAL(38) intermediate. The int64 form wraps once 1e6·sum
+    passes 2^63 (~9.2e12 cents of group revenue — reachable at the
+    corpus sizes the repo targets) while DuckDB's HUGEINT sum does
+    not, silently diverging the engines."""
+    df = spark.createDataFrame(
+        [(5_000_000_000_000, 5_000_000_000_000)] * 2, "promo_c long, rev_c long"
+    )
+    # the int64 form is broken either way: ANSI raises ARITHMETIC_OVERFLOW,
+    # non-ANSI silently wraps — both diverge from DuckDB's HUGEINT sum
+    try:
+        wrapped = df.agg(
+            F.expr("CAST(1000000 * sum(promo_c) div sum(rev_c) AS BIGINT)").alias("p")
+        ).collect()[0].p
+        assert wrapped != 1_000_000, wrapped
+    except Exception as exc:
+        assert "overflow" in str(exc).lower() or "ARITHMETIC" in str(exc), exc
+    safe = df.agg(
+        F.expr(
+            "CAST(CAST(sum(promo_c) AS DECIMAL(38,0)) * 1000000"
+            " div sum(rev_c) AS BIGINT)"
+        ).alias("p")
+    ).collect()[0].p
+    assert safe == 1_000_000, safe          # the true share: promo == total
+
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT CAST(1000000 * SUM(promo_c) // SUM(rev_c) AS BIGINT) "
+        "FROM (SELECT CAST(5000000000000 AS BIGINT) AS promo_c, "
+        "CAST(5000000000000 AS BIGINT) AS rev_c UNION ALL "
+        "SELECT 5000000000000, 5000000000000)"
+    ).fetchone()[0]
+    assert got == 1_000_000, got            # HUGEINT sum: DuckDB never wrapped

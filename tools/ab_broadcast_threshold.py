@@ -34,13 +34,19 @@ THRESHOLDS = {"default10m": "10485760", "thr64m": "67108864"}
 
 def main() -> None:
     from duckdb_pst_spark.registry import load_all
-    from duckdb_pst_spark.session import get_spark
+    from duckdb_pst_spark.session import free_checkpoints, get_spark
 
     spark = get_spark("ab-bcast-threshold")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
     def run(name: str, thr: str, d: str) -> None:
+        # q_tpch_q11 localCheckpoints its value view — without freeing,
+        # each run pins another x100-sized block and the LATER arm of
+        # every pair reads systematically worse (the round-8 session-
+        # degradation confound; caught by review on the first version
+        # of this tool, which mis-measured Q11's thr64m arm)
+        free_checkpoints(spark)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         try:
             specs[name].builder(spark, d).write.mode("overwrite").format(
