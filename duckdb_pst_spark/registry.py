@@ -74,13 +74,14 @@ def query(
 #      idle; the group-topk fusion and the runtime bloom filter were
 #      measured no-ships; bucketed TPC-H twins are tools/, not
 #      registered plans).
-#   2. Fill (43) — continue the registration-order re-verification
+#   2. Fill (34) — continue the registration-order re-verification
 #      cycle where round 7 stopped: the 9 text.py r2 greens the
 #      round-7 additions displaced, the rest of the text.py r2/r3
 #      block (5), then dedup/similarity/sketches/sampling r1-r3
-#      greens in file order (10), the r1 recursive trio (3),
-#      join_strategies r2 (2), multimodal r2/r3 (6), and the first
-#      pstbin r3 block (6).
+#      greens in file order (12), the r1 recursive trio (3),
+#      join_strategies r2 (2), and the first multimodal r2/r3
+#      block (3) — the remaining multimodal + pstbin fill was
+#      displaced by the TPC-H-completion batch to round 9.
 VERIFY_FIRST: tuple[str, ...] = (
     # round-8 additions, registered this round (16)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
