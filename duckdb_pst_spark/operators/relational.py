@@ -1770,7 +1770,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM customer
     JOIN orders ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1793,8 +1793,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever sees survivor rows, and orders/customer attach by broadcast of
     the already-semi-filtered orders. At 100 TB the survivor set stays
     KB-sized while the naive double aggregate would shuffle the full
-    fact table twice; quantity sums ride the repo's integer discipline
-    (l_quantity is integral in this dataset, cast before summing)."""
+    fact table twice; quantity sums ride the repo's FLOOR-before-cast
+    discipline (DuckDB CAST rounds half-away, Spark CAST truncates —
+    FLOOR on both engines agrees on any corpus, integral or not)."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -1812,7 +1813,11 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_big.join(F.broadcast(o_big), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("sum_qty")
+        )
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
@@ -2014,7 +2019,9 @@ _PROFILE_COLS: list[tuple[str, str]] = [
     ("l_partkey", "l_partkey"),
     ("l_suppkey", "l_suppkey"),
     ("l_linenumber", "l_linenumber"),
-    ("l_quantity", "CAST(l_quantity AS BIGINT)"),  # TPC-H qty is integral
+    # FLOOR before the BIGINT cast: DuckDB CAST rounds half-away, Spark
+    # CAST truncates — FLOOR makes both engines agree on any corpus.
+    ("l_quantity", "CAST(FLOOR(l_quantity) AS BIGINT)"),
     ("l_returnflag", None),
     ("l_linestatus", None),
 ]
@@ -2251,7 +2258,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pq AS (
       SELECT l_partkey AS pk,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(count(*) AS BIGINT) AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     )
@@ -2262,7 +2269,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON p_partkey = l_partkey
     JOIN pq   ON pk = l_partkey
     WHERE p_brand = 'Brand#12'
-      AND 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty
+      AND 5 * CAST(FLOOR(l_quantity) AS BIGINT) * cnt_qty < sum_qty
     """,
     tags=("relational", "join", "agg"),
 )
@@ -2271,10 +2278,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose quantity is below 20% of that part's average — the canonical
     correlated-aggregate query, decorrelated to a per-part aggregate
     joined back to the fact table. The threshold is evaluated in EXACT
-    integers: qty < 0.2·avg(qty) ⇔ 5·qty·cnt < sum (l_quantity is
-    integral in this corpus; both engines compare the same BIGINTs, so
-    no float-avg boundary row can flip — the repo's exact-arithmetic
-    discipline applied to a predicate instead of an output).
+    integers: qty < 0.2·avg(qty) ⇔ 5·qty·cnt < sum, with quantities
+    FLOOR-ed before the BIGINT cast on both engines (DuckDB CAST
+    rounds half-away, Spark CAST truncates — FLOOR agrees on any
+    corpus), so no float-avg boundary row can flip — the repo's
+    exact-arithmetic discipline applied to a predicate.
 
     Scale shape: brand is a per-PART property, so every line of a
     Brand#12 part is itself a Brand#12 line — the per-part (sum, cnt)
@@ -2302,11 +2310,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lif = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     pq = lif.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.floor(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
         F.count(F.lit(1)).cast("long").alias("cnt_qty"),
     )
     j = lif.join(pq, F.col("pk") == F.col("l_partkey")).filter(
-        5 * F.col("l_quantity").cast("long") * F.col("cnt_qty")
+        5 * F.floor(F.col("l_quantity")).cast("long") * F.col("cnt_qty")
         < F.col("sum_qty")
     )
     return j.agg(
@@ -2606,7 +2614,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(year(o_orderdate) AS BIGINT) AS o_year,
              CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
                - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
-                 * CAST(l_quantity AS BIGINT) AS amount_c
+                 * CAST(FLOOR(l_quantity) AS BIGINT) AS amount_c
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -2628,8 +2636,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression rides the part row the join already carries, keeping
     Q9's defining shape: a substring part filter, a 5-table join, and
     profit arithmetic INSIDE the aggregate. All money is exact
-    integers (floor-cents × integral quantity), so cross-engine sums
-    cannot drift.
+    integers (floor-cents × floor-cast quantity — FLOOR before the
+    BIGINT cast on both engines), so cross-engine sums cannot drift.
 
     Scale shape: the p_name LIKE filter (~1/8 of parts) joins into
     lineitem first — the only fact-sized rows that survive carry a
@@ -2664,7 +2672,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         )
         - F.floor(F.col("p_retailprice") * 100).cast("long")
-        * F.col("l_quantity").cast("long")
+        * F.floor(F.col("l_quantity")).cast("long")
     )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
@@ -2788,7 +2796,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH val AS (
       SELECT l_partkey AS pk,
              CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+                      * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS value_c
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -2842,7 +2850,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.floor(F.col("l_extendedprice") * 100).cast("long")
-                * F.col("l_quantity").cast("long")
+                * F.floor(F.col("l_quantity")).cast("long")
             )
             .cast("long")
             .alias("value_c")
@@ -2936,7 +2944,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l_suppkey, l_partkey
-        HAVING SUM(CAST(l_quantity AS BIGINT)) > 25
+        HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 25
       )
     ORDER BY s_name
     """,
@@ -2950,8 +2958,9 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes an absolute shipped-quantity threshold over the same
     nested-IN chain: part-name semi → grouped quantity HAVING → 
     supplier semi — the three-level nesting is the point of Q20 and
-    survives intact. Quantity sums are integral (BIGINT cast), so the
-    HAVING boundary is exact on both engines.
+    survives intact. Quantity sums FLOOR before the BIGINT cast on
+    both engines (DuckDB CAST rounds half-away, Spark truncates), so
+    the strict HAVING sum > 25 boundary is exact on any corpus.
 
     Scale shape: the name-filtered part keys LEFT-SEMI-prune the
     year-windowed lineitem scan (both filters pushed), so the
@@ -2978,7 +2987,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qual = (
         li.groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .agg(F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("sq"))
         .filter(F.col("sq") > 25)
         .select("l_suppkey")
     )

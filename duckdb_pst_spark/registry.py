@@ -204,13 +204,17 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
 # Done = every oracle-bearing query re-verified within ~3 rounds of its
 # last plan change.
 #
-# Round-9 harmonization candidate (found in the round-8 review): the
-# pre-batch q_tpch_q17/q_tpch_q18 oracles still use the raw
+# Round-9 harmonization (DONE this round): Q17/Q18 AND the completion
+# batch's Q9/Q11/Q20 (the round-8 claim that the batch already used
+# FLOOR was wrong — caught by the round-8 advisor) all used the raw
 # CAST(l_quantity AS BIGINT), which rounds half-away in DuckDB but
-# truncates in Spark — latent (quantities are integral in every
-# generated corpus) but the completion batch moved to
-# CAST(FLOOR(...)) on both engines. If round 9 harmonizes them, the
-# two queries owe canary slots (Q18 is outside the round-8 window).
+# truncates in Spark — latent on the integral-quantity generated
+# corpora, divergent on any fractional corpus. All five builders and
+# oracles (plus q_profile_columns' shared projection string) now use
+# CAST(FLOOR(l_quantity) AS BIGINT) / F.floor(...).cast("long"), and
+# tests/test_fuzz_oracle.py pins a fractional-quantity corpus where
+# the old form measurably diverges. The five rewritten queries owe
+# canary slots in the round-9 window (ROUND9_CANARIES below).
 
 
 def load_all() -> dict[str, QuerySpec]:

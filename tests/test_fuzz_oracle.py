@@ -1684,3 +1684,55 @@ def test_fuzz_tpch_year_extraction(spark, rows):
             compare(spark, REGISTRY[q], d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------- round-9 FLOOR harmonization
+
+def test_raw_quantity_cast_divergence_is_real(spark):
+    """The reason the round-9 FLOOR harmonization exists, pinned as a
+    fact: CAST(DOUBLE AS BIGINT) rounds half-away-from-zero in DuckDB
+    but truncates in Spark, so any oracle/builder pair using the raw
+    cast on a fractional column diverges. FLOOR-then-cast agrees."""
+    assert duckdb.sql("SELECT CAST(25.5::DOUBLE AS BIGINT)").fetchone()[0] == 26
+    assert spark.sql("SELECT CAST(25.5D AS BIGINT)").collect()[0][0] == 25
+    assert duckdb.sql("SELECT CAST(FLOOR(25.5::DOUBLE) AS BIGINT)").fetchone()[0] == 25
+    assert spark.sql("SELECT CAST(FLOOR(25.5D) AS BIGINT)").collect()[0][0] == 25
+
+
+def test_fractional_quantities_floor_harmonized(spark):
+    """Round-9 advisor fix (round-8 ADVICE medium): Q9/Q11/Q20 —
+    plus the pre-batch Q17/Q18 and q_profile_columns — used the raw
+    BIGINT cast on l_quantity in their oracles/builders; on the
+    integral-quantity generated corpora that is invisible, on a
+    fractional corpus the engines disagree on every x.5 row (and at
+    Q20's strict HAVING sum > 25 boundary a single half-up round flips
+    membership). This corpus adds +0.25/+0.5/+0.75 offsets to the REAL
+    sf0.001 lineitem (all join keys stay valid), so every one of the
+    six harmonized queries must still hash-match its oracle."""
+    def write(path: str) -> None:
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                l_quantity + [0.0, 0.25, 0.5, 0.75][(l_orderkey % 4) + 1]
+                  AS l_quantity)
+              FROM read_parquet('{BASE}/lineitem.parquet')
+            ) TO '{path}' (FORMAT PARQUET)
+            """
+        )
+        con.close()
+
+    d = _fuzz_dir({"lineitem": write})
+    try:
+        for q in (
+            "q_tpch_q9",
+            "q_tpch_q11",
+            "q_tpch_q17",
+            "q_tpch_q18",
+            "q_tpch_q20",
+            "q_profile_columns",
+        ):
+            compare(spark, REGISTRY[q], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
