@@ -1,0 +1,235 @@
+"""Bucketed-layout twins for the TPC-H fact-exchange class.
+
+The round-8 exchange-budget program (SCALE.md; tools/ab_bucketed_*.py)
+measured the star joins' dominant cost as the single fact-side orderkey
+shuffle, and the orderkey-bucketed layout as its cure: Q21 0.31x,
+Q4 0.39x, Q12 0.37x, Q9 0.50x at x100, same session, results pinned
+equal. These queries SHIP that cure as first-class, oracle-checked,
+plan-gated artifacts instead of tools/ scripts: each twin shares its
+plain sibling's oracle verbatim (the answer is layout-invariant — only
+the physical plan changes) and materializes the layout through
+``sinks.export_bucketed`` on first use in a session, reusing it for
+every later orderkey query against the same source.
+
+This mirrors the reference's own design point — its partition planning
+(/root/reference/src/table_function.cpp:191-212) exists precisely to
+make the scan layout serve the query; Spark's bucketed managed tables
+are the lake-scale equivalent (hash-co-located, per-bucket sorted, so
+the SortMergeJoin needs neither Exchange nor Sort on either side).
+
+Plan contract (gated in tests/test_bucketed_twins.py): the fact join
+reads ``Bucketed: true`` scans with ZERO shuffle exchange beneath it;
+only dim broadcasts (fixed-cardinality chains, or AQE's choice for the
+SF-scaled sides) and the final tiny rollup cross a wire.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_pst_spark.operators import relational  # noqa: F401  (oracle reuse)
+from duckdb_pst_spark.registry import REGISTRY, query
+from duckdb_pst_spark.tables import table
+
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create-or-reuse the orderkey layout for ``sf_dir`` (one write per
+    session per source; reused by every twin afterwards). Returns the
+    (orders, lineitem) catalog names."""
+    from duckdb_pst_spark.sinks import export_bucketed
+
+    names = export_bucketed(spark, sf_dir, n_buckets=N_BUCKETS)
+    return names["orders"], names["lineitem"]
+
+
+def _oracle_of(plain_name: str) -> str:
+    """The twin's oracle IS the plain query's oracle — same answer,
+    different physical layout. Referencing it (instead of copying the
+    string) keeps the pair in sync by construction."""
+    return REGISTRY[plain_name].oracle
+
+
+# ------------------------------------------------- Q4 on the layout
+@query(
+    "q_tpch_q4_bucketed",
+    oracle=_oracle_of("q_tpch_q4"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q4 on the orderkey-bucketed layout: the quarter-windowed
+    orders EXISTS-semi against lineitem runs as a merge-hinted
+    SortMergeJoin over co-bucketed, per-bucket-sorted scans — no
+    exchange, no sort, on either fact side (measured 0.39x plain at
+    x100, tools/ab_bucketed_tpch.py). The merge hint pins the shape
+    the layout exists for; without it AQE would broadcast the tiny
+    test-scale orders side and mark the bucketed scan unused."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o = spark.table(o_t).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = spark.table(li_t).select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li.hint("merge"), late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------ Q12 on the layout
+@query(
+    "q_tpch_q12_bucketed",
+    oracle=_oracle_of("q_tpch_q12"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q12 on the orderkey-bucketed layout: the year-windowed
+    fact scan joins orders bucket-aligned (zero exchange, zero sort);
+    the CASE split still combines map-side so the only shuffle in the
+    whole plan is the <=2-group final rollup (measured 0.37x plain at
+    x100, tools/ab_bucketed_tpch.py)."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    li = (
+        spark.table(li_t)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    o = spark.table(o_t).select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ------------------------------------------------- Q9 on the layout
+@query(
+    "q_tpch_q9_bucketed",
+    oracle=_oracle_of("q_tpch_q9"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q9 on the orderkey-bucketed layout: part and supplier
+    attach first and stay DECLARATIVE (they scale with the corpus; AQE
+    broadcasts them while they fit — a broadcast attach preserves the
+    probe side's bucket partitioning, so the orders join after it is
+    still exchange-free); the li⋈o join is the merge-hinted
+    bucket-aligned SortMergeJoin (measured 0.50x plain at x100,
+    tools/ab_bucketed_q7q9.py). When a deployment's part side outgrows
+    broadcast, the partkey shuffle re-keys the fact and the layout's
+    win shrinks to the sort — the docstring contract, not a silent
+    cliff; profit arithmetic identical to the plain twin (FLOOR-cast
+    quantities)."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    o = spark.table(o_t).select("o_orderkey", "o_orderdate")
+    li = spark.table(li_t).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount_c = (
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+        - F.floor(F.col("p_retailprice") * 100).cast("long")
+        * F.floor(F.col("l_quantity")).cast("long")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_c.alias("amount_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount_c").cast("long").alias("sum_profit_c"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ------------------------------------------------ Q21 on the layout
+@query(
+    "q_tpch_q21_bucketed",
+    oracle=_oracle_of("q_tpch_q21"),
+    tags=("relational", "join", "subquery", "bucketed"),
+    bench=True,
+)
+def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q21 on the orderkey-bucketed layout — the biggest
+    measured win in the class (11.45 → 3.59 s, 0.31x, at x100;
+    tools/ab_bucketed_q21.py) because the layout pays TWICE: the li⋈o
+    join is bucket-aligned (no exchange, no sort) and the
+    decorrelating window over l_orderkey rides the same bucket
+    partitioning (HashPartitioning on the window key — no window
+    exchange either). The plan's only shuffles are the
+    |suppliers|-bounded rollup and the top-100 sort."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o = (
+        spark.table(o_t)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.table(li_t).select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        j.filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -220,6 +220,7 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so its @query decorators run."""
     from duckdb_pst_spark.operators import (  # noqa: F401
+        bucketed,
         dedup,
         join_strategies,
         pipeline,

@@ -61,6 +61,77 @@ def save_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
+_BUCKET_KEY_PREFIX = {"orders": "o", "lineitem": "l", "customer": "c"}
+
+
+def _source_digest(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Layout identity: abs path + mtime + size of every source file, so
+    a regenerated corpus (same path, new data) gets a NEW layout and a
+    re-run in the same session reuses the existing one."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    for t in tables:
+        p = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()[:10]
+
+
+def export_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    key: str = "orderkey",
+    tables: tuple[str, ...] = ("orders", "lineitem"),
+    n_buckets: int = 32,
+    reuse: bool = True,
+) -> dict[str, str]:
+    """One-time co-location layout for the TPC-H fact join: bucket (and
+    sort) ``orders`` + ``lineitem`` on their shared join key so every
+    subsequent orderkey equi-join / window / aggregate runs with ZERO
+    fact-side exchange (the star joins' dominant cost — 60M rows /
+    1.07 GiB of shuffle at x100, measured in tools/exchange_budget.py;
+    the bucketed twins read 0.31-0.50x the plain plans, SCALE.md r8).
+
+    This is the Spark form of the reference's partition-planning design
+    point (/root/reference/src/table_function.cpp:191-212 — make the
+    scan layout serve the query). At 100 TB the layout is written once
+    per ingest with n_buckets sized so one bucket fits an executor
+    (e.g. 4096), and every orderkey join afterwards is exchange-free.
+
+    Rows are pre-repartitioned by the bucket hash so each bucket lands
+    in ONE file — the scan then reports sorted output and the
+    SortMergeJoin needs neither Exchange nor Sort. Returns
+    {table: catalog_name}; ``reuse=True`` returns the existing layout
+    for an identical source (same path+mtime+size) without rewriting.
+    Managed tables live in the session's static warehouse dir; a stale
+    directory from a killed run is removed before writing."""
+    import os
+    import shutil
+
+    from duckdb_pst_spark.tables import table as load_table
+
+    digest = _source_digest(sf_dir, tables)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    out: dict[str, str] = {}
+    for t in tables:
+        col = f"{_BUCKET_KEY_PREFIX[t]}_{key}"
+        name = f"bkt_{key}{n_buckets}_{digest}_{t}"
+        if not (reuse and spark.catalog.tableExists(name)):
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            save_bucketed_table(
+                load_table(spark, sf_dir, t).repartition(n_buckets, col),
+                name,
+                bucket_by=[col],
+                n_buckets=n_buckets,
+                sort_by=[col],
+            )
+        out[t] = name
+    return out
+
+
 def ingest_pst_archive(
     spark: SparkSession,
     out_dir: str,

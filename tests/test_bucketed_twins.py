@@ -1,0 +1,105 @@
+"""Gates for the registered bucketed-layout TPC-H twins
+(duckdb_pst_spark/operators/bucketed.py — VERDICT r8 item 1).
+
+Three contracts per twin:
+  1. rows identical to the plain sibling (the layout changes the
+     physical plan only; the shared oracle already pins this against
+     DuckDB, this pins it against the plain Spark plan too),
+  2. the fact join reads `Bucketed: true` scans with ZERO shuffle
+     exchange beneath it (broadcast exchanges for dim attaches are
+     allowed — they are not shuffles),
+  3. the layout is created once per session per source and reused
+     (`sinks.export_bucketed` digest reuse).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from duckdb_pst_spark.operators import bucketed
+from duckdb_pst_spark.registry import load_all
+
+SPECS = load_all()
+
+TWINS = {
+    "q_tpch_q4_bucketed": "q_tpch_q4",
+    "q_tpch_q12_bucketed": "q_tpch_q12",
+    "q_tpch_q9_bucketed": "q_tpch_q9",
+    "q_tpch_q21_bucketed": "q_tpch_q21",
+}
+
+# Shuffle exchanges only — BroadcastExchange is data movement a dim
+# attach legitimately pays and is not the fact-side cost being gated.
+_SHUFFLE = re.compile(r"Exchange (hash|range)partitioning|Exchange SinglePartition")
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("twin", sorted(TWINS))
+def test_twin_rows_equal_plain(spark, sf_dir, twin):
+    a = sorted(map(tuple, SPECS[TWINS[twin]].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS[twin].builder(spark, sf_dir).collect()))
+    assert a == b, (twin, a[:3], b[:3])
+
+
+_TREE_CHARS = " :+-|"
+
+
+def _op_col(line: str) -> int:
+    return len(line) - len(line.lstrip(_TREE_CHARS))
+
+
+def _fact_join_subtree(plan: str) -> str:
+    """The orderkey SortMergeJoin's subtree, extracted by tree
+    indentation (a plain string split would swallow the build side of
+    whatever joins ABOVE the fact join — they print after it)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SortMergeJoin [l_orderkey" in ln or "SortMergeJoin [o_orderkey" in ln:
+            depth = _op_col(ln)
+            sub = [ln]
+            for nxt in lines[i + 1:]:
+                if _op_col(nxt) <= depth:
+                    break
+                sub.append(nxt)
+            return "\n".join(sub)
+    raise AssertionError(f"no orderkey SortMergeJoin in plan:\n{plan}")
+
+
+@pytest.mark.parametrize("twin", sorted(TWINS))
+def test_twin_fact_join_is_exchange_free(spark, sf_dir, twin):
+    """The merge-hinted orderkey SortMergeJoin must read two
+    `Bucketed: true` scans with ZERO shuffle exchange anywhere in its
+    subtree — dim attaches inside it (Q9's part/supplier) may only be
+    broadcasts. Gated on the initial adaptive plan: the merge hint
+    pins the join strategy, so AQE cannot reintroduce an exchange."""
+    plan = _executed_plan(SPECS[twin].builder(spark, sf_dir))
+    sub = _fact_join_subtree(plan)
+    assert not _SHUFFLE.search(sub), sub
+    assert sub.count("Bucketed: true") == 2, sub
+
+
+def test_layout_reused_within_session(spark, sf_dir):
+    """Second ensure_bucketed against the same source must return the
+    same catalog names without rewriting (digest reuse — the one-time
+    cost is paid once per session per source)."""
+    names1 = bucketed.ensure_bucketed(spark, sf_dir)
+    mtimes = _table_file_mtimes(spark, names1)
+    names2 = bucketed.ensure_bucketed(spark, sf_dir)
+    assert names1 == names2
+    assert _table_file_mtimes(spark, names2) == mtimes, "layout was rewritten"
+
+
+def _table_file_mtimes(spark, names) -> dict[str, float]:
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    out = {}
+    for n in names:
+        d = os.path.join(wh, n)
+        out[n] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+    return out
