@@ -35,13 +35,19 @@ def run_query(spark, spec, sf_dir: str, *, reps: int = 2) -> float:
     noop sink). The first execution of a plan still pays one-off JVM JIT
     tiering (C2) and AQE statistics collection even after the sf0.001
     plan warm-up; min-of-N is the standard steady-state estimator and is
-    what a long-running cluster job actually experiences."""
+    what a long-running cluster job actually experiences. Per-query
+    session-conf overrides (spec.confs — measured deployment knobs like
+    Q16/Q11's broadcast threshold) apply for the duration of the run and
+    restore afterwards."""
+    from duckdb_pst_spark.registry import applied_confs
+
     best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
+    with applied_confs(spark, spec):
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
     return best
 
 
@@ -64,6 +70,19 @@ def main() -> None:
 
     spark = get_spark("dps-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def calibrate() -> float:
+        """Fixed CPU-bound probe (no IO, no shuffle): min-of-3 wall of a
+        500M-row codegen sum. BENCH_r07→r08 moved ~1.5x on identical
+        plans (host-day drift), so every cross-round comparison must be
+        normalizable: divide a query's wall by calib_wall's round ratio
+        before calling a move a regression."""
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(500_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
     # Warm-up: JVM, whole-stage-codegen JIT, parquet footer caches, and the
     # broadcast/checkpoint machinery. Each bench query runs once UNTIMED at
     # the tiny sf0.001 so every plan shape is code-generated and JIT-compiled
@@ -71,6 +90,7 @@ def main() -> None:
     # steady-state engine throughput (what a long-running cluster job sees),
     # not one-time JVM compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    calib_wall = round(calibrate(), 4)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for spec in bench_specs:
@@ -91,9 +111,13 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    overrides: dict[str, str] = {}
     for spec in bench_specs:
         try:
-            timings[spec.name] = round(run_query(spark, spec, sf_dir), 4)
+            run_dir = spec.bench_dir or sf_dir
+            if spec.bench_dir:
+                overrides[spec.name] = spec.bench_dir
+            timings[spec.name] = round(run_query(spark, spec, run_dir), 4)
         except Exception as exc:  # a failed query shouldn't zero the whole bench
             print(f"BENCH ERROR {spec.name}: {exc}", file=sys.stderr)
             timings[spec.name] = -1.0
@@ -107,6 +131,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "calib_wall": calib_wall,
+                "bench_dir_overrides": overrides,
             }
         )
     )

@@ -499,6 +499,7 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pipeline_media",
     tags=("multimodal", "dedup", "pipeline"),
+    bench=True,
 )
 def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship multimodal pipeline — the media twin of

@@ -182,6 +182,109 @@ def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- Q5 on the layout
+@query(
+    "q_tpch_q5_bucketed",
+    oracle=_oracle_of("q_tpch_q5"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q5 on the orderkey-bucketed layout: inner joins commute,
+    so the star is re-rooted at the bucket-aligned li⋈o join (zero
+    exchange, zero sort — measured 0.64x plain at x100,
+    tools/ab_bucketed_tpch.py); the date window prunes the bucketed
+    orders scan, then customer/supplier attach declaratively ABOVE it
+    (broadcast at test scale; at cluster scale their shuffles carry
+    only the window's surviving rows, never the full fact)."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    o = spark.table(o_t).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = spark.table(li_t).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ol = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        ol.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("n_name"))
+    )
+
+
+# ------------------------------------------------ Q10 on the layout
+@query(
+    "q_tpch_q10_bucketed",
+    oracle=_oracle_of("q_tpch_q10"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q10 on the orderkey-bucketed layout: the returnflag
+    filter prunes the bucketed lineitem scan, the quarter window the
+    bucketed orders scan, and the li⋈o join is bucket-aligned
+    (measured 0.56x plain at x100, tools/ab_bucketed_tpch.py);
+    customer attaches declaratively above, nation broadcasts, and the
+    customer rollup + top-20 end the plan."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    li = (
+        spark.table(li_t)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = spark.table(o_t).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ol = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        ol.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_c")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_c",
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------ Q21 on the layout
 @query(
     "q_tpch_q21_bucketed",

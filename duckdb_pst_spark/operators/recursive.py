@@ -697,6 +697,10 @@ def _pte_count_kernel(pdf):
            CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
     """,
     tags=("graph", "iterative"),
+    bench=True,
+    # capped bench corpus: 38.6 s at sf0.1 would dominate the headline
+    # total; the sf0.01 row (≈4 s) carries the same regression signal
+    bench_dir="/root/testdata/sf0.01",
 )
 def q_triangle_count_pte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count, PTE strategy twin of ``q_triangle_count``

@@ -1196,6 +1196,7 @@ _Q19_PRED = """
     WHERE {_Q19_PRED}
     """,
     tags=("relational", "join"),
+    bench=True,
 )
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (discounted-revenue over a 3-branch disjunctive
@@ -1243,6 +1244,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
@@ -1717,6 +1719,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping-priority top-10): the canonical
@@ -1778,6 +1781,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume orders): find orders whose total quantity
@@ -2114,6 +2118,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (order-priority checking), adapted to the schema at
@@ -2163,6 +2168,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_linestatus
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (shipping-mode / priority), adapted: the testdata has
@@ -2213,6 +2219,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): the revenue share of promo parts
@@ -2272,6 +2279,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND 5 * CAST(FLOOR(l_quantity) AS BIGINT) * cnt_qty < sum_qty
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): revenue of brand lines
@@ -2344,6 +2352,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_suppkey
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): the supplier(s) with maximum revenue
@@ -2411,6 +2420,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supp_nation, cust_nation, l_year
     """,
     tags=("relational", "join", "agg"),
+    bench=True,
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): bilateral trade revenue between two
@@ -2718,6 +2728,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("relational", "join", "subquery"),
+    bench=True,
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
@@ -2810,6 +2821,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY value_c DESC, p_partkey
     """,
     tags=("relational", "agg", "subquery"),
+    # Deployment knob (measured at x100, tools/ab_broadcast_threshold.py,
+    # re-verified through applied_confs in round 9): 64 MB broadcast
+    # threshold reads 0.78x here (the region-supplier semi side).
+    # PER-QUERY — the same knob regressed Q7; see q_tpch_q16.
+    confs=(("spark.sql.autoBroadcastJoinThreshold", "64m"),),
+    bench=True,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose traded value through
@@ -2883,6 +2900,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     tags=("relational", "agg", "subquery"),
+    # Deployment knob (measured at x100, tools/ab_broadcast_threshold.py,
+    # re-verified through applied_confs in round 9): the static planner's
+    # 10 MB default misses the spec-join broadcast here — 64 MB reads
+    # 0.62x. PER-QUERY because the same knob REGRESSED Q7 1.7x (it
+    # broadcasts a mid-sized join output there).
+    confs=(("spark.sql.autoBroadcastJoinThreshold", "64m"),),
+    bench=True,
 )
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (parts/supplier relationship): distinct suppliers per
@@ -2949,6 +2973,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY s_name
     """,
     tags=("relational", "join", "subquery"),
+    bench=True,
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (potential part promotion): suppliers in one region
@@ -3122,6 +3147,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cntrycode
     """,
     tags=("relational", "agg", "subquery"),
+    bench=True,
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): well-funded customers in

@@ -25,6 +25,20 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
     doc: str = ""
+    # Per-query session-conf overrides a deployment should apply while
+    # running this query (and ONLY this query — e.g. the 64 MB broadcast
+    # threshold cures Q16/Q11 but was measured to REGRESS Q7, which is
+    # why this is a per-query knob and not a session default). Applied
+    # by bench.py via applied_confs(); never mutated mid-session without
+    # restore. Results must be conf-independent — the driver's
+    # correctness gate runs builders WITHOUT these overrides.
+    confs: tuple[tuple[str, str], ...] = ()
+    # Optional fixed corpus for the bench row (bench.py uses it instead
+    # of $SPARK_GRAFT_SF_DIR and reports it under "bench_dir_overrides").
+    # For queries whose full-sf cost would dominate the headline total
+    # (q_triangle_count_pte: 38.6 s at sf0.1 vs 4.1 s at sf0.01) a capped
+    # corpus keeps round-over-round regression visibility at fixed cost.
+    bench_dir: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -43,14 +57,50 @@ def query(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    confs: tuple[tuple[str, str], ...] = (),
+    bench_dir: str | None = None,
 ):
     """Decorator form: @query("q_x", oracle="SELECT ...")."""
 
     def deco(fn: Builder) -> Builder:
-        register(QuerySpec(name, fn, oracle=oracle, tags=tags, bench=bench, doc=fn.__doc__ or ""))
+        register(
+            QuerySpec(
+                name, fn, oracle=oracle, tags=tags, bench=bench,
+                doc=fn.__doc__ or "", confs=confs, bench_dir=bench_dir,
+            )
+        )
         return fn
 
     return deco
+
+
+def applied_confs(spark: SparkSession, spec: QuerySpec):
+    """Context manager: set the spec's session-conf overrides, restore
+    the previous values (or unset) on exit. The shipped mechanism for
+    per-query deployment knobs — bench.py wraps every run in it, so a
+    spec's measured cure (e.g. Q16/Q11's 64 MB broadcast threshold)
+    rides the artifact a user actually runs instead of a tools/ script."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        saved: list[tuple[str, str | None]] = []
+        for k, v in spec.confs:
+            try:
+                saved.append((k, spark.conf.get(k)))
+            except Exception:
+                saved.append((k, None))
+            spark.conf.set(k, v)
+        try:
+            yield spark
+        finally:
+            for k, old in reversed(saved):
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+
+    return _cm()
 
 
 # The driver's correctness gate checks a PREFIX of the registered queries
@@ -61,57 +111,58 @@ def query(
 # rows-only specs LAST — a rows-only spec can never produce a green row,
 # so it must never occupy a window slot (r3 wasted 4 slots on them).
 #
-# Round 8 window (executes the plan pre-queued in round 7; arithmetic
+# Round 9 window (executes the plan pre-queued in round 8; arithmetic
 # below sums to exactly 50):
-#   0. ROUND8_ADDITIONS (16) — queries registered THIS round, all
-#      hash-exact at sf0.001 and sf0.01 under the hostile-timezone
-#      probe (new queries always take the front slots). The second
-#      batch (TPC-H Q7/Q8/Q9/Q2/Q11/Q16/Q20/Q21/Q22 — the suite
-#      completion) displaced nine more fill slots to round 9.
-#   1. Canaries: none owed — the round-7 window verified every plan
-#      round 7 rewrote, and round 8's A/B program shipped NO plan
-#      changes (the signature-kernel re-check CONFIRMED the r6 ship
-#      idle; the group-topk fusion and the runtime bloom filter were
-#      measured no-ships; bucketed TPC-H twins are tools/, not
-#      registered plans).
-#   2. Fill (34) — continue the registration-order re-verification
-#      cycle where round 7 stopped: the 9 text.py r2 greens the
-#      round-7 additions displaced, the rest of the text.py r2/r3
-#      block (5), then dedup/similarity/sketches/sampling r1-r3
-#      greens in file order (12), the r1 recursive trio (3),
-#      join_strategies r2 (2), and the first multimodal r2/r3
-#      block (3) — the remaining multimodal + pstbin fill was
-#      displaced by the TPC-H-completion batch to round 9.
+#   0. ROUND9_ADDITIONS (6) — the bucketed-layout TPC-H twins,
+#      registered this round, hash-exact at sf0.001 and sf0.01 under
+#      the hostile-timezone probe (new queries take the front slots).
+#   1. ROUND9_CANARIES (6) — the FLOOR-harmonization rewrites (the
+#      round-8 advisor's medium finding): Q9/Q11/Q17/Q18/Q20 +
+#      q_profile_columns had builders AND oracles rewritten to
+#      FLOOR-before-BIGINT-cast quantities; every rewritten green owes
+#      a window slot (Q18's last green was r4, the oldest of the six).
+#   2. Fill (38) — continue the registration-order re-verification
+#      cycle where round 8 stopped: the three multimodal greens the
+#      TPC-H-completion batch displaced, the full pstbin r3/r4 block
+#      (14), the pst_queries r3 block (9), the streaming r3 greens
+#      (4), then the r4 greens in file order (8: text.py 6,
+#      dedup.py 2; join_strategies' pair displaced to round 10).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-8 additions, registered this round (16)
-    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
-    "q_char_class_profile", "q_tpch_q17", "q_tpch_q15",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q2", "q_tpch_q11",
-    "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    # fill: text.py r2 greens displaced from the round-7 window (9)
-    "q_explode", "q_explode_agg", "q_list_first", "q_length",
-    "q_text_tokens", "q_lang_stopword", "q_quality_score",
-    "q_pack_sequences", "q_contamination",
-    # fill: rest of the text.py r2/r3 block (5)
-    "q_repetition", "q_pii_scrub", "q_fingerprint", "q_doc_chunk",
-    "q_text_tokens_bpe",
-    # fill: dedup.py r1-r3 greens in file order (3)
-    "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash_vec",
-    # fill: similarity.py r2/r3 greens (6)
-    "q_embedding_norm", "q_knn_brute", "q_dedup_embedding",
-    "q_knn_ivf", "q_embedding_quantize", "q_knn_recall",
-    # fill: sketches.py + sampling.py r2 greens (3)
-    "q_kmv_distinct", "q_approx_quantile", "q_stratified_sample",
-    # fill: recursive.py r1 greens — the OLDEST standing rows (3)
-    "q_recursive_descendants", "q_recursive_ancestors",
-    "q_recursive_native",
-    # fill: join_strategies.py r2 greens (2)
-    "q_range_join", "q_skew_join_salted",
-    # fill: multimodal r2/r3 greens (3 — the rest of the multimodal
-    # block and the first pstbin r3 block were displaced by the
-    # TPC-H-completion batch and head the round-9 fill)
-    "q_media_stats", "q_media_meta_consistent", "q_video_frame_sample",
+    # round-9 additions, registered this round (6)
+    "q_tpch_q4_bucketed", "q_tpch_q12_bucketed", "q_tpch_q9_bucketed",
+    "q_tpch_q21_bucketed", "q_tpch_q5_bucketed", "q_tpch_q10_bucketed",
+    # round-9 canaries: FLOOR-harmonization rewrites (6)
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q20", "q_profile_columns",
+    # fill: multimodal greens displaced from the round-8 window (3)
+    "q_image_resize_bytes", "q_media_probe_real", "q_media_doc_join",
+    # fill: the full pstbin r3/r4 block (14)
+    "q_pstbin_folders", "q_pstbin_class_counts",
+    "q_pstbin_sticky_geometry", "q_pstbin_appointment",
+    "q_pstbin_dlist_members", "q_pstbin_task",
+    "q_pstbin_counts", "q_pstbin_count_stats",
+    "q_pstbin_body_truncate", "q_pstbin_read_limit",
+    "q_pstbin_attachment_gate", "q_pstbin_folder_tree",
+    "q_pstbin_parent_tree", "q_pstbin_dlist_ids",
+    # fill: the pst_queries r3 block (9)
+    "q_pst_folders_scan", "q_pst_class_counts", "q_pst_folder_tree",
+    "q_pst_recipients_explode", "q_pst_body_truncate",
+    "q_pst_read_limit", "q_pst_attachment_gate", "q_pst_dlist_members",
+    "q_pst_folder_invariants",
+    # fill: streaming r3 greens (4)
+    "q_stream_dedup", "q_stream_window_counts", "q_stream_stream_join",
+    "q_stream_stateful_sessions",
+    # fill: r4 greens in file order — text.py (6)
+    "q_quality_gate_quantile", "q_token_histogram", "q_quality_gopher",
+    "q_bm25", "q_bpe_pairs", "q_histogram_drift",
+    # fill: r4 greens — dedup.py (2); join_strategies' q_bloom_prune /
+    # q_fuzzy_blocking displaced to round 10 by the Q5/Q10 twins
+    "q_dedup_simhash_hamming", "q_setsim_prefix",
 )
+
+# Round-8 window (executed; all 50 green in CORRECTNESS_r08): the 16
+# ROUND8_ADDITIONS + 34 registration-order fill slots — kept as a named
+# tuple below (ROUND8_ADDITIONS) for the rotation arithmetic gate.
 
 # ROUND5_PLANNED: the 39 oracle-bearing queries that had never been inside
 # any driver window as of round 4 — all 39 occupy the first slots of the
@@ -155,6 +206,17 @@ ROUND7_ADDITIONS: tuple[str, ...] = (
     "q_tpch_q6",
 )
 
+ROUND9_ADDITIONS: tuple[str, ...] = (
+    # registered in round 9, windowed in round 9 (front slots)
+    "q_tpch_q4_bucketed", "q_tpch_q12_bucketed", "q_tpch_q9_bucketed",
+    "q_tpch_q21_bucketed", "q_tpch_q5_bucketed", "q_tpch_q10_bucketed",
+)
+ROUND9_CANARIES: tuple[str, ...] = (
+    # FLOOR-before-cast harmonization rewrote builder AND oracle
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q20", "q_profile_columns",
+)
+
 ROUND8_ADDITIONS: tuple[str, ...] = (
     # registered in round 8, windowed in round 8 (front slots)
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14", "q_join_key_skew",
@@ -166,41 +228,20 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
     "q_tpch_q16", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
 )
 
-# Round 9 window plan (the rotation math, finalized end of round 8):
-#   0. Any round-9 registry additions, never windowed (new queries
-#      always take the front slots).
-#   1. ROUND9_CANARIES: none owed as of end of round 8 — round 8
-#      shipped zero plan changes to green queries (its A/B program
-#      confirmed the r6 signature-kernel ship idle and no-shipped the
-#      group-topk fusion and the runtime bloom filter; the bucketed
-#      TPC-H twins live in tools/, not in registered plans). If round
-#      9 rewrites a green outside its own window, that query takes a
-#      front slot.
-#   2. Continue the registration-order fill where round 8 stopped:
-#      the three multimodal greens the TPC-H-completion batch
-#      displaced (q_image_resize_bytes q_media_probe_real
-#      q_media_doc_join), the full pstbin r3 block
-#      (q_pstbin_folders q_pstbin_class_counts
-#      q_pstbin_sticky_geometry q_pstbin_appointment
-#      q_pstbin_dlist_members q_pstbin_task),
-#      q_pstbin_counts q_pstbin_count_stats (displaced by the late
-#      round-8 Q17/Q15 additions), the remaining pstbin r3/r4 greens
-#      (q_pstbin_body_truncate
-#      q_pstbin_read_limit q_pstbin_attachment_gate
-#      q_pstbin_folder_tree q_pstbin_parent_tree q_pstbin_dlist_ids),
-#      the pst_queries r3 block (9), the streaming r3 greens
-#      (q_stream_dedup q_stream_window_counts q_stream_stream_join
-#      q_stream_stateful_sessions), then the r4 greens in file order
-#      (windows.py q_sessionize/q_asof_join are r6 — skip; text.py
-#      q_quality_gate_quantile q_token_histogram q_quality_gopher
-#      q_bm25 q_bpe_pairs q_histogram_drift, dedup.py
-#      q_dedup_simhash_hamming q_setsim_prefix, join_strategies
-#      q_bloom_prune q_fuzzy_blocking, similarity q_knn_recall_ivf
-#      q_ann_rerank q_knn_pq q_knn_recall_pq q_auc q_embedding_drift,
-#      sketches q_source_overlap q_exact_median_2pass, sampling
-#      q_source_mix q_source_cap q_global_shuffle, recursive
-#      q_pagerank, relational q_lateral_topk q_tpch_q19 q_tpch_q13
-#      q_nullsafe_join q_not_in_nulls) until the 50 slots are full.
+# Round-10 window plan (the rotation math, to finalize end of round 9):
+#   0. Any round-10 registry additions (front slots).
+#   1. Canaries for any green plan round 10 rewrites outside its own
+#      window.
+#   2. Continue the registration-order fill where round 9 stopped:
+#      the r4 greens the round-9 front slots displaced
+#      (join_strategies q_bloom_prune q_fuzzy_blocking, similarity
+#      q_knn_recall_ivf q_ann_rerank q_knn_pq q_knn_recall_pq q_auc
+#      q_embedding_drift, sketches q_source_overlap
+#      q_exact_median_2pass, sampling q_source_mix q_source_cap
+#      q_global_shuffle, recursive q_pagerank, relational
+#      q_lateral_topk q_tpch_q19 q_tpch_q13 q_nullsafe_join
+#      q_not_in_nulls), then the r5 greens in registration order
+#      (ROUND5_PLANNED order) until the 50 slots are full.
 # Done = every oracle-bearing query re-verified within ~3 rounds of its
 # last plan change.
 #

@@ -28,6 +28,8 @@ TWINS = {
     "q_tpch_q12_bucketed": "q_tpch_q12",
     "q_tpch_q9_bucketed": "q_tpch_q9",
     "q_tpch_q21_bucketed": "q_tpch_q21",
+    "q_tpch_q5_bucketed": "q_tpch_q5",
+    "q_tpch_q10_bucketed": "q_tpch_q10",
 }
 
 # Shuffle exchanges only — BroadcastExchange is data movement a dim

@@ -69,6 +69,8 @@ def test_verify_window_rotation_consistent():
         ROUND7_ADDITIONS,
         ROUND7_CANARIES,
         ROUND8_ADDITIONS,
+        ROUND9_ADDITIONS,
+        ROUND9_CANARIES,
         VERIFY_FIRST,
     )
 
@@ -77,14 +79,14 @@ def test_verify_window_rotation_consistent():
     assert all(SPECS[n].oracle is not None for n in VERIFY_FIRST)
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     assert names[-len(rows_only):] == rows_only
-    # the round-8 window must front-load its rotation inputs (the
-    # round-6/7 blocks all hold round-7 driver greens on their current
-    # plans, so they rotate OUT of the window and into the fill cycle)
-    for required in ROUND8_ADDITIONS:
+    # the round-9 window must front-load its rotation inputs: this
+    # round's registrations, then the canaries its plan rewrites owe
+    for required in ROUND9_ADDITIONS + ROUND9_CANARIES:
         assert required in VERIFY_FIRST, required
     assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
     for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES,
-                    ROUND7_ADDITIONS, ROUND8_ADDITIONS):
+                    ROUND7_ADDITIONS, ROUND8_ADDITIONS, ROUND9_ADDITIONS,
+                    ROUND9_CANARIES):
         assert all(
             n in SPECS and SPECS[n].oracle is not None for n in planned
         ), [n for n in planned if n not in SPECS or SPECS[n].oracle is None]

@@ -56,11 +56,16 @@ def duck_floors() -> dict[str, float]:
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         sql = specs[name].oracle
-        con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+        # Materialize the FULL oracle result (round-8 advisor fix): a
+        # count(*) wrapper let DuckDB prune unused output projections
+        # and subquery ORDER BYs (Q9's profit arithmetic, Q8's ppm
+        # division), systematically under-pricing the floor while the
+        # Spark arm executes the full query through the noop sink.
+        con.execute(sql).fetch_arrow_table()
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+            con.execute(sql).fetch_arrow_table()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 2)
         con.close()
