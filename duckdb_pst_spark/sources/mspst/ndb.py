@@ -1,14 +1,24 @@
-"""[MS-PST] NDB (node database) layer — Unicode (wVer ≥ 23) PST files.
+"""[MS-PST] NDB (node database) layer — Unicode (wVer ≥ 23) and ANSI
+(wVer 14/15) PST files.
 
 Structures implemented from the public spec ([MS-PST] §2.2):
 HEADER/ROOT, BTPAGE/PAGETRAILER (§2.2.2.7), BTENTRY/BBTENTRY/NBTENTRY,
 BLOCKTRAILER (§2.2.2.8), XBLOCK/XXBLOCK data trees (§2.2.2.8.3.2),
 SLBLOCK/SIBLOCK subnode trees (§2.2.2.8.3.3).
 
-The reference reaches the same layer through its vendored SDK; parity
-citations: partition planning walks this NBT
-(/root/reference/src/table_function.cpp:214-239), typed readers filter
-node ids by type (table_function.cpp:133-175).
+ANSI (pre-Outlook-2003) files differ from Unicode ONLY in integer
+widths and offsets at this layer: 32-bit BIDs/IBs (4-byte BREFs), ROOT
+at header offset 164 instead of 180, page metadata at 496 instead of
+488, and no alignment padding in the S/X block headers. The LTP and
+messaging layers above ([MS-PST] §2.3-2.4: HN/BTH/PC/TC) are
+format-identical, so everything downstream of `node_bytes`/
+`read_subnodes` works unchanged. The per-format struct layouts live in
+one table (_FMT) so each read site branches on data, not code paths.
+
+The reference reaches the same layer through its vendored SDK (which
+reads both formats); parity citations: partition planning walks this
+NBT (/root/reference/src/table_function.cpp:214-239), typed readers
+filter node ids by type (table_function.cpp:133-175).
 """
 
 from __future__ import annotations
@@ -44,6 +54,25 @@ CRYPT_NONE = 0
 CRYPT_PERMUTE = 1
 CRYPT_CYCLIC = 2
 
+# Per-format NDB layouts ([MS-PST] §2.2.2.5-2.2.2.8): every value is
+# (unicode, ansi), selected by PstFile.unicode. ANSI = 32-bit BIDs/IBs,
+# ROOT at 164 vs 180, page metadata at 496 vs 488, no pad in SLBLOCK.
+_FMT: dict[str, tuple] = {
+    "ib_eof": (("<Q", 184), ("<I", 168)),        # ROOT.ibFileEof
+    "bref_nbt": (("<QQ", 216), ("<II", 184)),    # ROOT.BREFNBT (bid, ib)
+    "bref_bbt": (("<QQ", 232), ("<II", 192)),    # ROOT.BREFBBT
+    "crypt_off": (513, 461),                     # HEADER.bCryptMethod
+    "page_meta_off": (488, 496),                 # BTPAGE cEnt/cEntMax/cbEnt/cLevel
+    "page_ptype_off": (496, 500),                # PAGETRAILER.ptype
+    "btentry": ("<QQQ", "<III"),                 # btkey, BREF(bid, ib)
+    "bbtentry": ("<QQHH", "<IIHH"),              # BREF(bid, ib), cb, cRef
+    "nbtentry": ("<QQQI", "<IIII"),              # nid, bidData, bidSub, nidParent
+    "bid_fmt": ("Q", "I"),                       # rgbid element in X/XX blocks
+    "sl_entries_off": (8, 4),                    # SLBLOCK: Unicode pads 4 bytes
+    "slentry": ("<QQQ", "<III"),                 # nid, bidData, bidSub
+    "sientry": ("<QQ", "<II"),                   # nid, bid
+}
+
 
 def nid_type(nid: int) -> int:
     return nid & 0x1F
@@ -70,7 +99,7 @@ class PstError(ValueError):
 
 
 class PstFile:
-    """Random-access NDB reader over one Unicode PST file.
+    """Random-access NDB reader over one PST file (Unicode or ANSI).
 
     Opens its own file handle — per-task instantiation, never shared
     across partitions (the reference's non-thread-safe-handle rule,
@@ -86,13 +115,26 @@ class PstFile:
         if hdr[:4] != MAGIC:
             raise PstError(f"{path}: not a PST file (bad magic {hdr[:4]!r})")
         (self.w_ver,) = struct.unpack_from("<H", hdr, 10)
-        if self.w_ver < 23:
-            raise PstError(f"{path}: ANSI PST (wVer={self.w_ver}) not supported; Unicode only")
-        # ROOT at offset 180 ([MS-PST] §2.2.2.6): sizes then NBT/BBT BREFs
-        (self.ib_file_eof,) = struct.unpack_from("<Q", hdr, 184)
-        self.nbt_bref = struct.unpack_from("<QQ", hdr, 216)  # (bid, ib)
-        self.bbt_bref = struct.unpack_from("<QQ", hdr, 232)
-        self.crypt_method = hdr[513]
+        if self.w_ver not in (14, 15) and self.w_ver < 23:
+            raise PstError(
+                f"{path}: unknown PST format (wVer={self.w_ver}); "
+                "expected ANSI (14/15) or Unicode (>=23)"
+            )
+        self.unicode = self.w_ver >= 23
+
+        def fmt(key: str):
+            v = _FMT[key]
+            return v[0] if self.unicode else v[1]
+
+        self._fmt = fmt
+        # ROOT ([MS-PST] §2.2.2.5; offset 180 Unicode / 164 ANSI)
+        f, off = fmt("ib_eof")
+        (self.ib_file_eof,) = struct.unpack_from(f, hdr, off)
+        f, off = fmt("bref_nbt")
+        self.nbt_bref = struct.unpack_from(f, hdr, off)  # (bid, ib)
+        f, off = fmt("bref_bbt")
+        self.bbt_bref = struct.unpack_from(f, hdr, off)
+        self.crypt_method = hdr[fmt("crypt_off")]
         if self.crypt_method == CRYPT_PERMUTE:
             from duckdb_pst_spark.sources.mspst.crypt import permute_decode
 
@@ -133,20 +175,28 @@ class PstFile:
             raise PstError(f"btree page cycle at ib {ib:#x}")
         seen.add(ib)
         page = self._read_page(ib)
-        c_ent, c_ent_max, cb_ent, c_level = struct.unpack_from("<BBBB", page, 488)
-        trailer_ptype = page[496]
+        c_ent, c_ent_max, cb_ent, c_level = struct.unpack_from(
+            "<BBBB", page, self._fmt("page_meta_off")
+        )
+        trailer_ptype = page[self._fmt("page_ptype_off")]
         if trailer_ptype != ptype:
             raise PstError(f"page at {ib}: ptype {trailer_ptype:#x} != {ptype:#x}")
         for i in range(c_ent):
             off = i * cb_ent
             if c_level > 0:  # BTENTRY → recurse
-                _key, bid, child_ib = struct.unpack_from("<QQQ", page, off)
+                _key, bid, child_ib = struct.unpack_from(
+                    self._fmt("btentry"), page, off
+                )
                 self._walk_btree(child_ib, ptype, out, seen)
             elif ptype == PTYPE_BBT:
-                bid, ib_blk, cb, cref = struct.unpack_from("<QQHH", page, off)
+                bid, ib_blk, cb, cref = struct.unpack_from(
+                    self._fmt("bbtentry"), page, off
+                )
                 out.append(BbtEntry(bid, ib_blk, cb, cref))
             else:
-                nid, bid_data, bid_sub, nid_parent = struct.unpack_from("<QQQI", page, off)
+                nid, bid_data, bid_sub, nid_parent = struct.unpack_from(
+                    self._fmt("nbtentry"), page, off
+                )
                 out.append(NbtEntry(int(nid), bid_data, bid_sub, nid_parent))
 
     @property
@@ -197,7 +247,7 @@ class PstFile:
         btype, c_level, c_ent = struct.unpack_from("<BBH", blk, 0)
         if btype != 0x01:
             raise PstError(f"bid {bid:#x}: expected XBLOCK btype 0x01, got {btype:#x}")
-        bids = struct.unpack_from(f"<{c_ent}Q", blk, 8)
+        bids = struct.unpack_from(f"<{c_ent}{self._fmt('bid_fmt')}", blk, 8)
         out: list[bytes] = []
         for b in bids:
             if c_level == 1:
@@ -217,16 +267,21 @@ class PstFile:
         btype, c_level, c_ent = struct.unpack_from("<BBH", blk, 0)
         if btype != 0x02:
             raise PstError(f"bid {bid_sub:#x}: expected SLBLOCK btype 0x02, got {btype:#x}")
-        if c_level == 0:  # SLENTRY: nid(8) bidData(8) bidSub(8)
+        base = self._fmt("sl_entries_off")  # Unicode pads 4 bytes, ANSI none
+        if c_level == 0:
+            f = self._fmt("slentry")
+            step = struct.calcsize(f)
             for i in range(c_ent):
-                nid, bd, bs = struct.unpack_from("<QQQ", blk, 8 + 24 * i)
+                nid, bd, bs = struct.unpack_from(f, blk, base + step * i)
                 # SLENTRY.nid is NID-sized (4 bytes) padded to 8 in Unicode
                 # files; the upper DWORD is undefined and MUST be ignored
                 # ([MS-PST] §2.2.2.8.3.3.1.1)
                 out[int(nid) & 0xFFFFFFFF] = (bd, bs)
-        else:  # SIENTRY: nid(8) bid(8) → nested SLBLOCKs
+        else:  # SIENTRY → nested SLBLOCKs
+            f = self._fmt("sientry")
+            step = struct.calcsize(f)
             for i in range(c_ent):
-                _nid, b = struct.unpack_from("<QQ", blk, 8 + 16 * i)
+                _nid, b = struct.unpack_from(f, blk, base + step * i)
                 out.update(self.read_subnodes(b, _depth + 1))
         return out
 
