@@ -285,6 +285,166 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- Q7 on the layout
+@query(
+    "q_tpch_q7_bucketed",
+    oracle=_oracle_of("q_tpch_q7"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q7 on the orderkey-bucketed layout, fact-join-FIRST: the
+    merge-hinted li⋈o SortMergeJoin runs directly over the two
+    bucketed scans (only the scan-level ship-date window below it), so
+    its subtree is exchange-free at ANY scale and under ANY planner
+    size estimate — the Q9-style dims-below shape broke here because
+    the static planner broadcast the tiny smoke-scale FACT side as the
+    build, discarding its bucket partitioning. The nation-pair
+    supplier/customer attaches ride ABOVE the fact join,
+    declaratively: at test scale they broadcast; at cluster scale
+    their shuffles carry fact-survivor rows — the one exchange Q7
+    keeps even bucketed (the suppkey/custkey re-key), while the
+    orderkey exchange the layout exists to delete is gone. This is
+    the row the 64 MB threshold knob was measured to REGRESS
+    (SCALE.md round 8); the layout cure doesn't gamble on a planner
+    estimate."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    pair = ["NATION_3", "NATION_8"]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    o = spark.table(o_t).select("o_orderkey", "o_custkey")
+    li = (
+        spark.table(li_t)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            rev_c.alias("rev_c"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ------------------------------------------------- Q8 on the layout
+@query(
+    "q_tpch_q8_bucketed",
+    oracle=_oracle_of("q_tpch_q8"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+)
+def q_tpch_q8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q8 on the orderkey-bucketed layout, fact-join-FIRST (see
+    q_tpch_q7_bucketed for why the dims-below shape is fragile at
+    smoke scale): the merge-hinted li⋈o SortMergeJoin runs directly
+    over the bucketed scans with only the pushed order-date window
+    below it; the part/supplier/ASIA-customer attaches ride above,
+    declaratively — the part filter then prunes the joined stream to
+    1/6 before the remaining attaches. The round-8 forced-broadcast
+    A/B on the orders side measured a tie — the layout deletes the
+    orderkey exchange instead of betting on the broadcast."""
+    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2.select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        spark.table(o_t)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = spark.table(li_t).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        # INNER, not LEFT SEMI: c_custkey is unique so the semantics are
+        # identical, but PushDownLeftSemiAntiJoin would sink a semi BELOW
+        # the fact join onto the orders side, re-keying it by custkey and
+        # discarding the bucket partitioning the layout exists for —
+        # inner joins stay in declared order (CBO reordering is off).
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(nat).cast("long").alias("nation_rev_c"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' "
+                "THEN rev_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div sum(rev_c) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
 # ------------------------------------------------ Q21 on the layout
 @query(
     "q_tpch_q21_bucketed",

@@ -30,6 +30,8 @@ TWINS = {
     "q_tpch_q21_bucketed": "q_tpch_q21",
     "q_tpch_q5_bucketed": "q_tpch_q5",
     "q_tpch_q10_bucketed": "q_tpch_q10",
+    "q_tpch_q7_bucketed": "q_tpch_q7",
+    "q_tpch_q8_bucketed": "q_tpch_q8",
 }
 
 # Shuffle exchanges only — BroadcastExchange is data movement a dim

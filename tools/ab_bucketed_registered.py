@@ -32,7 +32,14 @@ PAIRS = [
     ("q_tpch_q21", "q_tpch_q21_bucketed"),
     ("q_tpch_q5", "q_tpch_q5_bucketed"),
     ("q_tpch_q10", "q_tpch_q10_bucketed"),
+    ("q_tpch_q7", "q_tpch_q7_bucketed"),
+    ("q_tpch_q8", "q_tpch_q8_bucketed"),
 ]
+# optional filter: comma-separated plain names, e.g. "q_tpch_q7,q_tpch_q8"
+_ONLY = os.environ.get("AB_BUCKETED_ONLY")
+if _ONLY:
+    keep = {n.strip() for n in _ONLY.split(",")}
+    PAIRS = [p for p in PAIRS if p[0] in keep]
 
 
 def main() -> None:
