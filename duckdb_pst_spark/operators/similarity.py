@@ -1445,9 +1445,20 @@ def q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     third per-index QA metric (see q_knn_recall / q_knn_recall_ivf). PQ
     recall degrades differently again: quantization error is spread
     across every candidate (a lossy-code ranking problem), not a
-    bucketing miss, so its cure is more codes per subspace or an
-    exact-rerank stage (q_ann_rerank's shape over PQ shortlists) rather
-    than more probes. Same tiny broadcast-join scale shape."""
+    bucketing miss.
+
+    SERVING VERDICT (round 9, tools/probe_pq_recall.py on the clustered
+    x100v corpus): recall@5 is 14% with the registered 4-bit seed
+    codebooks, and raising the code budget and/or TRAINING the
+    codebooks does not rescue it — 18% seed-256, 14% Lloyd-trained-16,
+    20% Lloyd-trained-256. The corpus's cluster margin (intra ≈ 0.69 vs
+    inter ≈ 1.08 on unit vectors) sits BELOW the per-subspace
+    quantization error at 8 subspaces, so PQ-as-sole-index is
+    structurally unservable on this geometry at any practical code
+    budget; this operator stands as the compression/QA metric it is.
+    The supported serving path is q_ann_rerank — an ANN shortlist
+    re-ranked exactly (measured 100% recall @ M=100 with flat wall,
+    SCALE.md round 8)."""
     brute = q_knn_brute(spark, sf_dir).select("qid", "cand_id")
     pq = q_knn_pq(spark, sf_dir).select("qid", "cand_id")
     hits = (

@@ -39,19 +39,18 @@ def load() -> np.ndarray:
     return emb / np.linalg.norm(emb, axis=1, keepdims=True)
 
 
+def _argmin_d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """argmin over squared L2 via the GEMM identity |x|²+|c|²−2x·cᵀ —
+    the broadcast form allocates len(x)·k·dim temporaries and was the
+    reason the first probe run timed out at k=256."""
+    d2 = (x * x).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * (x @ c.T)
+    return d2.argmin(1)
+
+
 def lloyd(x: np.ndarray, k: int, iters: int = 25) -> np.ndarray:
     c = x[:k].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1) if len(x) < 200_000 else None
-        if d2 is None:  # chunked assignment for big corpora
-            assign = np.empty(len(x), dtype=np.int64)
-            for s in range(0, len(x), 100_000):
-                e = min(s + 100_000, len(x))
-                assign[s:e] = (
-                    ((x[s:e, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
-                )
-        else:
-            assign = d2.argmin(1)
+        assign = _argmin_d2(x, c)
         for j in range(k):
             m = assign == j
             if m.any():
@@ -70,11 +69,7 @@ def pq_recall(emb: np.ndarray, k_codes: int, trained: bool) -> float:
         sub = cand[:, m * SUB:(m + 1) * SUB]
         book = lloyd(sub, k_codes) if trained else sub[:k_codes].copy()
         books.append(book)
-        # chunked encode
-        for s in range(0, len(sub), 200_000):
-            e = min(s + 200_000, len(sub))
-            d2 = ((sub[s:e, None, :] - book[None, :, :]) ** 2).sum(-1)
-            codes[s:e, m] = d2.argmin(1)
+        codes[:, m] = _argmin_d2(sub, book)
     for qi in range(N_QUERIES):
         adc = np.zeros(len(cand))
         for m in range(PQ_M):
@@ -88,9 +83,13 @@ def pq_recall(emb: np.ndarray, k_codes: int, trained: bool) -> float:
 def main() -> None:
     emb = load()
     print(f"corpus: {len(emb)} vectors from {PATH}", file=sys.stderr)
+    arms = ((16, False), (256, False), (16, True), (256, True))
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     out = {}
-    for k_codes, trained in ((16, False), (256, False), (16, True), (256, True)):
+    for k_codes, trained in arms:
         tag = f"k{k_codes}_{'trained' if trained else 'seed'}"
+        if only and tag not in only:
+            continue
         out[tag] = round(pq_recall(emb, k_codes, trained), 3)
         print(tag, out[tag], file=sys.stderr)
     import json
