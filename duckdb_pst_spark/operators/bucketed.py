@@ -47,6 +47,29 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return names["orders"], names["lineitem"]
 
 
+def bucketed_tables(spark: SparkSession, sf_dir: str):
+    """(orders, lineitem) DataFrames over the co-located layout, with a
+    LOUD plain-scan fallback if the layout cannot be materialized (e.g.
+    an unwritable warehouse dir in a foreign harness): the twins'
+    ANSWERS are layout-invariant, so the correctness contract must
+    never fail on an environment detail the oracle doesn't see — only
+    the physical plan degrades (the exchanges return). The plan gates
+    in tests/test_bucketed_twins.py run where the warehouse works, so a
+    silent layout regression still fails CI."""
+    import sys
+
+    try:
+        o_t, li_t = ensure_bucketed(spark, sf_dir)
+        return spark.table(o_t), spark.table(li_t)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        print(
+            f"bucketed layout unavailable ({type(exc).__name__}: {exc}); "
+            "falling back to plain scans",
+            file=sys.stderr,
+        )
+        return table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+
+
 def _oracle_of(plain_name: str) -> str:
     """The twin's oracle IS the plain query's oracle — same answer,
     different physical layout. Referencing it (instead of copying the
@@ -69,12 +92,12 @@ def q_tpch_q4_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     x100, tools/ab_bucketed_tpch.py). The merge hint pins the shape
     the layout exists for; without it AQE would broadcast the tiny
     test-scale orders side and mark the bucketed scan unused."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
-    o = spark.table(o_t).filter(
+    o_b, li_b = bucketed_tables(spark, sf_dir)
+    o = o_b.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    li = spark.table(li_t).select("l_orderkey", "l_shipdate")
+    li = li_b.select("l_orderkey", "l_shipdate")
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
@@ -99,16 +122,16 @@ def q_tpch_q12_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CASE split still combines map-side so the only shuffle in the
     whole plan is the <=2-group final rollup (measured 0.37x plain at
     x100, tools/ab_bucketed_tpch.py)."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     li = (
-        spark.table(li_t)
+        li_b
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .select("l_orderkey", "l_linestatus")
     )
-    o = spark.table(o_t).select("o_orderkey", "o_orderpriority")
+    o = o_b.select("o_orderkey", "o_orderpriority")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -140,7 +163,7 @@ def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     win shrinks to the sort — the docstring contract, not a silent
     cliff; profit arithmetic identical to the plain twin (FLOOR-cast
     quantities)."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     p = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -155,8 +178,8 @@ def q_tpch_q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("sn_key"))
         .select("s_suppkey", "nation")
     )
-    o = spark.table(o_t).select("o_orderkey", "o_orderdate")
-    li = spark.table(li_t).select(
+    o = o_b.select("o_orderkey", "o_orderdate")
+    li = li_b.select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
     )
@@ -197,7 +220,7 @@ def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders scan, then customer/supplier attach declaratively ABOVE it
     (broadcast at test scale; at cluster scale their shuffles carry
     only the window's surviving rows, never the full fact)."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -206,11 +229,11 @@ def q_tpch_q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     )
     s = table(spark, sf_dir, "supplier")
-    o = spark.table(o_t).filter(
+    o = o_b.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    li = spark.table(li_t).select(
+    li = li_b.select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     ol = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -248,13 +271,13 @@ def q_tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 0.56x plain at x100, tools/ab_bucketed_tpch.py);
     customer attaches declaratively above, nation broadcasts, and the
     customer rollup + top-20 end the plan."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     li = (
-        spark.table(li_t)
+        li_b
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    o = spark.table(o_t).filter(
+    o = o_b.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
@@ -308,7 +331,7 @@ def q_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row the 64 MB threshold knob was measured to REGRESS
     (SCALE.md round 8); the layout cure doesn't gamble on a planner
     estimate."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     pair = ["NATION_3", "NATION_8"]
     n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
     s = (
@@ -329,9 +352,9 @@ def q_tpch_q7_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("cn_key"))
         .select("c_custkey", "cust_nation")
     )
-    o = spark.table(o_t).select("o_orderkey", "o_custkey")
+    o = o_b.select("o_orderkey", "o_custkey")
     li = (
-        spark.table(li_t)
+        li_b
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -375,7 +398,7 @@ def q_tpch_q8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/6 before the remaining attaches. The round-8 forced-broadcast
     A/B on the orders side measured a tie — the layout deletes the
     orderkey exchange instead of betting on the broadcast."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
@@ -400,14 +423,14 @@ def q_tpch_q8_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     o = (
-        spark.table(o_t)
+        o_b
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
-    li = spark.table(li_t).select(
+    li = li_b.select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     rev_c = F.floor(
@@ -461,13 +484,13 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (HashPartitioning on the window key — no window
     exchange either). The plan's only shuffles are the
     |suppliers|-bounded rollup and the top-100 sort."""
-    o_t, li_t = ensure_bucketed(spark, sf_dir)
+    o_b, li_b = bucketed_tables(spark, sf_dir)
     o = (
-        spark.table(o_t)
+        o_b
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    li = spark.table(li_t).select("l_orderkey", "l_suppkey", "l_shipdate")
+    li = li_b.select("l_orderkey", "l_suppkey", "l_shipdate")
     j = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "late",
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),

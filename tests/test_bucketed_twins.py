@@ -107,3 +107,16 @@ def _table_file_mtimes(spark, names) -> dict[str, float]:
         d = os.path.join(wh, n)
         out[n] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
     return out
+
+
+def test_fallback_to_plain_when_layout_unavailable(spark, sf_dir, monkeypatch):
+    """If the warehouse can't be written (foreign harness), the twins
+    must degrade to plain scans LOUDLY but CORRECTLY — same rows, no
+    exception surfacing to the driver's correctness gate."""
+    monkeypatch.setattr(
+        bucketed, "ensure_bucketed",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("warehouse read-only")),
+    )
+    got = sorted(map(tuple, SPECS["q_tpch_q12_bucketed"].builder(spark, sf_dir).collect()))
+    want = sorted(map(tuple, SPECS["q_tpch_q12"].builder(spark, sf_dir).collect()))
+    assert got == want
