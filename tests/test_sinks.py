@@ -186,3 +186,29 @@ def test_jsonl_corrupt_accounting(spark):
         assert good.filter("doc_id IS NULL OR text IS NULL OR lang IS NULL").count() == 0
     finally:
         d.unpersist()
+
+
+def test_export_bucketed_digest_invalidates_on_source_change(spark, sf_dir, tmp_path):
+    """The layout is keyed on (path, mtime, size) of its sources: the
+    same source reuses the catalog tables; a REGENERATED source (same
+    path, new mtime) must get a fresh layout — a stale co-location over
+    new data would be silently wrong."""
+    import os
+    import shutil
+
+    from duckdb_pst_spark.sinks import export_bucketed
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for t in ("orders", "lineitem"):
+        shutil.copyfile(os.path.join(sf_dir, f"{t}.parquet"),
+                        os.path.join(d, f"{t}.parquet"))
+    names1 = export_bucketed(spark, d, n_buckets=4)
+    names2 = export_bucketed(spark, d, n_buckets=4)
+    assert names1 == names2  # identical source -> reuse
+    # regenerate: same bytes, new mtime
+    os.utime(os.path.join(d, "orders.parquet"))
+    names3 = export_bucketed(spark, d, n_buckets=4)
+    assert names3 != names1  # fresh layout for fresh data
+    for n in set(names1.values()) | set(names3.values()):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
