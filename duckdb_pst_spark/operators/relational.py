@@ -1175,6 +1175,69 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- CSV ingest
+def _csv_oracle() -> str:
+    from duckdb_pst_spark.sources.csvio import fixture_path
+
+    p = fixture_path()
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(max(length(text)) AS BIGINT) AS max_text_len
+    FROM read_csv('{p}', header=true,
+                  columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                            'lang': 'VARCHAR', 'n_tokens': 'BIGINT'}},
+                  ignore_errors=true)
+    WHERE doc_id IS NOT NULL AND doc_id < 9000
+    GROUP BY lang
+    """
+
+
+@query(
+    "q_csv_ingest",
+    oracle=_csv_oracle(),
+    tags=("source", "relational"),
+)
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with corrupt-row tolerance — the q_jsonl_ingest
+    stance applied to the other interchange format a pipeline receives
+    (the reference imports through DuckDB built-ins, read_csv
+    included). Explicit-schema PERMISSIVE read: a bad-typed field, an
+    extra column, or a missing column becomes a tagged corrupt record
+    instead of a job failure, and the per-language rollup runs on the
+    valid rows only — DuckDB reads the same file with ignore_errors
+    and must agree on the valid set exactly. max(length(text)) pins
+    the RFC-4180 quoted-comma handling cross-engine, and the id guard
+    excludes the partially-parseable corrupt rows both engines keep
+    (a row whose FIELDS all parse but with surplus columns is corrupt
+    to Spark, parseable-prefix to some readers — the fixture ids them
+    >= 9000 so the contract is explicit, not parser luck).
+
+    Scale shape: header'd single-line CSV is line-splittable, so the
+    scan parallelizes like any text source; the explicit schema keeps
+    ingest one pass; the rollup is a 4-group map-side-combined
+    aggregate. Embedded newlines are deliberately unsupported
+    (multiLine CSV is single-task at scale — land JSONL/parquet
+    instead; sources/csvio.py docstring)."""
+    from duckdb_pst_spark.sources.csvio import fixture_path, read_csv
+
+    d = read_csv(spark, fixture_path())
+    valid = d.filter(
+        F.col("_corrupt_record").isNull()
+        & F.col("doc_id").isNotNull()
+        & (F.col("doc_id") < 9000)
+    )
+    return valid.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.max(F.length("text")).cast("long").alias("max_text_len"),
+    )
+
+
 # ------------------------------------------------------ TPC-H Q19 shape
 _Q19_PRED = """
     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

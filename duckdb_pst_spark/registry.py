@@ -113,25 +113,25 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 #
 # Round 9 window (executes the plan pre-queued in round 8; arithmetic
 # below sums to exactly 50):
-#   0. ROUND9_ADDITIONS (8) — the bucketed-layout TPC-H twins,
-#      registered this round, hash-exact at sf0.001 and sf0.01 under
+#   0. ROUND9_ADDITIONS (9) — the bucketed-layout TPC-H twins +
+#      q_csv_ingest, registered this round, hash-exact at sf0.01 under
 #      the hostile-timezone probe (new queries take the front slots).
 #   1. ROUND9_CANARIES (6) — the FLOOR-harmonization rewrites (the
 #      round-8 advisor's medium finding): Q9/Q11/Q17/Q18/Q20 +
 #      q_profile_columns had builders AND oracles rewritten to
 #      FLOOR-before-BIGINT-cast quantities; every rewritten green owes
 #      a window slot (Q18's last green was r4, the oldest of the six).
-#   2. Fill (36) — continue the registration-order re-verification
+#   2. Fill (35) — continue the registration-order re-verification
 #      cycle where round 8 stopped: the three multimodal greens the
 #      TPC-H-completion batch displaced, the full pstbin r3/r4 block
 #      (14), the pst_queries r3 block (9), the streaming r3 greens
-#      (4), then the r4 text.py greens (6); dedup.py's and
-#      join_strategies' r4 pairs displaced to round 10.
+#      (4), then the r4 text.py greens (5); q_histogram_drift and
+#      dedup.py's / join_strategies' r4 pairs displaced to round 10.
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-9 additions, registered this round (8)
+    # round-9 additions, registered this round (9)
     "q_tpch_q4_bucketed", "q_tpch_q12_bucketed", "q_tpch_q9_bucketed",
     "q_tpch_q21_bucketed", "q_tpch_q5_bucketed", "q_tpch_q10_bucketed",
-    "q_tpch_q7_bucketed", "q_tpch_q8_bucketed",
+    "q_tpch_q7_bucketed", "q_tpch_q8_bucketed", "q_csv_ingest",
     # round-9 canaries: FLOOR-harmonization rewrites (6)
     "q_tpch_q9", "q_tpch_q11", "q_tpch_q17", "q_tpch_q18",
     "q_tpch_q20", "q_profile_columns",
@@ -153,12 +153,12 @@ VERIFY_FIRST: tuple[str, ...] = (
     # fill: streaming r3 greens (4)
     "q_stream_dedup", "q_stream_window_counts", "q_stream_stream_join",
     "q_stream_stateful_sessions",
-    # fill: r4 greens in file order — text.py (6); dedup.py's
-    # q_dedup_simhash_hamming / q_setsim_prefix and join_strategies'
-    # q_bloom_prune / q_fuzzy_blocking displaced to round 10 by the
-    # Q5/Q10/Q7/Q8 twins
+    # fill: r4 greens in file order — text.py (5); q_histogram_drift,
+    # dedup.py's q_dedup_simhash_hamming / q_setsim_prefix and
+    # join_strategies' q_bloom_prune / q_fuzzy_blocking displaced to
+    # round 10 by the Q5/Q10/Q7/Q8 twins + q_csv_ingest
     "q_quality_gate_quantile", "q_token_histogram", "q_quality_gopher",
-    "q_bm25", "q_bpe_pairs", "q_histogram_drift",
+    "q_bm25", "q_bpe_pairs",
 )
 
 # Round-8 window (executed; all 50 green in CORRECTNESS_r08): the 16
@@ -211,7 +211,7 @@ ROUND9_ADDITIONS: tuple[str, ...] = (
     # registered in round 9, windowed in round 9 (front slots)
     "q_tpch_q4_bucketed", "q_tpch_q12_bucketed", "q_tpch_q9_bucketed",
     "q_tpch_q21_bucketed", "q_tpch_q5_bucketed", "q_tpch_q10_bucketed",
-    "q_tpch_q7_bucketed", "q_tpch_q8_bucketed",
+    "q_tpch_q7_bucketed", "q_tpch_q8_bucketed", "q_csv_ingest",
 )
 ROUND9_CANARIES: tuple[str, ...] = (
     # FLOOR-before-cast harmonization rewrote builder AND oracle
@@ -236,8 +236,9 @@ ROUND8_ADDITIONS: tuple[str, ...] = (
 #      window.
 #   2. Continue the registration-order fill where round 9 stopped:
 #      the r4 greens the round-9 front slots displaced
-#      (dedup q_dedup_simhash_hamming q_setsim_prefix,
-#      join_strategies q_bloom_prune q_fuzzy_blocking, similarity
+#      (text q_histogram_drift, dedup q_dedup_simhash_hamming
+#      q_setsim_prefix, join_strategies q_bloom_prune
+#      q_fuzzy_blocking, similarity
 #      q_knn_recall_ivf q_ann_rerank q_knn_pq q_knn_recall_pq q_auc
 #      q_embedding_drift, sketches q_source_overlap
 #      q_exact_median_2pass, sampling q_source_mix q_source_cap
