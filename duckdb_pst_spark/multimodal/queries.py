@@ -3,7 +3,8 @@
 The deterministic RAW-codec payloads let several binary-pipeline checks be
 *oracle-checked* (payload sizes, frame counts, metadata consistency are
 SQL-expressible over the same parquet via ``read_parquet``); the numpy
-decode paths are rows-only, as the brief allows for non-SQL-expressible
+decode paths carry constant-pinned VALUES goldens (tools/pin_goldens.py;
+formerly rows-only, as the brief allows for non-SQL-expressible
 ops — their numeric correctness is pinned by ``tests/test_multimodal.py``
 golden assertions instead.
 """
@@ -13,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_pst_spark.goldens_pinned import PINNED as _PINNED
 from duckdb_pst_spark.multimodal import fixtures, ops
 from duckdb_pst_spark.registry import query
 
@@ -133,16 +135,22 @@ def q_image_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small.select("media_id", F.octet_length("bytes").alias("out_bytes"))
 
 
-@query("q_image_decode", tags=("multimodal", "udf"))
+@query("q_image_decode", tags=("multimodal", "udf"), oracle=_PINNED["q_image_decode"])
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode all images → per-image luma stats (rows-only; numeric golden
-    values are asserted in tests/test_multimodal.py)."""
-    return ops.decode_image(ops.of_kind(ops.media_table(spark), "image"))
+    """Decode all images → per-image luma stats (constant-pinned VALUES
+    oracle; numeric golden values also asserted in
+    tests/test_multimodal.py). The emitted mean_luma rounds to 9
+    decimals: the luma matvec is BLAS (``px @ coeffs``), whose kernel
+    choice varies with runtime blocking, so the raw trailing bits can
+    flip by 1 ulp between runs — same guard as q_knn_gemm."""
+    d = ops.decode_image(ops.of_kind(ops.media_table(spark), "image"))
+    return d.withColumn("mean_luma", F.round("mean_luma", 9))
 
 
-@query("q_audio_features", tags=("multimodal", "udf"))
+@query("q_audio_features", tags=("multimodal", "udf"), oracle=_PINNED["q_audio_features"])
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM16 duration/RMS/peak per clip (rows-only; golden-tested)."""
+    """PCM16 duration/RMS/peak per clip (constant-pinned VALUES oracle;
+    also golden-tested in tests/test_multimodal.py)."""
     return ops.audio_features(ops.of_kind(ops.media_table(spark), "audio"))
 
 
@@ -401,6 +409,7 @@ _PH_CAP = 64  # degenerate-bucket guard, as in q_dedup_simhash_hamming
 @query(
     "q_media_phash_pairs",
     tags=("multimodal", "dedup"),
+    oracle=_PINNED["q_media_phash_pairs"],
 )
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate image pairs: 64-bit dHash per image
@@ -418,8 +427,8 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: hashes are computed scan-local in one Arrow hop
     (payload bytes never cross an exchange — only the 8-byte hash
     does); the block join shuffles (block_idx, block_val, id, hash)
-    rows; popcount verification is codegen'd. Rows-only (numpy kernel;
-    no SQL oracle) — numeric behavior pinned by the golden test's
+    rows; popcount verification is codegen'd. Oracle: constant-pinned
+    VALUES golden — numeric behavior also pinned by the golden test's
     shift-invariance and self-pairing assertions."""
     imgs = ops.of_kind(ops.media_table(spark), "image")
     base = ops.phash_image(imgs)
@@ -472,15 +481,16 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_media_scene_cuts",
     tags=("multimodal", "video"),
+    oracle=_PINNED["q_media_scene_cuts"],
 )
 def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video scene statistics from the integer-exact frame-diff
     kernel (ops.scene_cuts): number of transitions, number of cuts at
     the 0.04-of-full-scale threshold, and the max/mean transition
     magnitude — the keyframe-selection signal that stops a video
-    pipeline from sampling near-identical frames. Rows-only (numpy
-    kernel; no SQL oracle) — determinism and the flag math are pinned
-    by the golden test recomputing a video's diffs in-process.
+    pipeline from sampling near-identical frames. Oracle: constant-pinned
+    VALUES golden — determinism and the flag math are additionally
+    pinned by the golden test recomputing a video's diffs in-process.
 
     Scale shape: one Arrow hop per video row computing all transitions
     in vectorized numpy; the rollup shuffles 4 BIGINTs per video. At
@@ -500,6 +510,7 @@ def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pipeline_media",
     tags=("multimodal", "dedup", "pipeline"),
     bench=True,
+    oracle=_PINNED["q_pipeline_media"],
 )
 def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship multimodal pipeline — the media twin of
@@ -517,7 +528,7 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: digests are scan-local JVM sha2; the phash kernel is
     one Arrow hop; both dedup joins key on 8-byte values (payload
     bytes never cross an exchange); the near-dup drop is a left-anti
-    join against the pair set's larger ids. Rows-only (the dHash
+    join against the pair set's larger ids. Constant-pinned oracle (the dHash
     kernel has no SQL twin) — pinned by the golden test asserting the
     shifted re-crawl is removed entirely while audio/video pass
     through untouched."""
@@ -587,6 +598,7 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_media_audio_dup",
     tags=("multimodal", "dedup"),
+    oracle=_PINNED["q_media_audio_dup"],
 )
 def q_media_audio_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate detection by energy-envelope fingerprint —
@@ -624,6 +636,7 @@ _VID_MATCH_PPM = 800_000  # >=80% of sampled frames must match
 @query(
     "q_media_video_dup",
     tags=("multimodal", "dedup"),
+    oracle=_PINNED["q_media_video_dup"],
 )
 def q_media_video_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection — the third modality of the

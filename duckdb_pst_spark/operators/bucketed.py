@@ -519,3 +519,88 @@ def q_tpch_q21_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --------------------------------------- Q11 on a partkey layout
+def bucketed_lineitem_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem over the PARTKEY-bucketed layout (create-or-reuse per
+    session/source, same digest discipline as the orderkey layout),
+    with the same LOUD plain-scan fallback as ``bucketed_tables``."""
+    import sys
+
+    from duckdb_pst_spark.sinks import export_bucketed
+
+    try:
+        names = export_bucketed(
+            spark, sf_dir, key="partkey", tables=("lineitem",), n_buckets=N_BUCKETS
+        )
+        return spark.table(names["lineitem"])
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        print(
+            f"partkey layout unavailable ({type(exc).__name__}: {exc}); "
+            "falling back to plain scan",
+            file=sys.stderr,
+        )
+        return table(spark, sf_dir, "lineitem")
+
+
+def q11_value_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-part traded-value aggregate over the partkey layout —
+    factored out un-checkpointed so tests/test_bucketed_twins.py can
+    plan-gate the fragment the layout exists for (the builder
+    checkpoints it, which hides the aggregate from the returned plan)."""
+    li = bucketed_lineitem_partkey(spark, sf_dir)
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    afs = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(afs), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("long")
+                * F.floor(F.col("l_quantity")).cast("long")
+            )
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+
+
+@query(
+    "q_tpch_q11_bucketed",
+    oracle=_oracle_of("q_tpch_q11"),
+    tags=("relational", "agg", "subquery", "bucketed"),
+    bench=True,
+)
+def q_tpch_q11_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q11 on a PARTKEY-bucketed lineitem layout — the cure for
+    the one exchange the plain plan can't avoid: the |region-lines|
+    partkey aggregate shuffle (Q11's growth term; the plain plan's wall
+    grows 3.0x over 100x data, SCALE.md). On the layout the partial and
+    final HashAggregate both run bucket-local — ZERO exchange beneath
+    the aggregate; the region-supplier membership joins as an explicit
+    keys-only broadcast semi (8 B/row, 1/5 of suppliers: ~16 MB even at
+    TPC-H SF100k — and if a deployment's supplier pool outgrows that, a
+    bloom-filter prune (q_bloom_prune's shape) replaces it; an SMJ semi
+    here would re-shuffle the fact by suppkey and erase the layout, the
+    shape the static planner picked unhinted).
+
+    Same oracle as the plain twin — the answer is layout-invariant.
+    Plan-gated in tests/test_bucketed_twins.py (Bucketed: true scan,
+    zero shuffle exchange under the aggregate)."""
+    val = q11_value_view(spark, sf_dir).localCheckpoint(eager=True)  # read twice
+    tot = val.agg(F.expr("CAST(sum(value_c) AS BIGINT) div 800").alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_c") > F.col("thr"))
+        .select(F.col("pk").alias("p_partkey"), "value_c")
+        .orderBy(F.col("value_c").desc(), "p_partkey")
+    )

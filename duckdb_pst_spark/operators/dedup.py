@@ -16,7 +16,7 @@ Parity design: oracle-checked variants use the portable polynomial hash
 includes the Arrow/numpy kernel (``q_dedup_minhash_vec``), which
 vectorizes the SAME polynomial hash via a modular prefix scan and is
 therefore hash-verified end to end. Only ``q_dedup_minhash_fast``
-(bench-only, no oracle) swaps in ``xxhash64`` — the JVM-native hot path;
+(constant-pinned oracle) swaps in ``xxhash64`` — the JVM-native hot path;
 plan shape is identical to the verified twins.
 """
 
@@ -34,6 +34,7 @@ from duckdb_pst_spark.functions.portable import (
     poly_hash_long,
     tokens,
 )
+from duckdb_pst_spark.goldens_pinned import PINNED as _PINNED
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -832,15 +833,22 @@ def _fused_band_keys(text_col: Column) -> Column:
     return F.aggregate(sh, init, merge, finish)
 
 
-@query("q_dedup_minhash_fast", tags=("dedup", "fast"))
+@query(
+    "q_dedup_minhash_fast",
+    tags=("dedup", "fast"),
+    oracle=_PINNED["q_dedup_minhash_fast"],
+    pinned_sf="/root/testdata/sf0.01",
+)
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs on the 100 TB hot path: same pair set
     as q_dedup_minhash's plan shape but signatures come from ``xxhash64``
     (JVM, codegen) instead of the portable polynomial hash, and the whole
     per-row stage is one fused expression (``_fused_band_keys``) — no
-    checkpoints, no shuffle until the band groupBy. No oracle (DuckDB has
-    no xxhash64) — correctness of the pipeline is proven by the portable
-    twin; this one exists to be fast and to scale."""
+    checkpoints, no shuffle until the band groupBy. DuckDB has no
+    xxhash64, so the oracle is a constant-pinned VALUES golden at sf0.01
+    (tools/pin_goldens.py; xxhash64 output is spec-fixed, so the pin is
+    stable) — pipeline correctness is additionally proven by the
+    portable twin; this one exists to be fast and to scale."""
     from duckdb_pst_spark.functions.partitioning import spread
 
     bands = (

@@ -20,8 +20,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_pst_spark.functions.vectors import cosine, dot, duck_cosine, duck_norm, norm
+from duckdb_pst_spark.goldens_pinned import PINNED as _PINNED
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
+
+# Corpus the constant-pinned VALUES goldens were generated at
+# (tools/pin_goldens.py) — the driver's correctness gate runs there.
+_PIN_SF = "/root/testdata/sf0.01"
 
 DIM = 64
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -880,7 +885,13 @@ def _gemm_topk_kernel(bq, k: int):
     return kernel
 
 
-@query("q_knn_gemm", tags=("similarity", "fast"), bench=True)
+@query(
+    "q_knn_gemm",
+    tags=("similarity", "fast"),
+    bench=True,
+    oracle=_PINNED["q_knn_gemm"],
+    pinned_sf=_PIN_SF,
+)
 def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k on the 100 TB hot path: the query set
     (bounded, |Q|={n} vectors) is collected once and broadcast as a
@@ -892,10 +903,15 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding sweep takes: scan-local GEMM, trivially partitionable,
     no cross-partition traffic until the (tiny) rank merge.
 
-    Rows-only twin of the oracle-checked ``q_knn_brute`` (GEMM sums in a
-    different order than the portable left-fold, so doubles differ in
-    the last bits); ``tests/test_knn_gemm.py`` asserts the top-k PAIR
-    SET matches the exact baseline.""".format(n=N_QUERIES)
+    Twin of the oracle-checked ``q_knn_brute`` (GEMM sums in a different
+    order than the portable left-fold, so raw doubles differ in the last
+    bits — and BLAS blocking varies with the Arrow batch shape, so even
+    two Spark runs can differ by 1 ulp); ``tests/test_knn_gemm.py``
+    asserts the top-k PAIR SET matches the exact baseline. Driver
+    correctness: ranking/selection runs on EXACT scores, and the emitted
+    ``cos_sim`` is rounded to 9 decimals (batch-shape-invariant) so the
+    output pins to a constant VALUES golden at sf0.01
+    (tools/pin_goldens.py).""".format(n=N_QUERIES)
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
@@ -917,7 +933,7 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cand_id", "rn", "cos_sim")
+        .select("qid", "cand_id", "rn", F.round("cos_sim", 9).alias("cos_sim"))
     )
 
 
@@ -1153,7 +1169,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_semantic_gemm", tags=("similarity", "dedup", "fast"))
+@query(
+    "q_dedup_semantic_gemm",
+    tags=("similarity", "dedup", "fast"),
+    oracle=_PINNED["q_dedup_semantic_gemm"],
+    pinned_sf=_PIN_SF,
+)
 def q_dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_semantic's production kernel: identical clustering, but
     the within-cluster pairwise cosine runs as a per-cluster BLOCKED
@@ -1163,8 +1184,10 @@ def q_dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     1024×|cluster| doubles no matter how big the cluster gets; only
     above-threshold pairs ever materialize. Pair SET is asserted equal
     to the exact twin in tests (tests/test_knn_gemm.py) — BLAS
-    accumulation order differs from the sequential fold, so cos_sim can
-    differ in the last bits and this twin is registered rows-only.
+    accumulation order differs from the sequential fold, so raw cos_sim
+    differs in the last bits; the EMITTED cos_sim is rounded to 9
+    decimals (threshold filtering stays exact) so the output pins to a
+    constant VALUES golden at sf0.01 (tools/pin_goldens.py).
 
     At 100 TB: K grows with the corpus (train centroids with
     q_kmeans_iter) so cluster populations stay bounded; each cluster is
@@ -1177,7 +1200,7 @@ def q_dedup_semantic_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _semantic_assign(e)
     return assigned.groupBy("cid").applyInPandas(
         _cluster_pairs_kernel, "cid long, vec_a long, vec_b long, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
 def _cluster_pairs_kernel(pdf):
@@ -1221,7 +1244,12 @@ _SEM_TARGET_CLUSTER = 512  # scaled twin: aim for ~this many vectors/cluster
 _SEM_MAX_K = 65536  # centroid table must stay broadcastable (~34 MB at 64 dims)
 
 
-@query("q_dedup_semantic_scaled", tags=("similarity", "dedup", "fast"))
+@query(
+    "q_dedup_semantic_scaled",
+    tags=("similarity", "dedup", "fast"),
+    oracle=_PINNED["q_dedup_semantic_scaled"],
+    pinned_sf=_PIN_SF,
+)
 def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION semantic-dedup twin with K ∝ corpus size — the
     piece VERDICT r3 flagged as missing: q_dedup_semantic_gemm's fixed
@@ -1233,9 +1261,11 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact twin on the same assignment (blocked upper-triangle GEMM,
     SEMANTIC_THRESHOLD); the pair SET is asserted equal to a JVM-fold
     exact computation on the trained assignment in
-    tests/test_knn_gemm.py. Registered rows-only: BLAS accumulation
-    order makes the trailing cos_sim bits engine-specific, and K
-    depends on a runtime count.
+    tests/test_knn_gemm.py. BLAS accumulation order makes the trailing
+    raw cos_sim bits engine-specific, so the EMITTED cos_sim rounds to
+    9 decimals (threshold filtering stays exact) and the output pins to
+    a constant VALUES golden at sf0.01 (tools/pin_goldens.py); K is a
+    runtime count but deterministic on the pinned corpus.
 
     Scale shape: count → train with `_lloyd_gemm` (per iteration: one
     corpus scan through the exact-integer BLAS assignment kernel + a
@@ -1255,7 +1285,7 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("cid").applyInPandas(
         _cluster_pairs_kernel, "cid long, vec_a long, vec_b long, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 9))
 
 
 # ------------------------------------------------- product quantization

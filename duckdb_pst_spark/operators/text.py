@@ -21,6 +21,7 @@ from duckdb_pst_spark.functions.portable import (
     poly_hash_long,
     tokens,
 )
+from duckdb_pst_spark.goldens_pinned import PINNED as _PINNED
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -2219,6 +2220,8 @@ def _merge_pair_fold(a: str, b: str):
 @query(
     "q_bpe_train",
     tags=("text", "tokenizer", "pipeline"),
+    oracle=_PINNED["q_bpe_train"],
+    pinned_sf="/root/testdata/sf0.01",
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE tokenizer training [Sennrich et al., 2016] — not just
@@ -2238,10 +2241,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     state + one map-side-combined groupBy + a 1-row TakeOrdered
     collect (the k-means driver-loop pattern), then the merge fold is
     a scan-local array kernel; state re-materializes per iteration
-    behind a checkpoint barrier (6 bounded jobs total). Rows-only:
-    the iterative argmax isn't one SQL query — numeric behavior is
-    pinned by tests/test_bpe_train.py's pure-python reference BPE
-    producing the identical merge table."""
+    behind a checkpoint barrier (6 bounded jobs total). The iterative
+    argmax isn't one SQL query, so the oracle is a constant-pinned
+    VALUES golden at sf0.01 (tools/pin_goldens.py); numeric behavior is
+    additionally pinned by tests/test_bpe_train.py's pure-python
+    reference BPE producing the identical merge table."""
     merges = _train_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
@@ -2294,6 +2298,8 @@ def _train_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
 @query(
     "q_bpe_encode",
     tags=("text", "tokenizer", "pipeline"),
+    oracle=_PINNED["q_bpe_encode"],
+    pinned_sf="/root/testdata/sf0.01",
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION at corpus scale — the shape every training
@@ -2311,8 +2317,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus pass builds the (lang, word, count) vocab
     [one shuffle]; the 6 merge folds are a scan-local column chain
     over the vocab table; the rollup is a |langs|-group aggregate.
-    Rows-only (the trained merges are a runtime artifact) — pinned by
-    tests/test_bpe_train.py encoding the same corpus in pure python."""
+    The trained merges are a runtime artifact, so the oracle is a
+    constant-pinned VALUES golden at sf0.01 (tools/pin_goldens.py) —
+    additionally pinned by tests/test_bpe_train.py encoding the same
+    corpus in pure python."""
     merges = _train_bpe(spark, sf_dir)
     dw = (
         table(spark, sf_dir, "documents")

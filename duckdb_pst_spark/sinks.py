@@ -120,6 +120,8 @@ def export_bucketed(
         col = f"{_BUCKET_KEY_PREFIX[t]}_{key}"
         name = f"bkt_{key}{n_buckets}_{digest}_{t}"
         if not (reuse and spark.catalog.tableExists(name)):
+            _gc_superseded_layout(spark, wh, sf_dir, key=key,
+                                  n_buckets=n_buckets, t=t, digest=digest)
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             save_bucketed_table(
                 load_table(spark, sf_dir, t).repartition(n_buckets, col),
@@ -130,6 +132,48 @@ def export_bucketed(
             )
         out[t] = name
     return out
+
+
+def _gc_superseded_layout(
+    spark: SparkSession, wh: str, sf_dir: str, *, key: str,
+    n_buckets: int, t: str, digest: str,
+) -> None:
+    """Drop the layout a regenerated source supersedes.
+
+    The digest keys layouts on (path, mtime, size), so a corpus rewritten
+    IN PLACE gets a fresh bucketed table — but the stale ``bkt_*``
+    directory and catalog entry for the old digest would otherwise
+    accumulate unboundedly across sessions (round-9 advisor finding). A
+    sidecar ledger in the warehouse maps (key, buckets, table, source
+    path) → last digest; on mismatch the superseded table/directory is
+    dropped before the new one is written. Distinct corpora at distinct
+    paths never collide in the ledger, so their layouts coexist."""
+    import json
+    import os
+    import shutil
+
+    ledger_path = os.path.join(wh, "bkt_layout_ledger.json")
+    try:
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+    except (OSError, ValueError):
+        ledger = {}
+    lkey = f"{key}:{n_buckets}:{t}:{os.path.abspath(sf_dir)}"
+    old = ledger.get(lkey)
+    if old and old != digest:
+        stale = f"bkt_{key}{n_buckets}_{old}_{t}"
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {stale}")
+        except Exception:
+            pass
+        shutil.rmtree(os.path.join(wh, stale), ignore_errors=True)
+    ledger[lkey] = digest
+    try:
+        os.makedirs(wh, exist_ok=True)
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=0, sort_keys=True)
+    except OSError:
+        pass  # read-only warehouse: the loud-fallback path handles it
 
 
 def ingest_pst_archive(

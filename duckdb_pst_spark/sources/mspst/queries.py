@@ -412,3 +412,89 @@ def q_pstbin_parent_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "key",
     ).select("display_name", F.col("key").alias("node_id"), "parent_node_id")
+
+
+@query(
+    "q_stream_pst_ingest",
+    oracle="""
+    SELECT archive, message_class, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('a.pst', 'IPM.Appointment', 1),
+      ('a.pst', 'IPM.Contact', 2),
+      ('a.pst', 'IPM.DistList', 1),
+      ('a.pst', 'IPM.Note', 5),
+      ('a.pst', 'IPM.StickyNote', 2),
+      ('a.pst', 'IPM.Task', 1),
+      ('b.pst', 'IPM.Appointment', 1),
+      ('b.pst', 'IPM.Contact', 2),
+      ('b.pst', 'IPM.DistList', 1),
+      ('b.pst', 'IPM.Note', 5),
+      ('b.pst', 'IPM.StickyNote', 2),
+      ('b.pst', 'IPM.Task', 1)
+    ) t(archive, message_class, n)
+    """,
+    tags=("pst-binary", "streaming"),
+)
+def q_stream_pst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PST ingest (``spark.readStream.format("pst")``) as a
+    registered, driver-checkable query — previously test-gated only
+    (tests/test_pst_source.py). Bounded replay of the continuous-mailbox
+    deployment: archive ``a.pst`` lands, an AvailableNow run ingests it
+    through the parquet file sink; ``b.pst`` lands late and a SECOND run
+    from the SAME checkpoint ingests exactly the new archive (file-log
+    offsets over the scan planner — already-committed archives never
+    re-emit). The finalized batch scan rolls up per-archive per-class
+    message counts, pinned to the reference's golden unittest.pst
+    inventory twice over (the reference's batch scan semantics,
+    /root/reference/test/sql/read_unittest_pst.test, applied per
+    arriving archive).
+
+    Scale shape: each archive is planned/read by the unchanged batch
+    code path (partition bucketing, projection pushdown), one microbatch
+    per arrival set; executors write the sink files, the driver holds no
+    rows; checkpoint state is O(#archives seen), not O(rows)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from duckdb_pst_spark.sources.mspst.datasource import PstDataSource
+    from duckdb_pst_spark.streaming.finalize import _CACHE_DIR, _prune_stale
+
+    try:
+        spark.dataSource.register(PstDataSource)
+    except Exception:
+        pass
+    _prune_stale()
+    run = f"pst_ingest_{_uuid.uuid4().hex[:8]}"
+    land = str(_CACHE_DIR / f"{run}_land")
+    out = str(_CACHE_DIR / f"{run}_out")
+    ck = str(_CACHE_DIR / f"{run}_ck")
+    os.makedirs(land, exist_ok=True)
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("pst")
+            .option("table", "messages")
+            .load(os.path.join(land, "*.pst"))
+            .select(
+                F.element_at(F.split(F.col("pst_path"), "/"), -1).alias("archive"),
+                "message_class",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy(GOLDEN_PST, os.path.join(land, "a.pst"))
+    run_once()
+    shutil.copy(GOLDEN_PST, os.path.join(land, "b.pst"))  # late arrival
+    run_once()
+    shutil.rmtree(land, ignore_errors=True)
+    return (
+        spark.read.schema("archive string, message_class string").parquet(out)
+        .groupBy("archive", "message_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -120,7 +120,14 @@ def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
 
 
 def compare(spark, spec, sf_dir: str, *, max_diff_report: int = 5) -> None:
-    """Assert spark result == duckdb oracle result for one QuerySpec."""
+    """Assert spark result == duckdb oracle result for one QuerySpec.
+
+    Specs with a constant-pinned golden (``pinned_sf`` set) are compared
+    at their pinning corpus regardless of the ambient ``sf_dir`` — the
+    VALUES literal is only the query's output there (the driver's gate
+    runs at exactly that corpus, sf0.01)."""
+    if spec.pinned_sf is not None:
+        sf_dir = spec.pinned_sf
     sdf = spec.builder(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns

@@ -120,3 +120,38 @@ def test_fallback_to_plain_when_layout_unavailable(spark, sf_dir, monkeypatch):
     got = sorted(map(tuple, SPECS["q_tpch_q12_bucketed"].builder(spark, sf_dir).collect()))
     want = sorted(map(tuple, SPECS["q_tpch_q12"].builder(spark, sf_dir).collect()))
     assert got == want
+
+
+# ----------------------- round 10: the partkey layout (Q11's cure)
+
+
+def test_q11_twin_rows_equal_plain(spark, sf_dir):
+    a = sorted(map(tuple, SPECS["q_tpch_q11"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["q_tpch_q11_bucketed"].builder(spark, sf_dir).collect()))
+    assert a == b, (a[:3], b[:3])
+
+
+def test_q11_twin_aggregate_is_exchange_free(spark, sf_dir):
+    """The partkey value aggregate must read ONE `Bucketed: true` scan
+    with ZERO shuffle exchange anywhere in its plan: the region-supplier
+    membership is a pinned keys-only broadcast semi, and both the
+    partial and final HashAggregate run bucket-local (the plain plan's
+    one unavoidable exchange — its growth term, 3.0x wall over 100x
+    data — is the thing this layout deletes; measured 0.50x at x10,
+    0.37x at x100, tools/ab_bucketed_registered.py)."""
+    plan = _executed_plan(bucketed.q11_value_view(spark, sf_dir))
+    assert not _SHUFFLE.search(plan), plan
+    assert plan.count("Bucketed: true") == 1, plan
+
+
+def test_q11_twin_fallback_to_plain(spark, sf_dir, monkeypatch):
+    """Unwritable warehouse → loud degrade to the plain scan, same rows."""
+    from duckdb_pst_spark import sinks
+
+    monkeypatch.setattr(
+        sinks, "export_bucketed",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("warehouse read-only")),
+    )
+    got = sorted(map(tuple, SPECS["q_tpch_q11_bucketed"].builder(spark, sf_dir).collect()))
+    want = sorted(map(tuple, SPECS["q_tpch_q11"].builder(spark, sf_dir).collect()))
+    assert got == want

@@ -21,11 +21,12 @@ def test_oracle_parity(spark, sf_dir, name):
     compare(spark, SPECS[name], sf_dir)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_runs(spark, sf_dir, name):
-    df = SPECS[name].builder(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_rows_only_class_is_empty():
+    """Round 10 closed the rows-only class: every deterministic kernel
+    DuckDB can't recompute (xxhash64, BLAS GEMM, media codecs, BPE
+    training) now carries a constant-pinned VALUES golden
+    (tools/pin_goldens.py), so the driver hash-checks all of them."""
+    assert ROWS_ONLY_NAMES == []
 
 
 def test_entry_smoke(spark):
@@ -71,6 +72,7 @@ def test_verify_window_rotation_consistent():
         ROUND8_ADDITIONS,
         ROUND9_ADDITIONS,
         ROUND9_CANARIES,
+        ROUND10_ADDITIONS,
         VERIFY_FIRST,
     )
 
@@ -78,15 +80,16 @@ def test_verify_window_rotation_consistent():
     assert names[: len(VERIFY_FIRST)] == list(VERIFY_FIRST)
     assert all(SPECS[n].oracle is not None for n in VERIFY_FIRST)
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
-    assert names[-len(rows_only):] == rows_only
-    # the round-9 window must front-load its rotation inputs: this
-    # round's registrations, then the canaries its plan rewrites owe
-    for required in ROUND9_ADDITIONS + ROUND9_CANARIES:
-        assert required in VERIFY_FIRST, required
+    if rows_only:  # class emptied in round 10; guard names[-0:] == all
+        assert names[-len(rows_only):] == rows_only
+    # the round-10 window must front-load its rotation inputs: this
+    # round's registrations + pinned-golden conversions take the first
+    # slots (each needs its first hash-checked driver row)
+    assert list(VERIFY_FIRST[: len(ROUND10_ADDITIONS)]) == list(ROUND10_ADDITIONS)
     assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
     for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES,
                     ROUND7_ADDITIONS, ROUND8_ADDITIONS, ROUND9_ADDITIONS,
-                    ROUND9_CANARIES):
+                    ROUND9_CANARIES, ROUND10_ADDITIONS):
         assert all(
             n in SPECS and SPECS[n].oracle is not None for n in planned
         ), [n for n in planned if n not in SPECS or SPECS[n].oracle is None]

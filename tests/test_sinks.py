@@ -210,5 +210,12 @@ def test_export_bucketed_digest_invalidates_on_source_change(spark, sf_dir, tmp_
     os.utime(os.path.join(d, "orders.parquet"))
     names3 = export_bucketed(spark, d, n_buckets=4)
     assert names3 != names1  # fresh layout for fresh data
-    for n in set(names1.values()) | set(names3.values()):
+    # GC (round-9 advisor): the superseded layout for the SAME source
+    # path must be dropped — catalog entry and warehouse directory —
+    # instead of accumulating unboundedly across regenerations.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for n in names1.values():
+        assert not spark.catalog.tableExists(n), f"stale catalog entry {n}"
+        assert not os.path.exists(os.path.join(wh, n)), f"stale dir {n}"
+    for n in names3.values():
         spark.sql(f"DROP TABLE IF EXISTS {n}")

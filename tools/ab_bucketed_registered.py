@@ -34,6 +34,8 @@ PAIRS = [
     ("q_tpch_q10", "q_tpch_q10_bucketed"),
     ("q_tpch_q7", "q_tpch_q7_bucketed"),
     ("q_tpch_q8", "q_tpch_q8_bucketed"),
+    # round 10: partkey layout (the Q11 aggregate-exchange cure)
+    ("q_tpch_q11", "q_tpch_q11_bucketed"),
 ]
 # optional filter: comma-separated plain names, e.g. "q_tpch_q7,q_tpch_q8"
 _ONLY = os.environ.get("AB_BUCKETED_ONLY")
