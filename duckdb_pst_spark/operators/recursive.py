@@ -24,6 +24,7 @@ root 0 is its own parent (exactly the PST root self-loop shape).
 
 from __future__ import annotations
 
+import os as _os
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -699,8 +700,16 @@ def _pte_count_kernel(pdf):
     tags=("graph", "iterative"),
     bench=True,
     # capped bench corpus: 38.6 s at sf0.1 would dominate the headline
-    # total; the sf0.01 row (≈4 s) carries the same regression signal
-    bench_dir="/root/testdata/sf0.01",
+    # total; the sf0.01 row (≈4 s) carries the same regression signal.
+    # Derived as the sf0.01 sibling of the bench corpus (not a hardcoded
+    # container path); bench.py falls back to the session corpus when
+    # the sibling is absent on a host.
+    bench_dir=_os.path.join(
+        _os.path.dirname(
+            _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+        ),
+        "sf0.01",
+    ),
 )
 def q_triangle_count_pte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count, PTE strategy twin of ``q_triangle_count``

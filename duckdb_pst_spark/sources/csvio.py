@@ -40,7 +40,7 @@ def fixture_path() -> str:
     vendor export actually breaks)."""
     os.makedirs(_FIX_DIR, exist_ok=True)
     p = os.path.join(_FIX_DIR, "docs.csv")
-    marker = os.path.join(_FIX_DIR, ".v1")
+    marker = os.path.join(_FIX_DIR, ".v2")
     if os.path.exists(p) and os.path.exists(marker):
         return p
     langs = ["en", "de", "fr", "zh"]
@@ -52,12 +52,14 @@ def fixture_path() -> str:
         else:
             text = (f"doc {i} body " + "tok " * (i % 7)).strip()
         lines.append(f"{i},{text},{lang},{3 + i % 9}")
-        if i % 90 == 89:  # interleave the corrupt lines deterministically
+        # interleave the corrupt lines deterministically — exactly the
+        # documented three (round-9 advisor: the old i%90 form emitted
+        # the bad-typed line twice, making 4)
+        if i == 89:
             lines.append("notanumber,truncated vendor row,en,4")  # bad type
-            if i == 89:
-                lines.append("9001,extra col,en,4,SURPLUS")  # too many
-            if i == 179:
-                lines.append("9002,missing lang")  # too few
+            lines.append("9001,extra col,en,4,SURPLUS")  # too many
+        if i == 179:
+            lines.append("9002,missing lang")  # too few
     with open(p, "w") as f:
         f.write("\n".join(lines) + "\n")
     open(marker, "w").write("1")

@@ -219,3 +219,26 @@ def test_export_bucketed_digest_invalidates_on_source_change(spark, sf_dir, tmp_
         assert not os.path.exists(os.path.join(wh, n)), f"stale dir {n}"
     for n in names3.values():
         spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_csv_corrupt_accounting(spark):
+    """CSV ingest twin of the JSONL accounting test: the fixture emits
+    EXACTLY the documented three corrupt lines (bad-typed id, extra
+    column, missing column — the round-9 advisor caught the generator
+    emitting the bad-typed line twice), they all land in
+    _corrupt_record, and the valid set parses completely."""
+    from duckdb_pst_spark.sources.csvio import (
+        N_CORRUPT,
+        N_VALID,
+        fixture_path,
+        read_csv,
+    )
+
+    d = read_csv(spark, fixture_path()).cache()
+    try:
+        assert d.filter("_corrupt_record IS NOT NULL").count() == N_CORRUPT
+        good = d.filter("_corrupt_record IS NULL AND doc_id < 9000")
+        assert good.count() == N_VALID
+        assert good.filter("doc_id IS NULL OR text IS NULL OR lang IS NULL").count() == 0
+    finally:
+        d.unpersist()
