@@ -10,10 +10,12 @@ BREFs), ANSI BTPAGE metadata at 496/trailer at 500, 12-byte BBTENTRY /
 16-byte NBTENTRY leaves, 4-byte-BID XBLOCK fan-out, pad-free SLBLOCK.
 
 Scope note (also in SURVEY §2.A): the LTP/messaging layers are
-format-identical per [MS-PST] §2.3, so a full ANSI file reads end-to-end
-through the same code; absent a real-world ANSI archive this NDB-layer
-golden is the verifiable part, and per-file error tolerance (A18) skips
-any file that still fails loudly.
+format-identical per [MS-PST] §2.3. Since round 10 that claim is PROVEN
+end-to-end, not asserted: ``ansi_full_pst`` below is a complete minimal
+ANSI archive (store + folders + one message, spec-literal HN/BTH/PC
+bytes) that reads through LTP/messaging and the Spark DataSource.
+Per-file error tolerance (A18) still skips any real-world file that
+fails loudly.
 """
 
 from __future__ import annotations
@@ -136,3 +138,182 @@ def test_unicode_golden_still_reads():
         assert f.unicode is True
         assert 0x21 in f.nbt  # message store
         assert len(f.nbt) > 16
+
+
+# --------------------------------------------------------------------
+# Round 10: a FULL minimal ANSI archive, end-to-end through LTP +
+# messaging + spark.read.format("pst") (VERDICT r9 item 5). The writer
+# stays spec-literal and reader-independent: HN/BTH/PC bytes are built
+# from hardcoded [MS-PST] §2.3.1-2.3.3 offsets, NDB pages from the
+# §2.2.2 ANSI offsets above.
+
+PT_LONG = 0x0003
+PT_STRING8 = 0x001E
+
+
+def _hn_pc(props: dict[int, tuple[int, object]]) -> bytes:
+    """One-block heap-on-node carrying a Property Context.
+
+    Layout ([MS-PST] §2.3.1.2/§2.3.1.5/§2.3.3): HNHDR {ibHnpm, bSig
+    0xEC, bClientSig 0xBC (PC), hidUserRoot, rgbFillLevel} at 0; heap
+    items (item 1 = BTHHEADER {bType 0xB5, cbKey 2, cbEnt 6, bIdxLevels
+    0, hidRoot=item 2}, item 2 = sorted 8-byte PC records
+    {wPropId, wPropType, dwValueHnid}, items 3.. = variable-length
+    values); HNPAGEMAP {cAlloc, cFree, rgibAlloc[cAlloc+1]} at ibHnpm.
+    HID of 1-based allocation i is i<<5 (hidType 0, hidBlockIndex 0)."""
+    var_items: list[bytes] = []
+    recs = b""
+    next_idx = 3  # heap index of the first variable-length value
+    for pid in sorted(props):
+        ptype, val = props[pid]
+        if ptype == PT_LONG:
+            dw = int(val)
+        elif ptype == PT_STRING8:
+            var_items.append(str(val).encode("cp1252"))
+            dw = next_idx << 5
+            next_idx += 1
+        else:
+            raise AssertionError(f"writer supports PT_LONG/PT_STRING8, got {ptype:#x}")
+        recs += struct.pack("<HHI", pid, ptype, dw)
+    bth = struct.pack("<BBBBI", 0xB5, 2, 6, 0, 2 << 5)
+    items = [bth, recs] + var_items
+    off = 12  # HNHDR size
+    allocs = [off]
+    body = b""
+    for it in items:
+        body += it
+        off += len(it)
+        allocs.append(off)
+    hdr = struct.pack("<HBBII", off, 0xEC, 0xBC, 1 << 5, 0)
+    pagemap = struct.pack(f"<HH{len(allocs)}H", len(items), 0, *allocs)
+    return hdr + body + pagemap
+
+
+# NIDs: nidType rides the low 5 bits ([MS-PST] §2.2.2.1) — the store is
+# 0x21, the root folder 0x122 = (9<<5)|2, so the writer's own folder and
+# message continue the index sequence.
+NID_STORE = 0x21
+NID_ROOT = 0x122            # (9 << 5) | 2, NORMAL_FOLDER
+NID_INBOX = (10 << 5) | 2   # 0x142, NORMAL_FOLDER
+NID_MSG = (11 << 5) | 4     # 0x164, NORMAL_MESSAGE
+
+
+@pytest.fixture(scope="module")
+def ansi_full_pst(tmp_path_factory):
+    """Minimal COMPLETE ANSI archive (wVer 14, the second ANSI version —
+    the NDB fixture above uses 15): message store + root folder + one
+    mail folder + one IPM.Note, each node an external block holding a
+    PC heap. No subnode trees (no recipients/attachments) and no TCs —
+    the reader derives hierarchy and counts from the NBT + PCs."""
+    pcs = {
+        NID_STORE: _hn_pc({0x3001: (PT_STRING8, "ANSI test store")}),
+        NID_ROOT: _hn_pc({
+            0x3001: (PT_STRING8, ""),
+            0x3602: (PT_LONG, 0),
+            0x3603: (PT_LONG, 0),
+        }),
+        NID_INBOX: _hn_pc({
+            0x3001: (PT_STRING8, "Inbox ANSI"),
+            0x3613: (PT_STRING8, "IPF.Note"),
+            0x3602: (PT_LONG, 1),
+            0x3603: (PT_LONG, 1),
+        }),
+        NID_MSG: _hn_pc({
+            0x001A: (PT_STRING8, "IPM.Note"),
+            0x0037: (PT_STRING8, "hello from 1997"),
+            0x1000: (PT_STRING8, "ANSI body text"),
+            0x0E08: (PT_LONG, 123),  # message_size
+        }),
+    }
+    # external data blocks (bid bit1 clear), one per node PC
+    layout: dict[int, tuple[int, bytes]] = {}
+    bids: dict[int, int] = {}
+    ib, bid = 1024, 4
+    for nid, payload in pcs.items():
+        bids[nid] = bid
+        layout[bid] = (ib, payload)
+        ib += (len(payload) + 255) // 256 * 256
+        bid += 4
+    nbt_ib, bbt_ib = ib, ib + PAGE
+    file_size = bbt_ib + PAGE
+
+    parents = {NID_STORE: NID_STORE, NID_ROOT: NID_ROOT,
+               NID_INBOX: NID_ROOT, NID_MSG: NID_INBOX}
+    nbt = _page_ansi(
+        [struct.pack("<IIII", nid, bids[nid], 0, parents[nid])
+         for nid in sorted(pcs)],
+        cb_ent=16, c_level=0, ptype=0x81,
+    )
+    bbt = _page_ansi(
+        [struct.pack("<IIHH", b, off, len(pl), 1)
+         for b, (off, pl) in sorted(layout.items())],
+        cb_ent=12, c_level=0, ptype=0x80,
+    )
+
+    hdr = bytearray(PAGE)
+    hdr[0:4] = b"!BDN"
+    struct.pack_into("<H", hdr, 10, 14)  # wVer 14: ANSI, first variant
+    struct.pack_into("<I", hdr, 168, file_size)
+    struct.pack_into("<II", hdr, 184, 0, nbt_ib)
+    struct.pack_into("<II", hdr, 192, 0, bbt_ib)
+    hdr[461] = 0  # bCryptMethod = none
+
+    buf = bytearray(file_size)
+    buf[:PAGE] = hdr
+    for b, (off, pl) in layout.items():
+        buf[off : off + len(pl)] = pl
+    buf[nbt_ib : nbt_ib + PAGE] = nbt
+    buf[bbt_ib : bbt_ib + PAGE] = bbt
+
+    p = tmp_path_factory.mktemp("ansi_full") / "full_ansi.pst"
+    p.write_bytes(bytes(buf))
+    return str(p)
+
+
+def test_ansi_full_archive_messaging_layer(ansi_full_pst):
+    """LTP + messaging over the ANSI file: store PC, folder hierarchy,
+    and the message PC all decode (format-identical layers per
+    [MS-PST] §2.3, now proven end-to-end rather than asserted)."""
+    from duckdb_pst_spark.sources.mspst.messaging import PstArchive
+
+    a = PstArchive(ansi_full_pst)
+    try:
+        assert a.pst.unicode is False and a.pst.w_ver == 14
+        assert a.display_name == "ANSI test store"
+        folders = {f["node_id"]: f for f in a.folders()}
+        assert set(folders) == {NID_ROOT, NID_INBOX}
+        assert folders[NID_ROOT]["subfolder_count"] == 1
+        inbox = folders[NID_INBOX]
+        assert inbox["display_name"] == "Inbox ANSI"
+        assert inbox["container_class"] == "IPF.Note"
+        assert inbox["message_count"] == 1
+        (m,) = list(a.messages())
+        assert m["node_id"] == NID_MSG
+        assert m["parent_node_id"] == NID_INBOX
+        assert m["message_class"] == "IPM.Note"
+        assert m["subject"] == "hello from 1997"
+        assert m["body"] == "ANSI body text"
+        assert m["recipients"] == [] and m["attachment_count"] == 0
+    finally:
+        a.close()
+
+
+def test_ansi_full_archive_spark_scan(spark, ansi_full_pst):
+    """spark.read.format("pst") over the ANSI archive — the same
+    DataSource path the driver queries use, both tables."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    msgs = spark.read.format("pst").load(ansi_full_pst).collect()
+    assert len(msgs) == 1
+    assert msgs[0].subject == "hello from 1997"
+    assert msgs[0].message_class == "IPM.Note"
+    folders = (
+        spark.read.format("pst").option("table", "folders")
+        .load(ansi_full_pst)
+        .collect()
+    )
+    got = {r.node_id: r for r in folders}
+    assert set(got) == {NID_ROOT, NID_INBOX}
+    assert got[NID_INBOX].display_name == "Inbox ANSI"
+    assert got[NID_INBOX].message_count == 1
