@@ -58,6 +58,12 @@ def main() -> None:
 
     specs = load_all()
     bench_specs = [s for s in specs.values() if s.bench]
+    # Fixed-corpus rows (bench_dir: the x10 twins, the capped PTE) run
+    # LAST: their bigger inputs evict the sf_dir page cache and leave
+    # GC/broadcast pressure behind, which round-10 measurement showed
+    # taxing every later session-corpus row — ordering them after the
+    # comparable block keeps round-over-round rows comparable.
+    bench_specs.sort(key=lambda s: s.bench_dir is not None)
     # Controlled-experiment hook (unset for driver runs): restrict the
     # bench to an explicit comma-separated query list, e.g. to re-measure
     # a prior round's exact set in isolation (regression triage needs
