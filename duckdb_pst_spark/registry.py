@@ -168,6 +168,25 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
     "q_media_video_dup", "q_stream_pst_ingest", "q_tpch_q11_bucketed",
 )
 
+# Round-11 window plan (the rotation math, computed end of round 10
+# from the VERDICT r9 last-green table minus the r10 window):
+#   0. Any round-11 registry additions + canaries for green plans
+#      round 11 rewrites (front slots; truncate the fill to keep 50).
+#   1. The r4 stragglers (3): q_corpus_card, q_filter_cascade,
+#      q_media_dedup.
+#   2. The r5 block (25): q_tpch_q3, q_dedup_minhash,
+#      q_dedup_simhash_prod, q_containment_prefix, q_tfidf,
+#      q_bigram_surprise, q_char_diversity, q_mad_outliers,
+#      q_quality_linear, q_heavy_hitters, q_kmv_grouped, q_cdc_apply,
+#      q_scd2_intervals, q_merge_upsert, q_skyline, q_ohlc_bars,
+#      q_regr_slope, q_attribution_last_touch, q_media_salvage_real,
+#      q_stream_closed_windows, q_stream_topk, q_stream_cdc_merge,
+#      q_stream_sessions_native, q_stream_late_data, q_stream_dedup_wm.
+#   3. r6 greens in registration order until the 50 slots are full
+#      (q_scan_project, q_filter_eq, ... — 47 candidates; ~22 fit).
+# Done = no green older than r5 anywhere; the r6 block clears over
+# rounds 11-12.
+
 # Round-8 window (executed; all 50 green in CORRECTNESS_r08): the 16
 # ROUND8_ADDITIONS + 34 registration-order fill slots — kept as a named
 # tuple below (ROUND8_ADDITIONS) for the rotation arithmetic gate.
