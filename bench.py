@@ -89,6 +89,44 @@ def main() -> None:
             spark.range(500_000_000).selectExpr("sum(id * 3 + 1)").collect()
             best = min(best, time.perf_counter() - t0)
         return best
+
+    def calibrate_shuffle() -> float:
+        """Fixed shuffle probe: 20M rows through one hash exchange.
+        Round-10 data showed shuffle-heavy queries drifting ~2x MORE
+        than the pure-JVM calib under host contention (q_minhash_band_
+        stats read 2.0-6.4 s across same-day sessions at near-constant
+        calib_wall) — a second profile makes that attributable."""
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(20_000_000)
+                .selectExpr("id % 1024 AS k", "id")
+                .groupBy("k").sum("id").selectExpr("sum(`sum(id)`)")
+                .collect()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def calibrate_arrow() -> float:
+        """Fixed Arrow/Python probe: 4M rows through one mapInPandas
+        hop — prices the Python-worker + Arrow-serialization path the
+        kernel queries (GEMM, media, sketches) ride."""
+
+        def ksum(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(4_000_000).mapInPandas(ksum, "s long").selectExpr(
+                "sum(s)"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
     # Warm-up: JVM, whole-stage-codegen JIT, parquet footer caches, and the
     # broadcast/checkpoint machinery. Each bench query runs once UNTIMED at
     # the tiny sf0.001 so every plan shape is code-generated and JIT-compiled
@@ -97,6 +135,8 @@ def main() -> None:
     # not one-time JVM compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     calib_wall = round(calibrate(), 4)
+    calib_shuffle = round(calibrate_shuffle(), 4)
+    calib_arrow = round(calibrate_arrow(), 4)
     # Warm-up runs under the SAME per-query confs as the timed run
     # (applied_confs), so the warmed plan shape IS the timed plan shape —
     # otherwise a conf-carrying query (Q11/Q16's broadcast threshold)
@@ -150,6 +190,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
                 "calib_wall": calib_wall,
+                "calib_shuffle": calib_shuffle,
+                "calib_arrow": calib_arrow,
                 "bench_dir_overrides": overrides,
             }
         )
