@@ -58,3 +58,39 @@ def test_tpch_exchange_budget(spark, sf_dir, name):
         f"{name}: {got} exchanges > budget {BUDGETS[name]} — a shuffle "
         f"crept into the plan\n{pi.executed_plan(df)}"
     )
+
+
+# Flagship LLM-pipeline budgets (same contract; measured round 10 at
+# both corpora). These are the queries SCALE.md's 100 TB argument
+# leans on hardest — a crept-in exchange here invalidates the
+# exchange-budget math, not just a bench row.
+FLAGSHIP_BUDGETS = {
+    "q_dedup_exact": 1,        # one groupBy on the content hash
+    "q_dedup_minhash": 1,      # one band-key groupBy; pairs bucket-local
+    "q_dedup_minhash_fast": 2, # fused xxhash64 path + rollup
+    "q_dedup_simhash": 0,      # scan-local signatures
+    "q_dedup_embedding": 0,    # scan-local quantize + digest
+    "q_bm25": 1,
+    "q_tfidf": 3,
+    "q_knn_brute": 1,          # |Q|*k partials into the rank merge
+    "q_knn_lsh": 1,            # bucket-key join only
+    "q_knn_ivf": 4,            # probe-assign + rank chain
+    "q_text_tokens": 0,
+    "q_quality_score": 0,
+    "q_quality_gopher": 0,
+    "q_pipeline_pretrain": 8,  # the composed program (one lazy plan)
+    "q_dsir_weights": 2,
+    "q_pack_sequences": 1,
+    "q_stratified_sample": 1,
+    "q_hll_distinct": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(FLAGSHIP_BUDGETS))
+def test_flagship_exchange_budget(spark, sf_dir, name):
+    df = SPECS[name].builder(spark, sf_dir)
+    got = pi.shuffle_count(df)
+    assert got <= FLAGSHIP_BUDGETS[name], (
+        f"{name}: {got} exchanges > budget {FLAGSHIP_BUDGETS[name]}\n"
+        f"{pi.executed_plan(df)}"
+    )
