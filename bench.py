@@ -163,6 +163,8 @@ def main() -> None:
         except Exception:
             pass
 
+    from duckdb_pst_spark.session import free_checkpoints
+
     timings: dict[str, float] = {}
     overrides: dict[str, str] = {}
     for spec in bench_specs:
@@ -179,6 +181,13 @@ def main() -> None:
         except Exception as exc:  # a failed query shouldn't zero the whole bench
             print(f"BENCH ERROR {spec.name}: {exc}", file=sys.stderr)
             timings[spec.name] = -1.0
+        # localCheckpoint blocks accumulate across the 65 rows and tax
+        # every later one (the round-8 long-session confound, measured
+        # up to 2x) — free them BETWEEN queries so each row is priced
+        # like the fresh-process run a deployment actually does. Not
+        # inside run_query: a query's own reps legitimately reuse its
+        # checkpoints.
+        free_checkpoints(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
