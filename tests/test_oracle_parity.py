@@ -29,6 +29,29 @@ def test_rows_only_class_is_empty():
     assert ROWS_ONLY_NAMES == []
 
 
+def test_pinned_goldens_match_current_corpus():
+    """The sf-dependent pinned goldens are only the queries' outputs on
+    the EXACT corpus they were generated at. The driver regenerates
+    testdata between rounds (it has changed parquet physical types
+    before), so gate on a content digest and fail with the fix, not
+    with six opaque hash mismatches in the verify window."""
+    import hashlib
+    import os
+
+    from duckdb_pst_spark.goldens_pinned import PINNED_CORPUS_DIGEST, PINNED_SF
+
+    h = hashlib.sha1()
+    for t in ("documents", "embeddings"):
+        with open(os.path.join(PINNED_SF, f"{t}.parquet"), "rb") as f:
+            h.update(f.read())
+    assert h.hexdigest()[:16] == PINNED_CORPUS_DIGEST, (
+        f"{PINNED_SF} was regenerated since the goldens were pinned — "
+        "re-run `python tools/pin_goldens.py` (it re-verifies determinism "
+        "and round-trips every literal) and commit the refreshed "
+        "duckdb_pst_spark/goldens_pinned.py"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

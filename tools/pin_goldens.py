@@ -103,6 +103,23 @@ def values_oracle(df, *, note: str) -> str:
     )
 
 
+def _corpus_digest() -> str:
+    """Content digest of the tables the sf-dependent goldens read
+    (documents + embeddings at PIN_SF). Recorded into goldens_pinned.py
+    so a driver-regenerated corpus fails the digest gate
+    (tests/test_oracle_parity.py) with an actionable message instead of
+    six mysterious hash mismatches in the verify window."""
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(PIN_SF, f"{t}.parquet")
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     from duckdb_pst_spark.registry import load_all
     from duckdb_pst_spark.session import get_spark
@@ -141,6 +158,13 @@ def main() -> None:
         for name, sql in out.items():
             f.write(f"    {name!r}: '''\\\n{sql}''',\n")
         f.write("}\n")
+        f.write(
+            "\n# sha1[:16] over documents.parquet + embeddings.parquet at the\n"
+            "# pinning corpus — tests/test_oracle_parity.py fails loudly with\n"
+            "# a regenerate instruction when the driver rewrites the corpus.\n"
+            f"PINNED_CORPUS_DIGEST = {_corpus_digest()!r}\n"
+            f"PINNED_SF = {PIN_SF!r}\n"
+        )
     print("wrote duckdb_pst_spark/goldens_pinned.py")
 
     # Round-trip validation: run each literal through the exact parity
