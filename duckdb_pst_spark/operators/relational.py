@@ -3262,3 +3262,68 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ------------------------------------------------- schema evolution
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS n_with_chars,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "relational"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lake-ingest reality the other source
+    queries assume away: vendor batches drift columns over time, and a
+    100 TB directory holds files written under several schema versions.
+    Two parquet batches land in ONE directory (v1: doc_id/lang only;
+    v2 adds n_chars), then a single ``mergeSchema`` scan reads the
+    union schema with NULLs where a file predates a column, and the
+    rollup counts exactly which rows carry the evolved column. The
+    oracle recomputes the same semantics from the source table (v1 =
+    even doc_ids, v2 = odd), so the parity check proves no row was
+    dropped or backfilled by the merge.
+
+    Scale shape: mergeSchema's cost is footer-schema reconciliation at
+    PLANNING time (per file, driver-side — why lakes cap files per
+    directory); the data path stays ordinary parquet scan + one
+    map-side-combined |langs|-group aggregate. Column pruning still
+    reaches both file versions (ReadSchema carries the union)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from duckdb_pst_spark.streaming.finalize import _CACHE_DIR
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lake = str(_CACHE_DIR / f"schema_evo_{_uuid.uuid4().hex[:8]}")
+    try:
+        # v1 writer: the column didn't exist yet
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").coalesce(
+            2
+        ).write.mode("append").parquet(lake)
+        # v2 writer: evolved schema, same directory
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(lake)
+        merged = spark.read.option("mergeSchema", "true").parquet(lake)
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count("n_chars").cast("long").alias("n_with_chars"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+        # materialize before the temp lake is removed
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
