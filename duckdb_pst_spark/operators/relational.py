@@ -3327,3 +3327,55 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(lake, ignore_errors=True)
     return out
+
+
+@query(
+    "q_partition_pruning",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY source
+    """,
+    tags=("source", "relational"),
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake read with directory pruning — the layout
+    the reference's planning-time class filter (A5) maps to at lake
+    scale: documents land partitioned by lang
+    (``write.partitionBy("lang")``), and a lang predicate then prunes
+    WHOLE DIRECTORIES at planning time (PartitionFilters in the scan,
+    gated in tests/test_plan_shapes.py) — files for other langs are
+    never opened, the exact analogue of the reference skipping
+    non-matching PST nodes before any read. The rollup runs on the
+    pruned scan; the oracle recomputes from the source table, proving
+    the partitioned round-trip loses and invents nothing.
+
+    Scale shape: partitioning column cardinality is bounded (langs,
+    classes, dates) so the directory tree stays listable; the one-time
+    partitioned write is the ingest cost every subsequent selective
+    scan amortizes. One map-side-combined aggregate after the pruned
+    scan."""
+    import shutil
+    import uuid as _uuid
+
+    from duckdb_pst_spark.streaming.finalize import _CACHE_DIR
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    lake = str(_CACHE_DIR / f"part_lake_{_uuid.uuid4().hex[:8]}")
+    try:
+        d.write.partitionBy("lang").mode("overwrite").parquet(lake)
+        out = (
+            spark.read.parquet(lake)
+            .filter(F.col("lang").isin("en", "de"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        ).localCheckpoint(eager=True)  # materialize before the lake is removed
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out

@@ -844,3 +844,23 @@ def test_tpch_q22_anti_probe_is_windowed(spark, sf_dir):
     assert any(
         "Filter" in line and "o_orderdate" in line for line in plan.splitlines()
     ) or any("o_orderdate" in f for f in pi.pushed_filters(df)), plan
+
+
+def test_partition_pruning_prunes_directories(spark, sf_dir, tmp_path):
+    """q_partition_pruning's contract: a predicate on the partitioning
+    column becomes a PLANNING-time PartitionFilter — non-matching lang
+    directories are never opened (selected partition count < total).
+    Replicates the builder's lake inline because the registered query
+    checkpoints its result and removes the temp lake."""
+    from duckdb_pst_spark.tables import table as t
+
+    lake = str(tmp_path / "lake")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    d.write.partitionBy("lang").mode("overwrite").parquet(lake)
+    langs_total = d.select("lang").distinct().count()
+    scan = spark.read.parquet(lake).filter(F.col("lang").isin("en", "de"))
+    plan = pi.formatted_plan(scan)
+    assert "PartitionFilters" in plan and "lang" in plan, plan
+    got_langs = {r.lang for r in scan.select("lang").distinct().collect()}
+    assert got_langs == {"en", "de"}
+    assert langs_total > 2, "fixture must have more langs than the filter keeps"
