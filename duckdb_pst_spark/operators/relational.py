@@ -3379,3 +3379,70 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(lake, ignore_errors=True)
     return out
+
+
+@query(
+    "q_lake_ignore_corrupt",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 2 = 0
+    GROUP BY lang
+    """,
+    tags=("source", "relational"),
+)
+def q_lake_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file error tolerance on the PARQUET lake — the reference's
+    A18 contract (corrupt archive → log & skip the file, never kill the
+    scan, table_function.cpp:228-235) applied to the primary lake
+    format, completing the family (PST: per-file skip; CSV/JSONL:
+    per-row _corrupt_record; parquet: per-file skip, since a truncated
+    parquet file has no trailing footer and nothing row-level to
+    salvage). Two files land in one directory, one is truncated
+    mid-write (the way an interrupted upload actually breaks); the
+    ``ignoreCorruptFiles`` read skips it and returns exactly the
+    healthy file's rows — the oracle recomputes that set from the
+    source table (even doc_ids), so silent row loss OR invention in
+    the healthy file both fail the hash.
+
+    Scale shape: the skip decision is per-file at footer-read time
+    (planning), so a 100 TB directory with a few bad uploads costs
+    nothing extra; the data path is an ordinary pruned scan + one
+    map-side-combined aggregate."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from duckdb_pst_spark.streaming.finalize import _CACHE_DIR
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lake = str(_CACHE_DIR / f"corrupt_lake_{_uuid.uuid4().hex[:8]}")
+    try:
+        for name, pred in (("good", F.col("doc_id") % 2 == 0),
+                           ("bad", F.col("doc_id") % 2 == 1)):
+            part = os.path.join(lake, f"_{name}")
+            d.filter(pred).coalesce(1).write.mode("overwrite").parquet(part)
+            src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+            shutil.move(os.path.join(part, src), os.path.join(lake, f"{name}.parquet"))
+            shutil.rmtree(part, ignore_errors=True)
+        bad = os.path.join(lake, "bad.parquet")
+        half = os.path.getsize(bad) // 2
+        with open(bad, "r+b") as f:
+            f.truncate(half)  # interrupted upload: no footer survives
+        out = (
+            # explicit schema: inference itself reads footers and would
+            # trip on the corrupt file before the skip option applies
+            spark.read.schema("doc_id long, lang string, n_chars long")
+            .option("ignoreCorruptFiles", "true")
+            .parquet(lake)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        ).localCheckpoint(eager=True)  # materialize before the lake is removed
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+    return out
