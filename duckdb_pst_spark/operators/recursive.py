@@ -701,14 +701,28 @@ def _pte_count_kernel(pdf):
     bench=True,
     # capped bench corpus: 38.6 s at sf0.1 would dominate the headline
     # total; the sf0.01 row (≈4 s) carries the same regression signal.
-    # Derived as the sf0.01 sibling of the bench corpus (not a hardcoded
-    # container path); bench.py falls back to the session corpus when
-    # the sibling is absent on a host.
-    bench_dir=_os.path.join(
-        _os.path.dirname(
-            _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    # Resolution order: the sf0.01 sibling of the bench corpus, then the
+    # standard container corpus (so a scale-round bench run with
+    # SPARK_GRAFT_SF_DIR=.cache/x10 keeps the cap instead of silently
+    # timing PTE on the full x10 graph); bench.py falls back to the
+    # session corpus only when neither exists.
+    bench_dir=next(
+        (
+            d
+            for d in (
+                _os.path.join(
+                    _os.path.dirname(
+                        _os.environ.get(
+                            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                        ).rstrip("/")
+                    ),
+                    "sf0.01",
+                ),
+                "/root/testdata/sf0.01",
+            )
+            if _os.path.isdir(d)
         ),
-        "sf0.01",
+        "/root/testdata/sf0.01",
     ),
 )
 def q_triangle_count_pte(spark: SparkSession, sf_dir: str) -> DataFrame:

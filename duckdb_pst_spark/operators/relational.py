@@ -3296,7 +3296,6 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory); the data path stays ordinary parquet scan + one
     map-side-combined |langs|-group aggregate. Column pruning still
     reaches both file versions (ReadSchema carries the union)."""
-    import os
     import shutil
     import uuid as _uuid
 

@@ -929,11 +929,17 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .mapInPandas(_gemm_topk_kernel(bq, TOP_K), "qid long, cand_id long, cos_sim double")
     )
+    # Rank on the ROUNDED score: the raw BLAS trailing bits vary by 1 ulp
+    # with batch blocking (and could vary across hosts), so an exact-score
+    # orderBy could swap two near-tied candidates between runs; at 9
+    # decimals such pairs collapse to a tie and cand_id breaks it
+    # deterministically (real score gaps on this corpus are >> 1e-9).
+    partial = partial.withColumn("cos_sim", F.round("cos_sim", 9))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cand_id", "rn", F.round("cos_sim", 9).alias("cos_sim"))
+        .select("qid", "cand_id", "rn", "cos_sim")
     )
 
 

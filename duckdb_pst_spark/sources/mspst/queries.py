@@ -488,11 +488,15 @@ def q_stream_pst_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    shutil.copy(GOLDEN_PST, os.path.join(land, "a.pst"))
-    run_once()
-    shutil.copy(GOLDEN_PST, os.path.join(land, "b.pst"))  # late arrival
-    run_once()
-    shutil.rmtree(land, ignore_errors=True)
+    try:
+        shutil.copy(GOLDEN_PST, os.path.join(land, "a.pst"))
+        run_once()
+        shutil.copy(GOLDEN_PST, os.path.join(land, "b.pst"))  # late arrival
+        run_once()
+    finally:
+        # _prune_stale only matches *_out/*_ck names, so the landing dir
+        # must not survive a failed run
+        shutil.rmtree(land, ignore_errors=True)
     return (
         spark.read.schema("archive string, message_class string").parquet(out)
         .groupBy("archive", "message_class")
