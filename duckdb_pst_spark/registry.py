@@ -122,9 +122,9 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 #
 # Round 10 window (executes the plan pre-queued in round 9; arithmetic
 # below sums to exactly 50):
-#   0. ROUND10_ADDITIONS (18) — the 13 formerly rows-only kernels, now
+#   0. ROUND10_ADDITIONS (19) — the 13 formerly rows-only kernels, now
 #      oracle-bearing via constant-pinned VALUES goldens (first chance
-#      at a hash-checked driver row: VERDICT r9 item 1), plus three
+#      at a hash-checked driver row: VERDICT r9 item 1), plus six
 #      new registrations: q_stream_pst_ingest (the streaming PST ingest
 #      promoted from test-gated to registered, item 6),
 #      q_tpch_q11_bucketed (the partkey-layout cure for Q11's aggregate
@@ -132,11 +132,13 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 #      q_schema_evolution + q_partition_pruning + q_lake_ignore_corrupt
 #      (the lake-read capabilities: mergeSchema over mixed-schema
 #      batches, hive-partition directory pruning, and per-file corrupt
-#      skip — A18 on the parquet lake).
-#   1. Fill (32) — the r4 greens the round-9 front slots displaced
+#      skip — A18 on the parquet lake), and q_tpch_q18_bucketed (the
+#      tenth twin: zero shuffle exchanges in the WHOLE plan on the
+#      existing orderkey layout, 0.68x at x100).
+#   1. Fill (31) — the r4 greens the round-9 front slots displaced
 #      (22: text/dedup/join_strategies/similarity/sketches/sampling/
 #      recursive/relational r4 blocks in file order), then
-#      ROUND5_PLANNED order (10) until the 50 slots are full.
+#      ROUND5_PLANNED order (9) until the 50 slots are full.
 VERIFY_FIRST: tuple[str, ...] = (
     # round-10 additions: pinned-golden conversions (13)
     "q_dedup_minhash_fast", "q_bpe_train", "q_bpe_encode",
@@ -144,9 +146,9 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_image_decode", "q_audio_features", "q_media_phash_pairs",
     "q_media_scene_cuts", "q_pipeline_media", "q_media_audio_dup",
     "q_media_video_dup",
-    # round-10 additions: new registrations (5)
+    # round-10 additions: new registrations (6)
     "q_stream_pst_ingest", "q_tpch_q11_bucketed", "q_schema_evolution",
-    "q_partition_pruning", "q_lake_ignore_corrupt",
+    "q_partition_pruning", "q_lake_ignore_corrupt", "q_tpch_q18_bucketed",
     # fill: r4 greens displaced from the round-9 window (22)
     "q_histogram_drift", "q_dedup_simhash_hamming", "q_setsim_prefix",
     "q_bloom_prune", "q_fuzzy_blocking",
@@ -157,11 +159,10 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_pagerank",
     "q_lateral_topk", "q_tpch_q19", "q_tpch_q13", "q_nullsafe_join",
     "q_not_in_nulls",
-    # fill: r5 greens in ROUND5_PLANNED order (10)
+    # fill: r5 greens in ROUND5_PLANNED order (9)
     "q_zorder_stats", "q_jsonl_ingest", "q_except_all",
     "q_intersect_all", "q_orderby_nulls", "q_decimal_money",
     "q_hof_parity", "q_sequence_gaps", "q_benford",
-    "q_window_count_distinct",
 )
 
 ROUND10_ADDITIONS: tuple[str, ...] = (
@@ -171,6 +172,7 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
     "q_media_scene_cuts", "q_pipeline_media", "q_media_audio_dup",
     "q_media_video_dup", "q_stream_pst_ingest", "q_tpch_q11_bucketed",
     "q_schema_evolution", "q_partition_pruning", "q_lake_ignore_corrupt",
+    "q_tpch_q18_bucketed",
 )
 
 # Round-11 window plan (the rotation math, computed end of round 10
@@ -179,10 +181,11 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
 #      round 11 rewrites (front slots; truncate the fill to keep 50).
 #   1. The r4 stragglers (3): q_corpus_card, q_filter_cascade,
 #      q_media_dedup.
-#   2. The r5 block (28, q_retention_cohorts / q_events_funnel /
-#      q_anomaly_zscore displaced from the r10 window by the lake-read
-#      additions): q_retention_cohorts, q_events_funnel,
-#      q_anomaly_zscore, q_tpch_q3, q_dedup_minhash,
+#   2. The r5 block (29, q_retention_cohorts / q_events_funnel /
+#      q_anomaly_zscore / q_window_count_distinct displaced from the
+#      r10 window by late additions): q_retention_cohorts,
+#      q_events_funnel, q_anomaly_zscore, q_window_count_distinct,
+#      q_tpch_q3, q_dedup_minhash,
 #      q_dedup_simhash_prod, q_containment_prefix, q_tfidf,
 #      q_bigram_surprise, q_char_diversity, q_mad_outliers,
 #      q_quality_linear, q_heavy_hitters, q_kmv_grouped, q_cdc_apply,

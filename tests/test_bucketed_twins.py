@@ -155,3 +155,23 @@ def test_q11_twin_fallback_to_plain(spark, sf_dir, monkeypatch):
     got = sorted(map(tuple, SPECS["q_tpch_q11_bucketed"].builder(spark, sf_dir).collect()))
     want = sorted(map(tuple, SPECS["q_tpch_q11"].builder(spark, sf_dir).collect()))
     assert got == want
+
+
+# ---------------------------- round 10: Q18 on the orderkey layout
+
+
+def test_q18_twin_rows_equal_plain(spark, sf_dir):
+    a = sorted(map(tuple, SPECS["q_tpch_q18"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["q_tpch_q18_bucketed"].builder(spark, sf_dir).collect()))
+    assert a == b, (a[:2], b[:2])
+
+
+def test_q18_twin_whole_plan_is_exchange_free(spark, sf_dir):
+    """The strongest plan contract in the family: Q18's twin has ZERO
+    shuffle exchanges anywhere — the order-quantity aggregate runs
+    bucket-local, every join is a broadcast, and the final per-order
+    rollup inherits the bucket partitioning through the broadcast joins
+    (0.68x plain at x100, 7.23 -> 4.95 s)."""
+    plan = _executed_plan(SPECS["q_tpch_q18_bucketed"].builder(spark, sf_dir))
+    assert not _SHUFFLE.search(plan), plan
+    assert plan.count("Bucketed: true") >= 3, plan

@@ -36,6 +36,9 @@ PAIRS = [
     ("q_tpch_q8", "q_tpch_q8_bucketed"),
     # round 10: partkey layout (the Q11 aggregate-exchange cure)
     ("q_tpch_q11", "q_tpch_q11_bucketed"),
+    # round 10: Q18 on the existing orderkey layout (whole plan
+    # exchange-free; 0.68x at x100)
+    ("q_tpch_q18", "q_tpch_q18_bucketed"),
 ]
 # optional filter: comma-separated plain names, e.g. "q_tpch_q7,q_tpch_q8"
 _ONLY = os.environ.get("AB_BUCKETED_ONLY")
