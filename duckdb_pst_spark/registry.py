@@ -120,49 +120,40 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 # class was emptied in round 10 — every formerly rows-only kernel now
 # carries a constant-pinned VALUES golden, tools/pin_goldens.py.)
 #
-# Round 10 window (executes the plan pre-queued in round 9; arithmetic
-# below sums to exactly 50):
-#   0. ROUND10_ADDITIONS (19) — the 13 formerly rows-only kernels, now
-#      oracle-bearing via constant-pinned VALUES goldens (first chance
-#      at a hash-checked driver row: VERDICT r9 item 1), plus six
-#      new registrations: q_stream_pst_ingest (the streaming PST ingest
-#      promoted from test-gated to registered, item 6),
-#      q_tpch_q11_bucketed (the partkey-layout cure for Q11's aggregate
-#      exchange, item 3 — 0.50x at x10, 0.37x at x100), and
-#      q_schema_evolution + q_partition_pruning + q_lake_ignore_corrupt
-#      (the lake-read capabilities: mergeSchema over mixed-schema
-#      batches, hive-partition directory pruning, and per-file corrupt
-#      skip — A18 on the parquet lake), and q_tpch_q18_bucketed (the
-#      tenth twin: zero shuffle exchanges in the WHOLE plan on the
-#      existing orderkey layout, 0.68x at x100).
-#   1. Fill (31) — the r4 greens the round-9 front slots displaced
-#      (22: text/dedup/join_strategies/similarity/sketches/sampling/
-#      recursive/relational r4 blocks in file order), then
-#      ROUND5_PLANNED order (9) until the 50 slots are full.
+# Round 11 window (executes the rotation plan pre-queued at the end of
+# round 10 — see the ROUND-11 PLAN comment below VERIFY_FIRST; this is
+# the oldest-green-first sweep, arithmetic sums to exactly 50):
+#   0. No round-11 registrations or canaries at window-build time: the
+#      round's plan changes are doc/measurement hygiene (VERDICT r10
+#      items 2-7) and touch no green builder. Any late round-11
+#      registration takes front slots and truncates the r6 tail.
+#   1. The r4 stragglers (3) — the only greens older than r5 anywhere:
+#      q_corpus_card, q_filter_cascade, q_media_dedup.
+#   2. The full r5 block (29, registration order): q_tpch_q3, the
+#      dedup/text/sketch r5 rows, the windows block, and the six
+#      stream queries — after this, no green anywhere predates r6.
+#   3. r6 greens in registration order (18 of 47 fit; the remaining 29
+#      clear in round 12).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-10 additions: pinned-golden conversions (13)
-    "q_dedup_minhash_fast", "q_bpe_train", "q_bpe_encode",
-    "q_knn_gemm", "q_dedup_semantic_gemm", "q_dedup_semantic_scaled",
-    "q_image_decode", "q_audio_features", "q_media_phash_pairs",
-    "q_media_scene_cuts", "q_pipeline_media", "q_media_audio_dup",
-    "q_media_video_dup",
-    # round-10 additions: new registrations (6)
-    "q_stream_pst_ingest", "q_tpch_q11_bucketed", "q_schema_evolution",
-    "q_partition_pruning", "q_lake_ignore_corrupt", "q_tpch_q18_bucketed",
-    # fill: r4 greens displaced from the round-9 window (22)
-    "q_histogram_drift", "q_dedup_simhash_hamming", "q_setsim_prefix",
-    "q_bloom_prune", "q_fuzzy_blocking",
-    "q_knn_recall_ivf", "q_ann_rerank", "q_knn_pq", "q_knn_recall_pq",
-    "q_auc", "q_embedding_drift",
-    "q_source_overlap", "q_exact_median_2pass",
-    "q_source_mix", "q_source_cap", "q_global_shuffle",
-    "q_pagerank",
-    "q_lateral_topk", "q_tpch_q19", "q_tpch_q13", "q_nullsafe_join",
-    "q_not_in_nulls",
-    # fill: r5 greens in ROUND5_PLANNED order (9)
-    "q_zorder_stats", "q_jsonl_ingest", "q_except_all",
-    "q_intersect_all", "q_orderby_nulls", "q_decimal_money",
-    "q_hof_parity", "q_sequence_gaps", "q_benford",
+    # r4 stragglers (3) — last green round 4
+    "q_corpus_card", "q_filter_cascade", "q_media_dedup",
+    # r5 block (29) — last green round 5, registration order
+    "q_tpch_q3", "q_dedup_minhash", "q_dedup_simhash_prod",
+    "q_containment_prefix", "q_tfidf", "q_bigram_surprise",
+    "q_char_diversity", "q_mad_outliers", "q_quality_linear",
+    "q_heavy_hitters", "q_kmv_grouped", "q_window_count_distinct",
+    "q_anomaly_zscore", "q_events_funnel", "q_retention_cohorts",
+    "q_cdc_apply", "q_scd2_intervals", "q_merge_upsert",
+    "q_skyline", "q_ohlc_bars", "q_regr_slope",
+    "q_attribution_last_touch", "q_media_salvage_real",
+    "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
+    "q_stream_sessions_native", "q_stream_late_data", "q_stream_dedup_wm",
+    # r6 fill (18 of 47, registration order; rest clear in round 12)
+    "q_scan_project", "q_filter_eq", "q_filter_like", "q_filter_null",
+    "q_count_star", "q_count_distinct", "q_groupby_count_order",
+    "q_orderby_multi", "q_topn", "q_late_materialization",
+    "q_distinct", "q_join_inner", "q_semi_join", "q_from_subquery",
+    "q_case_when", "q_struct_access", "q_orderby_expr", "q_union",
 )
 
 ROUND10_ADDITIONS: tuple[str, ...] = (
@@ -175,28 +166,25 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
     "q_tpch_q18_bucketed",
 )
 
-# Round-11 window plan (the rotation math, computed end of round 10
-# from the VERDICT r9 last-green table minus the r10 window):
-#   0. Any round-11 registry additions + canaries for green plans
-#      round 11 rewrites (front slots; truncate the fill to keep 50).
-#   1. The r4 stragglers (3): q_corpus_card, q_filter_cascade,
-#      q_media_dedup.
-#   2. The r5 block (29, q_retention_cohorts / q_events_funnel /
-#      q_anomaly_zscore / q_window_count_distinct displaced from the
-#      r10 window by late additions): q_retention_cohorts,
-#      q_events_funnel, q_anomaly_zscore, q_window_count_distinct,
-#      q_tpch_q3, q_dedup_minhash,
-#      q_dedup_simhash_prod, q_containment_prefix, q_tfidf,
-#      q_bigram_surprise, q_char_diversity, q_mad_outliers,
-#      q_quality_linear, q_heavy_hitters, q_kmv_grouped, q_cdc_apply,
-#      q_scd2_intervals, q_merge_upsert, q_skyline, q_ohlc_bars,
-#      q_regr_slope, q_attribution_last_touch, q_media_salvage_real,
-#      q_stream_closed_windows, q_stream_topk, q_stream_cdc_merge,
-#      q_stream_sessions_native, q_stream_late_data, q_stream_dedup_wm.
-#   3. r6 greens in registration order until the 50 slots are full
-#      (q_scan_project, q_filter_eq, ... — 47 candidates; ~22 fit).
-# Done = no green older than r5 anywhere; the r6 block clears over
-# rounds 11-12.
+# Round-12 window plan (the rotation math, computed end of round 11
+# from the aggregated CORRECTNESS last-green table minus the r11
+# window):
+#   0. Any round-12 registry additions + canaries for green plans
+#      round 12 rewrites (front slots; truncate the fill to keep 50).
+#   1. The 29 remaining r6 greens in registration order (the round-11
+#      window took the first 18): q_tpch_q1, q_join_agg_topn,
+#      q_minhash_sig, q_ngram_jaccard, q_dedup_cluster,
+#      q_dedup_cluster_star, q_dedup_keep_best, q_dedup_incremental,
+#      q_lsh_recall, q_cluster_size_histogram, q_passage_dedup,
+#      q_winnowing, q_chi2_terms, q_substring_spans, q_dsir_weights,
+#      q_phrase_pmi, q_dsir_resample, q_token_gini,
+#      q_pipeline_pretrain, q_hash_sample, q_knn_lsh,
+#      q_dedup_semantic, q_hll_distinct, q_kmv_jaccard, q_countmin,
+#      q_window_rank, q_sessionize, q_asof_join, q_media_decode_real.
+#   2. r7 greens in registration order until the 50 slots are full
+#      (49 candidates; ~21 fit; the rest clear in round 13).
+# Done = no green older than r7 anywhere; steady-state rotation
+# (window 50 vs registry 274) keeps every green within ~6 rounds.
 
 # Round-8 window (executed; all 50 green in CORRECTNESS_r08): the 16
 # ROUND8_ADDITIONS + 34 registration-order fill slots — kept as a named

@@ -105,10 +105,18 @@ def test_verify_window_rotation_consistent():
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     if rows_only:  # class emptied in round 10; guard names[-0:] == all
         assert names[-len(rows_only):] == rows_only
-    # the round-10 window must front-load its rotation inputs: this
-    # round's registrations + pinned-golden conversions take the first
-    # slots (each needs its first hash-checked driver row)
-    assert list(VERIFY_FIRST[: len(ROUND10_ADDITIONS)]) == list(ROUND10_ADDITIONS)
+    # the round-11 window is the pure oldest-green-first rotation: the
+    # three r4 stragglers lead, then the 29-query r5 block, then r6
+    # registration-order fill — no round-11 registrations or canaries
+    # (the round's changes are measurement/doc hygiene, no green plan
+    # was rewritten)
+    assert list(VERIFY_FIRST[:3]) == [
+        "q_corpus_card", "q_filter_cascade", "q_media_dedup"
+    ]
+    r5_block = set(VERIFY_FIRST[3:32])
+    assert r5_block <= set(ROUND5_PLANNED) | {
+        "q_dedup_minhash", "q_heavy_hitters", "q_tfidf", "q_bigram_surprise",
+    }, r5_block - set(ROUND5_PLANNED)
     assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
     for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES,
                     ROUND7_ADDITIONS, ROUND8_ADDITIONS, ROUND9_ADDITIONS,
