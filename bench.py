@@ -134,9 +134,9 @@ def main() -> None:
     # steady-state engine throughput (what a long-running cluster job sees),
     # not one-time JVM compilation.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    calib_wall = round(calibrate(), 4)
-    calib_shuffle = round(calibrate_shuffle(), 4)
-    calib_arrow = round(calibrate_arrow(), 4)
+    calib_wall = round(calibrate(), 3)
+    calib_shuffle = round(calibrate_shuffle(), 3)
+    calib_arrow = round(calibrate_arrow(), 3)
     # Warm-up runs under the SAME per-query confs as the timed run
     # (applied_confs), so the warmed plan shape IS the timed plan shape —
     # otherwise a conf-carrying query (Q11/Q16's broadcast threshold)
@@ -177,7 +177,7 @@ def main() -> None:
             run_dir = spec.bench_dir if use_override else sf_dir
             if use_override:
                 overrides[spec.name] = spec.bench_dir
-            timings[spec.name] = round(run_query(spark, spec, run_dir), 4)
+            timings[spec.name] = round(run_query(spark, spec, run_dir), 3)
         except Exception as exc:  # a failed query shouldn't zero the whole bench
             print(f"BENCH ERROR {spec.name}: {exc}", file=sys.stderr)
             timings[spec.name] = -1.0
@@ -186,23 +186,89 @@ def main() -> None:
         # up to 2x) — free them BETWEEN queries so each row is priced
         # like the fresh-process run a deployment actually does. Not
         # inside run_query: a query's own reps legitimately reuse its
-        # checkpoints.
-        free_checkpoints(spark)
+        # checkpoints. Guarded: a transient Py4J hiccup while unpersisting
+        # should cost stale cache blocks, not the remaining bench rows.
+        try:
+            free_checkpoints(spark)
+        except Exception as exc:
+            print(f"BENCH WARN free_checkpoints: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Same-corpus twin/plain ratios (VERDICT r10 item 3): for every
+    # benched bucketed twin, time its plain sibling in THIS session on
+    # the SAME corpus the twin row ran on, so the bench JSON alone shows
+    # the layout's effect (twin_s / plain_s < 1.0) and a layout
+    # regression moves a driver-recorded number. The x10 corpus rows in
+    # `queries` are NOT comparable to the sf0.1 rows — these ratios are
+    # the only twin numbers that mean anything across corpora. Runs
+    # after every headline row (same reasoning as the bench_dir sort:
+    # bigger inputs evict the page cache). Encoding (kept terse for the
+    # driver's 2000-char stdout tail): {plain_suffix: [twin_s, plain_s,
+    # ratio]}, e.g. {"q4": [0.62, 1.035, 0.6]} = q_tpch_q4_bucketed
+    # 0.62 s vs q_tpch_q4 1.035 s on the twin's corpus → 0.6x.
+    from duckdb_pst_spark.operators.bucketed import TWIN_PAIRS
+
+    twin_plain: dict[str, list[float]] = {}
+    for plain, twin in TWIN_PAIRS:
+        tw = timings.get(twin, -1.0)
+        run_dir = overrides.get(twin)
+        if tw < 0 or run_dir is None:
+            continue
+        try:
+            pl = run_query(spark, specs[plain], run_dir)
+            twin_plain[plain.removeprefix("q_tpch_")] = [
+                round(tw, 3), round(pl, 3), round(tw / pl, 2)
+            ]
+        except Exception as exc:
+            print(f"BENCH WARN twin_plain {plain}: {exc}", file=sys.stderr)
+        try:
+            free_checkpoints(spark)
+        except Exception:
+            pass
+
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # Output discipline: the driver preserves only the LAST 2000 chars
+    # of stdout (BENCH_r10 lost the first 13 query rows to that cap), so
+    # the whole line must fit — compact separators, 3-decimal times, the
+    # override map inverted to {dir: [names]}. Queries are sorted
+    # COLDEST-FIRST: truncation clips the FRONT of the line, so if the
+    # table ever outgrows the cap again it's the cheapest rows that fall
+    # off, and the hot rows + calibration fields always survive.
+    def _fmt(t: float) -> float:
+        # 3 decimals under 1 s (1 ms resolution where it matters), 2
+        # above (10 ms = <=1% there) — every char spent on precision is
+        # a char of another row the 2000-char tail can't keep
+        return round(t, 3) if t < 1 else round(t, 2)
+
+    by_dir: dict[str, object] = {}
+    for name, d in overrides.items():
+        short = d.removeprefix(REPO_ROOT + "/").removeprefix("/root/testdata/")
+        by_dir.setdefault(short, []).append(name)
+    twin_names = {t for _, t in TWIN_PAIRS}
+    for d, names in by_dir.items():
+        # the ten twin rows share one dir; the literal name list alone
+        # is ~220 chars of the 2000 budget — collapse to a documented
+        # token (the twins are exactly operators/bucketed.py TWIN_PAIRS,
+        # also enumerated by this payload's twin_plain keys)
+        if set(names) == twin_names:
+            by_dir[d] = "tpch_bucketed_twins"
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
+                "queries": {
+                    n: _fmt(t)
+                    for n, t in sorted(timings.items(), key=lambda kv: kv[1])
+                },
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
                 "calib_wall": calib_wall,
                 "calib_shuffle": calib_shuffle,
                 "calib_arrow": calib_arrow,
-                "bench_dir_overrides": overrides,
-            }
+                "bench_dir_overrides": by_dir,
+                "twin_plain": twin_plain,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

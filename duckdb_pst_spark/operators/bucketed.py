@@ -90,6 +90,25 @@ def _oracle_of(plain_name: str) -> str:
     return REGISTRY[plain_name].oracle
 
 
+# The (plain, twin) pairing — single source of truth for every consumer
+# that compares a twin against its plain sibling on the SAME corpus:
+# bench.py emits the same-session twin/plain ratios into the bench JSON
+# (a layout regression then moves a driver-recorded number), and
+# tools/ab_bucketed_registered.py runs the interleaved min-of-3 A/B.
+TWIN_PAIRS: tuple[tuple[str, str], ...] = (
+    ("q_tpch_q4", "q_tpch_q4_bucketed"),
+    ("q_tpch_q12", "q_tpch_q12_bucketed"),
+    ("q_tpch_q9", "q_tpch_q9_bucketed"),
+    ("q_tpch_q21", "q_tpch_q21_bucketed"),
+    ("q_tpch_q5", "q_tpch_q5_bucketed"),
+    ("q_tpch_q10", "q_tpch_q10_bucketed"),
+    ("q_tpch_q7", "q_tpch_q7_bucketed"),
+    ("q_tpch_q8", "q_tpch_q8_bucketed"),
+    ("q_tpch_q11", "q_tpch_q11_bucketed"),
+    ("q_tpch_q18", "q_tpch_q18_bucketed"),
+)
+
+
 # ------------------------------------------------- Q4 on the layout
 @query(
     "q_tpch_q4_bucketed",

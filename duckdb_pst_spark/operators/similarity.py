@@ -908,10 +908,12 @@ def q_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits — and BLAS blocking varies with the Arrow batch shape, so even
     two Spark runs can differ by 1 ulp); ``tests/test_knn_gemm.py``
     asserts the top-k PAIR SET matches the exact baseline. Driver
-    correctness: ranking/selection runs on EXACT scores, and the emitted
-    ``cos_sim`` is rounded to 9 decimals (batch-shape-invariant) so the
-    output pins to a constant VALUES golden at sf0.01
-    (tools/pin_goldens.py).""".format(n=N_QUERIES)
+    correctness: the per-batch top-k pre-trim inside the kernel selects
+    on EXACT BLAS scores, while the GLOBAL rank merge deliberately
+    orders by the 9-decimal ROUNDED score (+ cand_id tiebreak) — see
+    the comment at the window below — and the emitted ``cos_sim`` is
+    that rounded, batch-shape-invariant value, so the output pins to a
+    constant VALUES golden at sf0.01 (tools/pin_goldens.py).""".format(n=N_QUERIES)
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
@@ -1213,7 +1215,14 @@ def _cluster_pairs_kernel(pdf):
     """Per-cluster blocked-GEMM near-dup pairs (applyInPandas body shared
     by the semantic-dedup GEMM twins). Row blocks bound the score-matrix
     allocation at 1024×|cluster| doubles; only above-threshold upper-
-    triangle pairs materialize."""
+    triangle pairs materialize.
+
+    The threshold membership test runs on RAW BLAS scores (only the
+    emitted cos_sim is rounded): safe for the constant-pinned goldens
+    because the pinned corpus is VERIFIED to have no pair within 1e-6
+    of SEMANTIC_THRESHOLD (min margin 6.9e-05 — eleven orders above
+    cross-BLAS accumulation noise; certificate:
+    tests/test_knn_gemm.py::test_semantic_threshold_margin_on_pinned_corpus)."""
     import numpy as np
     import pandas as pd
 

@@ -43,8 +43,10 @@ class QuerySpec:
     # FIXED corpus (tools/pin_goldens.py): the oracle equality only holds
     # at this sf_dir, so the parity harness compares builder and oracle
     # there regardless of the ambient test corpus. The driver's gate runs
-    # at sf0.01 — every pinned_sf is sf0.01 (or the corpus-independent
-    # media fixture, which pins sf0.01 merely for definiteness).
+    # at sf0.01 — every pinned_sf is sf0.01. The media-fixture goldens
+    # are registered WITHOUT pinned_sf: their input is the repo's own
+    # deterministic fixture, not the sf corpus, so the golden holds at
+    # any sf_dir.
     pinned_sf: str | None = None
 
 

@@ -120,8 +120,6 @@ def export_bucketed(
         col = f"{_BUCKET_KEY_PREFIX[t]}_{key}"
         name = f"bkt_{key}{n_buckets}_{digest}_{t}"
         if not (reuse and spark.catalog.tableExists(name)):
-            _gc_superseded_layout(spark, wh, sf_dir, key=key,
-                                  n_buckets=n_buckets, t=t, digest=digest)
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             save_bucketed_table(
                 load_table(spark, sf_dir, t).repartition(n_buckets, col),
@@ -130,6 +128,12 @@ def export_bucketed(
                 n_buckets=n_buckets,
                 sort_by=[col],
             )
+            # GC runs only AFTER the replacement layout is durably
+            # written: a failed write must leave the superseded layout
+            # (and its ledger row) untouched, never a window where
+            # neither layout exists.
+            _gc_superseded_layout(spark, wh, sf_dir, key=key,
+                                  n_buckets=n_buckets, t=t, digest=digest)
         out[t] = name
     return out
 
@@ -146,11 +150,18 @@ def _gc_superseded_layout(
     accumulate unboundedly across sessions (round-9 advisor finding). A
     sidecar ledger in the warehouse maps (key, buckets, table, source
     path) → last digest; on mismatch the superseded table/directory is
-    dropped before the new one is written. Distinct corpora at distinct
-    paths never collide in the ledger, so their layouts coexist."""
+    dropped. Called by export_bucketed only AFTER the replacement layout
+    is written, so the ledger never records a digest whose table does
+    not exist, and the ledger file itself is committed by atomic rename
+    (no torn reads). Distinct corpora at distinct paths never collide
+    in the ledger, so their layouts coexist. Concurrency: the ledger is
+    single-writer by design (one builder session owns a warehouse);
+    concurrent sessions can lose each other's GC bookkeeping — the cost
+    is a leaked stale directory, never a missing live layout."""
     import json
     import os
     import shutil
+    import tempfile
 
     ledger_path = os.path.join(wh, "bkt_layout_ledger.json")
     try:
@@ -170,8 +181,10 @@ def _gc_superseded_layout(
     ledger[lkey] = digest
     try:
         os.makedirs(wh, exist_ok=True)
-        with open(ledger_path, "w") as f:
+        fd, tmp = tempfile.mkstemp(dir=wh, prefix=".bkt_ledger_")
+        with os.fdopen(fd, "w") as f:
             json.dump(ledger, f, indent=0, sort_keys=True)
+        os.replace(tmp, ledger_path)
     except OSError:
         pass  # read-only warehouse: the loud-fallback path handles it
 

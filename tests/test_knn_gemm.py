@@ -48,6 +48,38 @@ def test_semantic_gemm_pairs_match_exact(spark, sf_dir):
     assert all(abs(exact[k] - fast[k]) < 1e-9 for k in exact)
 
 
+def test_semantic_threshold_margin_on_pinned_corpus():
+    """Certificate for the constant-pinned semantic-dedup goldens: the
+    kernel's threshold membership test (`S > SEMANTIC_THRESHOLD` in
+    _cluster_pairs_kernel) runs on raw BLAS scores, so a pair whose
+    exact cosine sat within ~1 ulp of the threshold could flip in/out
+    of the pinned VALUES golden on a different BLAS build. Prove the
+    class empty on the pinned corpus, assignment-independently: over
+    ALL embedding pairs (a superset of every clustering's within-
+    cluster pairs), the minimum |cos - SEMANTIC_THRESHOLD| must exceed
+    1e-6 — measured 6.9e-05, eleven orders above float64 accumulation
+    noise. If the driver regenerates the corpus this re-proves the
+    margin (and test_pinned_goldens_match_current_corpus already forces
+    a golden re-pin)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from duckdb_pst_spark.goldens_pinned import PINNED_SF
+    from duckdb_pst_spark.operators.similarity import SEMANTIC_THRESHOLD
+
+    t = pq.read_table(f"{PINNED_SF}/embeddings.parquet", columns=["embedding"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    margin = np.abs(S[iu] - SEMANTIC_THRESHOLD).min()
+    assert margin > 1e-6, (
+        f"a pair's cosine is within {margin} of SEMANTIC_THRESHOLD — "
+        "re-pin the goldens with a threshold-epsilon policy before "
+        "trusting cross-BLAS determinism"
+    )
+
+
 def test_lloyd_gemm_matches_jvm(spark, sf_dir):
     """_lloyd_gemm must walk the identical integer lattice as _lloyd:
     same final (vec_id, cid) assignment, at the oracle K and at a K

@@ -25,21 +25,11 @@ if REPO_ROOT not in sys.path:
 
 SF = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".cache", "x100")
 REPS = 3
-PAIRS = [
-    ("q_tpch_q4", "q_tpch_q4_bucketed"),
-    ("q_tpch_q12", "q_tpch_q12_bucketed"),
-    ("q_tpch_q9", "q_tpch_q9_bucketed"),
-    ("q_tpch_q21", "q_tpch_q21_bucketed"),
-    ("q_tpch_q5", "q_tpch_q5_bucketed"),
-    ("q_tpch_q10", "q_tpch_q10_bucketed"),
-    ("q_tpch_q7", "q_tpch_q7_bucketed"),
-    ("q_tpch_q8", "q_tpch_q8_bucketed"),
-    # round 10: partkey layout (the Q11 aggregate-exchange cure)
-    ("q_tpch_q11", "q_tpch_q11_bucketed"),
-    # round 10: Q18 on the existing orderkey layout (whole plan
-    # exchange-free; 0.68x at x100)
-    ("q_tpch_q18", "q_tpch_q18_bucketed"),
-]
+# pairing lives in operators/bucketed.py (TWIN_PAIRS) — one source of
+# truth shared with bench.py's same-session twin/plain ratio emission
+from duckdb_pst_spark.operators.bucketed import TWIN_PAIRS
+
+PAIRS = list(TWIN_PAIRS)
 # optional filter: comma-separated plain names, e.g. "q_tpch_q7,q_tpch_q8"
 _ONLY = os.environ.get("AB_BUCKETED_ONLY")
 if _ONLY:
