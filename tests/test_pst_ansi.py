@@ -149,6 +149,7 @@ def test_unicode_golden_still_reads():
 
 PT_LONG = 0x0003
 PT_STRING8 = 0x001E
+PT_BINARY = 0x0102
 
 
 def _hn_pc(props: dict[int, tuple[int, object]]) -> bytes:
@@ -172,8 +173,14 @@ def _hn_pc(props: dict[int, tuple[int, object]]) -> bytes:
             var_items.append(str(val).encode("cp1252"))
             dw = next_idx << 5
             next_idx += 1
+        elif ptype == PT_BINARY:
+            var_items.append(bytes(val))
+            dw = next_idx << 5
+            next_idx += 1
         else:
-            raise AssertionError(f"writer supports PT_LONG/PT_STRING8, got {ptype:#x}")
+            raise AssertionError(
+                f"writer supports PT_LONG/PT_STRING8/PT_BINARY, got {ptype:#x}"
+            )
         recs += struct.pack("<HHI", pid, ptype, dw)
     bth = struct.pack("<BBBBI", 0xB5, 2, 6, 0, 2 << 5)
     items = [bth, recs] + var_items
@@ -296,6 +303,237 @@ def test_ansi_full_archive_messaging_layer(ansi_full_pst):
         assert m["recipients"] == [] and m["attachment_count"] == 0
     finally:
         a.close()
+
+
+# --------------------------------------------------------------------
+# Round 11: recipients + attachments on the ANSI path (VERDICT r10 item
+# 8 — A13/A14 were exercised only on the Unicode golden). The writer
+# gains a spec-literal Table Context ([MS-PST] §2.3.4) and the message
+# node a subnode tree (SLBLOCK) carrying the recipient table, the
+# attachment table, and one attachment PC — the same object graph the
+# reference walks via pstsdk (message::recipient/attachment iteration).
+
+
+def _hn_tc(columns: list[tuple[int, int]], rows: list[tuple[int, dict]]) -> bytes:
+    """One-block heap-on-node carrying a Table Context.
+
+    ``columns``: (wPropId, wPropType) in row-layout order — every cell
+    is written into the 4-byte group (PT_LONG inline, var-length types
+    as HNIDs of heap items). ``rows``: (dwRowID, {wPropId: value}).
+
+    Spec-literal from [MS-PST] §2.3.4 (offsets hardcoded, independent of
+    the reader): heap item 1 = TCINFO {bType 0x7C, cCols, rgib[4] =
+    ends of the 4/2/1-byte/CEB groups, hidRowIndex, hnidRows, hidIndex,
+    rgTCOLDESC {dwTag, ibData, cbData, iBit}}; item 2 = row-index
+    BTHHEADER (cbKey 4 = dwRowID, cbEnt 4 = dwRowIndex); item 3 = the
+    row-index records; item 4 = the row matrix (each row: dwRowID, the
+    4-byte cells, the Cell Existence Bitmap — bit i of column i at byte
+    i//8, mask 1<<(7-i%8)); items 5.. = variable-length values."""
+    n = len(columns)
+    end_4b = 4 + 4 * n
+    row_w = end_4b + (n + 7) // 8
+    rgib = (end_4b, end_4b, end_4b, row_w)
+
+    var_items: list[bytes] = []
+    next_idx = 5
+
+    def cell(ptype: int, val: object) -> int:
+        nonlocal next_idx
+        if ptype == PT_LONG:
+            return int(val)
+        if ptype == PT_STRING8:
+            var_items.append(str(val).encode("cp1252"))
+        elif ptype == PT_BINARY:
+            var_items.append(bytes(val))
+        else:
+            raise AssertionError(f"TC writer: unsupported ptype {ptype:#x}")
+        hid = next_idx << 5
+        next_idx += 1
+        return hid
+
+    matrix = b""
+    index_recs = b""
+    for ridx, (row_id, vals) in enumerate(rows):
+        index_recs += struct.pack("<II", row_id, ridx)
+        body = struct.pack("<I", row_id)
+        ceb = bytearray((n + 7) // 8)
+        for i, (pid, ptype) in enumerate(columns):
+            if pid in vals:
+                body += struct.pack("<I", cell(ptype, vals[pid]))
+                ceb[i // 8] |= 1 << (7 - i % 8)
+            else:
+                body += struct.pack("<I", 0)
+        matrix += body + bytes(ceb)
+
+    tcinfo = struct.pack("<BB4HIII", 0x7C, n, *rgib, 2 << 5, 4 << 5, 0)
+    for i, (pid, ptype) in enumerate(columns):
+        tcinfo += struct.pack("<IHBB", (pid << 16) | ptype, 4 + 4 * i, 4, i)
+    bth = struct.pack("<BBBBI", 0xB5, 4, 4, 0, 3 << 5)
+
+    items = [tcinfo, bth, index_recs, matrix] + var_items
+    off = 12
+    allocs = [off]
+    body = b""
+    for it in items:
+        body += it
+        off += len(it)
+        allocs.append(off)
+    hdr = struct.pack("<HBBII", off, 0xEC, 0x7C, 1 << 5, 0)
+    pagemap = struct.pack(f"<HH{len(allocs)}H", len(items), 0, *allocs)
+    return hdr + body + pagemap
+
+
+NID_ATT = (12 << 5) | 8  # attachment PC subnode: NID_TYPE_ATTACHMENT=0x08
+
+
+@pytest.fixture(scope="module")
+def ansi_rich_pst(tmp_path_factory):
+    """ansi_full_pst plus a subnode tree on the message: recipient TC
+    (two rows: TO + CC), attachment TC (one row whose dwRowID is the
+    attachment PC's subnode nid, per the SDK's iteration contract), and
+    the attachment PC itself (BY_VALUE with inline PT_BINARY bytes, so
+    A14's bytes gating is exercisable on the ANSI path)."""
+    rcpt_tc = _hn_tc(
+        [(0x0C15, PT_LONG), (0x3001, PT_STRING8),
+         (0x3002, PT_STRING8), (0x3003, PT_STRING8)],
+        [
+            (1, {0x0C15: 1, 0x3001: "Ann ANSI", 0x3002: "SMTP",
+                 0x3003: "ann@example.com"}),
+            (2, {0x0C15: 2, 0x3001: "Bob ANSI", 0x3002: "SMTP",
+                 0x3003: "bob@example.com"}),
+        ],
+    )
+    att_tc = _hn_tc([(0x0E20, PT_LONG)], [(NID_ATT, {0x0E20: 7})])
+    att_pc = _hn_pc({
+        0x3704: (PT_STRING8, "ansi.txt"),
+        0x3705: (PT_LONG, 1),  # ATTACH_BY_VALUE
+        0x0E20: (PT_LONG, 7),
+        0x3701: (PT_BINARY, b"PAYLOAD"),
+    })
+    pcs = {
+        NID_STORE: _hn_pc({0x3001: (PT_STRING8, "ANSI test store")}),
+        NID_ROOT: _hn_pc({
+            0x3001: (PT_STRING8, ""),
+            0x3602: (PT_LONG, 0),
+            0x3603: (PT_LONG, 0),
+        }),
+        NID_INBOX: _hn_pc({
+            0x3001: (PT_STRING8, "Inbox ANSI"),
+            0x3613: (PT_STRING8, "IPF.Note"),
+            0x3602: (PT_LONG, 1),
+            0x3603: (PT_LONG, 1),
+        }),
+        NID_MSG: _hn_pc({
+            0x001A: (PT_STRING8, "IPM.Note"),
+            0x0037: (PT_STRING8, "with recipients"),
+            0x1000: (PT_STRING8, "ANSI body text"),
+            0x0E08: (PT_LONG, 123),
+        }),
+    }
+    # external blocks (bid bit1 clear): node PCs, then the three
+    # subnode payloads
+    layout: dict[int, tuple[int, bytes]] = {}
+    bids: dict[object, int] = {}
+    ib, bid = 1024, 4
+    for tag, payload in list(pcs.items()) + [
+        ("rcpt_tc", rcpt_tc), ("att_tc", att_tc), ("att_pc", att_pc)
+    ]:
+        bids[tag] = bid
+        layout[bid] = (ib, payload)
+        ib += (len(payload) + 255) // 256 * 256
+        bid += 4
+    # SLBLOCK (internal: bid bit1 set) — 12-byte ANSI SLENTRYs
+    from duckdb_pst_spark.sources.mspst.ndb import (
+        NID_ATTACHMENT_TABLE,
+        NID_RECIPIENT_TABLE,
+    )
+
+    sl_entries = [
+        (NID_ATTACHMENT_TABLE, bids["att_tc"], 0),
+        (NID_RECIPIENT_TABLE, bids["rcpt_tc"], 0),
+        (NID_ATT, bids["att_pc"], 0),
+    ]
+    slblock = struct.pack("<BBH", 0x02, 0, len(sl_entries)) + b"".join(
+        struct.pack("<III", *e) for e in sorted(sl_entries)
+    )
+    sl_bid = bid + 2  # bit1 set → internal
+    bids["sl"] = sl_bid
+    layout[sl_bid] = (ib, slblock)
+    ib += (len(slblock) + 255) // 256 * 256
+
+    nbt_ib, bbt_ib = ib, ib + PAGE
+    file_size = bbt_ib + PAGE
+    parents = {NID_STORE: NID_STORE, NID_ROOT: NID_ROOT,
+               NID_INBOX: NID_ROOT, NID_MSG: NID_INBOX}
+    nbt = _page_ansi(
+        [struct.pack("<IIII", nid, bids[nid],
+                     sl_bid if nid == NID_MSG else 0, parents[nid])
+         for nid in sorted(pcs)],
+        cb_ent=16, c_level=0, ptype=0x81,
+    )
+    bbt = _page_ansi(
+        [struct.pack("<IIHH", b, off, len(pl), 1)
+         for b, (off, pl) in sorted(layout.items())],
+        cb_ent=12, c_level=0, ptype=0x80,
+    )
+
+    hdr = bytearray(PAGE)
+    hdr[0:4] = b"!BDN"
+    struct.pack_into("<H", hdr, 10, 14)
+    struct.pack_into("<I", hdr, 168, file_size)
+    struct.pack_into("<II", hdr, 184, 0, nbt_ib)
+    struct.pack_into("<II", hdr, 192, 0, bbt_ib)
+    hdr[461] = 0
+
+    buf = bytearray(file_size)
+    buf[:PAGE] = hdr
+    for b, (off, pl) in layout.items():
+        buf[off : off + len(pl)] = pl
+    buf[nbt_ib : nbt_ib + PAGE] = nbt
+    buf[bbt_ib : bbt_ib + PAGE] = bbt
+
+    p = tmp_path_factory.mktemp("ansi_rich") / "rich_ansi.pst"
+    p.write_bytes(bytes(buf))
+    return str(p)
+
+
+def test_ansi_recipients_and_attachments_messaging(ansi_rich_pst):
+    """A13 on the ANSI path: the recipient TC and attachment table
+    decode through the format-shared LTP layer; A14: attachment bytes
+    stay None unless explicitly requested (BY_VALUE gate)."""
+    from duckdb_pst_spark.sources.mspst.messaging import PstArchive
+
+    a = PstArchive(ansi_rich_pst)
+    try:
+        (m,) = list(a.messages())
+        assert [r["display_name"] for r in m["recipients"]] == [
+            "Ann ANSI", "Bob ANSI"
+        ]
+        assert m["recipients"][0]["recipient_type"] == "TO"
+        assert m["recipients"][1]["recipient_type"] == "CC"
+        assert m["recipients"][0]["email_address"] == "ann@example.com"
+        assert m["attachment_count"] == 1 and m["has_attachments"]
+        (att,) = m["attachments"]
+        assert att["filename"] == "ansi.txt"
+        assert att["attach_method"] == "BY_VALUE"
+        assert att["size"] == 7
+        assert att["bytes"] is None  # A14: not requested -> not decoded
+        (m2,) = list(a.messages(read_attachment_body=True))
+        assert m2["attachments"][0]["bytes"] == b"PAYLOAD"
+    finally:
+        a.close()
+
+
+def test_ansi_recipients_spark_scan(spark, ansi_rich_pst):
+    """The DataSource path over the rich ANSI archive: recipients and
+    attachment metadata arrive through spark.read.format("pst")."""
+    from duckdb_pst_spark.sources.mspst.datasource import register
+
+    register(spark)
+    (row,) = spark.read.format("pst").load(ansi_rich_pst).collect()
+    assert [r.display_name for r in row.recipients] == ["Ann ANSI", "Bob ANSI"]
+    assert row.attachment_count == 1
+    assert row.attachments[0].filename == "ansi.txt"
 
 
 def test_ansi_full_archive_spark_scan(spark, ansi_full_pst):
