@@ -106,6 +106,9 @@ TWIN_PAIRS: tuple[tuple[str, str], ...] = (
     ("q_tpch_q8", "q_tpch_q8_bucketed"),
     ("q_tpch_q11", "q_tpch_q11_bucketed"),
     ("q_tpch_q18", "q_tpch_q18_bucketed"),
+    # round 11: Q3 on the existing orderkey layout (whole plan
+    # exchange-free, same contract class as Q18's twin)
+    ("q_tpch_q3", "q_tpch_q3_bucketed"),
 )
 
 
@@ -692,4 +695,60 @@ def q_tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
             "sum_qty",
         )
+    )
+
+
+# --------------------------------------------- Q3 on the layout
+@query(
+    "q_tpch_q3_bucketed",
+    oracle=_oracle_of("q_tpch_q3"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+    bench_dir=_X10_BENCH,
+)
+def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q3 on the orderkey-bucketed layout (round-11 twin): the
+    plain plan's one corpus-sized exchange is the lineitem⋈orders join
+    + revenue rollup on orderkey; here the segment-filtered customer
+    broadcasts into the BUCKETED orders scan (BHJ preserves the stream
+    side's bucket partitioning and per-bucket sort), the fact join runs
+    as a merge-hinted SortMergeJoin over co-bucketed scans, and the
+    (l_orderkey, o_orderdate) rollup is satisfied by the join's
+    orderkey partitioning — so like Q18's twin the ENTIRE plan carries
+    ZERO shuffle exchanges (plan-gated in tests/test_bucketed_twins.py;
+    the top-10 is a TakeOrderedAndProject, not a sort exchange).
+    Same oracle as the plain twin — the answer is layout-invariant.
+    Measured same-session interleaved min-of-3 vs plain before shipping
+    (SCALE.md round-11 ledger): 0.48x at x10 (1.51 -> 0.73 s), 0.49x
+    at x100 (4.70 -> 2.32 s), results pinned equal."""
+    o_b, li_b = bucketed_tables(spark, sf_dir)
+    cutoff = F.lit("1995-03-15").cast("date")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        o_b.filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_orderdate", "o_custkey")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        li_b.filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).cast("long").alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderdate").asc(),
+                 F.col("l_orderkey").asc())
+        .limit(10)
     )

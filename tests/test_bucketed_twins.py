@@ -175,3 +175,26 @@ def test_q18_twin_whole_plan_is_exchange_free(spark, sf_dir):
     plan = _executed_plan(SPECS["q_tpch_q18_bucketed"].builder(spark, sf_dir))
     assert not _SHUFFLE.search(plan), plan
     assert plan.count("Bucketed: true") >= 3, plan
+
+
+# ---------------------------- round 11: Q3 on the orderkey layout
+
+
+def test_q3_twin_rows_equal_plain(spark, sf_dir):
+    a = sorted(map(tuple, SPECS["q_tpch_q3"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["q_tpch_q3_bucketed"].builder(spark, sf_dir).collect()))
+    assert a == b, (a[:3], b[:3])
+
+
+def test_q3_twin_whole_plan_is_exchange_free(spark, sf_dir):
+    """Q18-class contract: ZERO shuffle exchanges anywhere — the
+    segment-filtered customer broadcasts into the bucketed orders scan
+    (BHJ preserves bucket partitioning + per-bucket sort), the fact
+    join is a merge-pinned SMJ over two `Bucketed: true` scans, the
+    (l_orderkey, o_orderdate) revenue rollup is satisfied by the
+    orderkey partitioning (subset rule), and the top-10 is a
+    TakeOrderedAndProject, not a sort exchange."""
+    plan = _executed_plan(SPECS["q_tpch_q3_bucketed"].builder(spark, sf_dir))
+    assert not _SHUFFLE.search(plan), plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan

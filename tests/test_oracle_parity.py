@@ -105,22 +105,25 @@ def test_verify_window_rotation_consistent():
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     if rows_only:  # class emptied in round 10; guard names[-0:] == all
         assert names[-len(rows_only):] == rows_only
-    # the round-11 window is the pure oldest-green-first rotation: the
-    # three r4 stragglers lead, then the 29-query r5 block, then r6
-    # registration-order fill — no round-11 registrations or canaries
-    # (the round's changes are measurement/doc hygiene, no green plan
-    # was rewritten)
-    assert list(VERIFY_FIRST[:3]) == [
+    # the round-11 window: the one round-11 registration leads (the new
+    # Q3 twin needs its first hash-checked driver row), then the pure
+    # oldest-green-first rotation — three r4 stragglers, the 29-query
+    # r5 block, r6 registration-order fill. No canaries owed (no green
+    # plan was rewritten this round).
+    from duckdb_pst_spark.registry import ROUND11_ADDITIONS
+
+    assert list(VERIFY_FIRST[: len(ROUND11_ADDITIONS)]) == list(ROUND11_ADDITIONS)
+    assert list(VERIFY_FIRST[1:4]) == [
         "q_corpus_card", "q_filter_cascade", "q_media_dedup"
     ]
-    r5_block = set(VERIFY_FIRST[3:32])
+    r5_block = set(VERIFY_FIRST[4:33])
     assert r5_block <= set(ROUND5_PLANNED) | {
         "q_dedup_minhash", "q_heavy_hitters", "q_tfidf", "q_bigram_surprise",
     }, r5_block - set(ROUND5_PLANNED)
     assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
     for planned in (ROUND5_PLANNED, ROUND6_ADDITIONS, ROUND7_CANARIES,
                     ROUND7_ADDITIONS, ROUND8_ADDITIONS, ROUND9_ADDITIONS,
-                    ROUND9_CANARIES, ROUND10_ADDITIONS):
+                    ROUND9_CANARIES, ROUND10_ADDITIONS, ROUND11_ADDITIONS):
         assert all(
             n in SPECS and SPECS[n].oracle is not None for n in planned
         ), [n for n in planned if n not in SPECS or SPECS[n].oracle is None]
