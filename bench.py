@@ -127,6 +127,29 @@ def main() -> None:
             ).collect()
             best = min(best, time.perf_counter() - t0)
         return best
+
+    def calibrate_spill() -> float:
+        """Fixed shuffle-FILE-IO probe: 2M rows x ~1 KB payload through
+        one exchange = ~2 GB of map-output written to and read back
+        from local shuffle files. calib_shuffle's 20M x 16 B probe is
+        small enough to live in the page cache, so it misses the disk
+        term — round-11 sessions read q_minhash_band_stats 30% above
+        even its shuffle-normalized band (SCALE.md r11) while
+        calib_shuffle sat mid-band, pointing at exactly this profile.
+        min-of-2 (the probe is the expensive one; its variance IS the
+        signal being priced)."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                spark.range(2_000_000)
+                .selectExpr("id % 1024 AS k", "repeat('abcdefgh', 128) AS v")
+                .repartition(64, "k")
+                .selectExpr("sum(length(v))")
+                .collect()
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
     # Warm-up: JVM, whole-stage-codegen JIT, parquet footer caches, and the
     # broadcast/checkpoint machinery. Each bench query runs once UNTIMED at
     # the tiny sf0.001 so every plan shape is code-generated and JIT-compiled
@@ -137,6 +160,7 @@ def main() -> None:
     calib_wall = round(calibrate(), 3)
     calib_shuffle = round(calibrate_shuffle(), 3)
     calib_arrow = round(calibrate_arrow(), 3)
+    calib_spill = round(calibrate_spill(), 3)
     # Warm-up runs under the SAME per-query confs as the timed run
     # (applied_confs), so the warmed plan shape IS the timed plan shape —
     # otherwise a conf-carrying query (Q11/Q16's broadcast threshold)
@@ -216,7 +240,7 @@ def main() -> None:
         try:
             pl = run_query(spark, specs[plain], run_dir)
             twin_plain[plain.removeprefix("q_tpch_")] = [
-                round(tw, 3), round(pl, 3), round(tw / pl, 2)
+                round(tw, 2), round(pl, 2), round(tw / pl, 2)
             ]
         except Exception as exc:
             print(f"BENCH WARN twin_plain {plain}: {exc}", file=sys.stderr)
@@ -265,6 +289,7 @@ def main() -> None:
                 "calib_wall": calib_wall,
                 "calib_shuffle": calib_shuffle,
                 "calib_arrow": calib_arrow,
+                "calib_spill": calib_spill,
                 "bench_dir_overrides": by_dir,
                 "twin_plain": twin_plain,
             },
