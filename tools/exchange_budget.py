@@ -14,6 +14,16 @@ physical operator) — summing ``execution.metrics()`` instead
 double-counts accumulators across AQE plan versions (measured 8.4x
 inflation on Q5).
 
+Round-11 fix: builders with an eager ``localCheckpoint`` (Q11's value
+view, Q15's revenue view) execute the checkpointed fragment DURING the
+builder call as its own SQL execution — reading only the last
+execution saw a post-checkpoint tail that starts at Scan ExistingRDD
+and hid every exchange beneath the checkpoint (the r10 Q11 budget had
+to be measured by hand because of this). The script now snapshots the
+execution list before each builder and aggregates exchanges over ALL
+executions the query triggered (checkpoint fragments + the final noop
+write).
+
 q_tpch_q6 runs as the zero-exchange control (its budget must be ~zero:
 one partial-aggregate row per task).
 
@@ -61,16 +71,10 @@ def main() -> None:
     specs = load_all()
     store = spark._jsparkSession.sharedState().statusStore()
 
-    results: dict[str, dict] = {}
-    for name in QUERIES:
-        df = specs[name].builder(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        execs = store.executionsList()
-        e = execs.apply(execs.size() - 1)  # the execution we just ran
-        mvals = store.executionMetrics(e.executionId())
-        g = store.planGraph(e.executionId())
-        nodes = g.allNodes()
-        exchanges = []
+    def _exchanges_of(execution_id) -> list[dict]:
+        mvals = store.executionMetrics(execution_id)
+        nodes = store.planGraph(execution_id).allNodes()
+        out = []
         for i in range(nodes.size()):
             n = nodes.apply(i)
             if n.name() != "Exchange":  # Broadcast/ReusedExchange excluded
@@ -86,7 +90,20 @@ def main() -> None:
                     rec = _parse_count(v.get())
                 elif m.name() == "shuffle bytes written":
                     by = _parse_size(v.get())
-            exchanges.append({"records": int(rec), "mib": round(by / 2**20, 1)})
+            out.append({"records": int(rec), "mib": round(by / 2**20, 1)})
+        return out
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        before = store.executionsList().size()
+        df = specs[name].builder(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        execs = store.executionsList()
+        exchanges = []
+        # every execution this query triggered: eager-localCheckpoint
+        # fragments during the builder call, then the final noop write
+        for k in range(before, execs.size()):
+            exchanges.extend(_exchanges_of(execs.apply(k).executionId()))
         exchanges.sort(key=lambda x: -x["records"])
         results[name] = {
             "n_exchanges": len(exchanges),
