@@ -109,6 +109,9 @@ TWIN_PAIRS: tuple[tuple[str, str], ...] = (
     # round 11: Q3 on the existing orderkey layout (whole plan
     # exchange-free, same contract class as Q18's twin)
     ("q_tpch_q3", "q_tpch_q3_bucketed"),
+    # round 11: Q13 on a custkey layout (the third layout family;
+    # only the ~dozen-row histogram rollup crosses a wire)
+    ("q_tpch_q13", "q_tpch_q13_bucketed"),
 )
 
 
@@ -751,4 +754,70 @@ def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_cents").desc(), F.col("o_orderdate").asc(),
                  F.col("l_orderkey").asc())
         .limit(10)
+    )
+
+
+# --------------------------------------- Q13 on a custkey layout
+def bucketed_custkey_tables(spark: SparkSession, sf_dir: str):
+    """(customer, orders) over a CUSTKEY-bucketed layout — the third
+    layout family (after orderkey and partkey), created-or-reused per
+    session/source with the same digest/GC discipline, same LOUD
+    plain-scan fallback as ``bucketed_tables``. Serves every custkey
+    equi-join/aggregate (Q13's order-count distribution is the
+    registered consumer)."""
+    import sys
+
+    from duckdb_pst_spark.sinks import export_bucketed
+
+    try:
+        names = export_bucketed(
+            spark, sf_dir, key="custkey", tables=("customer", "orders"),
+            n_buckets=N_BUCKETS,
+        )
+        return spark.table(names["customer"]), spark.table(names["orders"])
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        print(
+            f"custkey layout unavailable ({type(exc).__name__}: {exc}); "
+            "falling back to plain scans",
+            file=sys.stderr,
+        )
+        return table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+
+
+@query(
+    "q_tpch_q13_bucketed",
+    oracle=_oracle_of("q_tpch_q13"),
+    tags=("relational", "join", "agg", "bucketed"),
+    bench=True,
+    bench_dir=_X10_BENCH,
+)
+def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q13 on a CUSTKEY-bucketed (customer, orders) layout —
+    the round-11 twelfth twin and the third layout family. The plain
+    plan's one corpus-sized exchange is orders shuffled by custkey
+    into the LEFT OUTER join (the per-customer count rides the join
+    partitioning); here the join is a merge-pinned SMJ over two
+    co-bucketed per-bucket-sorted scans with the priority predicate as
+    the join residual, the per-customer count runs bucket-local, and
+    the ONLY shuffle in the plan is the ~dozen-row count-of-counts
+    rollup (plan-gated in tests/test_bucketed_twins.py — the Q12
+    contract class). Measured same-session interleaved min-of-3 vs
+    plain, results pinned equal (tools/ab_q13_custkey.py): 0.32x at
+    x10 (1.77 -> 0.57 s), 0.30x at x100 (2.76 -> 0.82 s). Layout once:
+    13.6 s at x10, 17.9 s at x100 (orders + customer are the two
+    SMALL fact-adjacent tables — this family is an order of magnitude
+    cheaper to materialize than the lineitem layouts)."""
+    c_b, o_b = bucketed_custkey_tables(spark, sf_dir)
+    per_cust = (
+        c_b.join(
+            o_b.hint("merge"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
     )

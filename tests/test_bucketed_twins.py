@@ -198,3 +198,37 @@ def test_q3_twin_whole_plan_is_exchange_free(spark, sf_dir):
     assert not _SHUFFLE.search(plan), plan
     assert plan.count("Bucketed: true") == 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------- round 11: Q13 on a custkey layout
+
+
+def test_q13_twin_rows_equal_plain(spark, sf_dir):
+    a = sorted(map(tuple, SPECS["q_tpch_q13"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["q_tpch_q13_bucketed"].builder(spark, sf_dir).collect()))
+    assert a == b, (a[:5], b[:5])
+
+
+def test_q13_twin_only_histogram_shuffles(spark, sf_dir):
+    """The Q12 contract class on the custkey layout: the LEFT OUTER
+    fact join is a merge-pinned SMJ over two `Bucketed: true` scans
+    (zero exchange, zero sort — the residual priority predicate rides
+    the join), the per-customer count runs bucket-local, and the ONLY
+    shuffle in the whole plan is the ~dozen-row count-of-counts
+    rollup."""
+    plan = _executed_plan(SPECS["q_tpch_q13_bucketed"].builder(spark, sf_dir))
+    assert len(_SHUFFLE.findall(plan)) == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_q13_twin_fallback_to_plain(spark, sf_dir, monkeypatch):
+    """Unwritable warehouse → loud degrade to plain scans, same rows."""
+    from duckdb_pst_spark import sinks
+
+    monkeypatch.setattr(
+        sinks, "export_bucketed",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("warehouse read-only")),
+    )
+    got = sorted(map(tuple, SPECS["q_tpch_q13_bucketed"].builder(spark, sf_dir).collect()))
+    want = sorted(map(tuple, SPECS["q_tpch_q13"].builder(spark, sf_dir).collect()))
+    assert got == want

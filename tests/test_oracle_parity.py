@@ -112,11 +112,12 @@ def test_verify_window_rotation_consistent():
     # plan was rewritten this round).
     from duckdb_pst_spark.registry import ROUND11_ADDITIONS
 
-    assert list(VERIFY_FIRST[: len(ROUND11_ADDITIONS)]) == list(ROUND11_ADDITIONS)
-    assert list(VERIFY_FIRST[1:4]) == [
+    n_add = len(ROUND11_ADDITIONS)
+    assert list(VERIFY_FIRST[:n_add]) == list(ROUND11_ADDITIONS)
+    assert list(VERIFY_FIRST[n_add:n_add + 3]) == [
         "q_corpus_card", "q_filter_cascade", "q_media_dedup"
     ]
-    r5_block = set(VERIFY_FIRST[4:33])
+    r5_block = set(VERIFY_FIRST[n_add + 3:n_add + 32])
     assert r5_block <= set(ROUND5_PLANNED) | {
         "q_dedup_minhash", "q_heavy_hitters", "q_tfidf", "q_bigram_surprise",
     }, r5_block - set(ROUND5_PLANNED)
