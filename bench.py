@@ -226,9 +226,10 @@ def main() -> None:
     # the only twin numbers that mean anything across corpora. Runs
     # after every headline row (same reasoning as the bench_dir sort:
     # bigger inputs evict the page cache). Encoding (kept terse for the
-    # driver's 2000-char stdout tail): {plain_suffix: [twin_s, plain_s,
-    # ratio]}, e.g. {"q4": [0.62, 1.035, 0.6]} = q_tpch_q4_bucketed
-    # 0.62 s vs q_tpch_q4 1.035 s on the twin's corpus → 0.6x.
+    # driver's 2000-char stdout tail): {plain_suffix: [plain_s, ratio]}
+    # — the twin's own seconds are already the `queries` row, so e.g.
+    # {"q4": [1.04, 0.6]} = q_tpch_q4 took 1.04 s on the twin's corpus
+    # and the twin read 0.6x that.
     from duckdb_pst_spark.operators.bucketed import TWIN_PAIRS
 
     twin_plain: dict[str, list[float]] = {}
@@ -240,7 +241,7 @@ def main() -> None:
         try:
             pl = run_query(spark, specs[plain], run_dir)
             twin_plain[plain.removeprefix("q_tpch_")] = [
-                round(tw, 2), round(pl, 2), round(tw / pl, 2)
+                round(pl, 2), round(tw / pl, 2)
             ]
         except Exception as exc:
             print(f"BENCH WARN twin_plain {plain}: {exc}", file=sys.stderr)
