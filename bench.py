@@ -226,13 +226,13 @@ def main() -> None:
     # the only twin numbers that mean anything across corpora. Runs
     # after every headline row (same reasoning as the bench_dir sort:
     # bigger inputs evict the page cache). Encoding (kept terse for the
-    # driver's 2000-char stdout tail): {plain_suffix: [plain_s, ratio]}
-    # — the twin's own seconds are already the `queries` row, so e.g.
-    # {"q4": [1.04, 0.6]} = q_tpch_q4 took 1.04 s on the twin's corpus
-    # and the twin read 0.6x that.
+    # driver's 2000-char stdout tail): {plain_suffix: ratio} — e.g.
+    # {"q4": 0.6} means the q4 twin read 0.6x its plain on the twin's
+    # corpus this session. The twin's own seconds are the `queries`
+    # row; absolute plain walls live in SCALE.md's A/B tables.
     from duckdb_pst_spark.operators.bucketed import TWIN_PAIRS
 
-    twin_plain: dict[str, list[float]] = {}
+    twin_plain: dict[str, float] = {}
     for plain, twin in TWIN_PAIRS:
         tw = timings.get(twin, -1.0)
         run_dir = overrides.get(twin)
@@ -240,9 +240,7 @@ def main() -> None:
             continue
         try:
             pl = run_query(spark, specs[plain], run_dir)
-            twin_plain[plain.removeprefix("q_tpch_")] = [
-                round(pl, 2), round(tw / pl, 2)
-            ]
+            twin_plain[plain.removeprefix("q_tpch_")] = round(tw / pl, 2)
         except Exception as exc:
             print(f"BENCH WARN twin_plain {plain}: {exc}", file=sys.stderr)
         try:

@@ -112,6 +112,9 @@ TWIN_PAIRS: tuple[tuple[str, str], ...] = (
     # round 11: Q13 on a custkey layout (the third layout family;
     # only the ~dozen-row histogram rollup crosses a wire)
     ("q_tpch_q13", "q_tpch_q13_bucketed"),
+    # round 11: Q22 rides the same custkey layout (the lapsed-customer
+    # anti-join runs bucket-local; only constant-size rollups shuffle)
+    ("q_tpch_q22", "q_tpch_q22_bucketed"),
 )
 
 
@@ -820,4 +823,61 @@ def q_tpch_q13_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q_tpch_q22_bucketed",
+    oracle=_oracle_of("q_tpch_q22"),
+    tags=("relational", "agg", "subquery", "bucketed"),
+    bench=True,
+    bench_dir=_X10_BENCH,
+)
+def q_tpch_q22_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_tpch_q22 on the custkey layout — the thirteenth twin rides the
+    (customer, orders) tables Q13's twin already materializes, so a
+    deployment gets this cure for free with that layout. The plain
+    plan's one fact-sized exchange (its own docstring names it) is the
+    custkey LEFT ANTI of the customer pool against the date-windowed
+    orders scan; here the anti-join runs FIRST as a merge-pinned SMJ
+    over the two co-bucketed scans (keeping the scans directly under
+    the join — threading the 1-row threshold broadcast below it would
+    interpose a BNLJ and cost a local re-sort), then the broadcast
+    above-mean threshold filter (it commutes with the anti-join — both
+    filter pool attributes), then the <=7-group rollup. The three
+    remaining shuffles are all constant-size (threshold
+    SinglePartition, rollup hash, orderBy range) — plan-gated in
+    tests/test_bucketed_twins.py. Measured same-session interleaved
+    min-of-3 vs plain, results pinned equal (tools/ab_q22_custkey.py):
+    0.85x at x10 (0.78 -> 0.67 s), 0.48x at x100 (1.85 -> 0.89 s) —
+    improving with scale because the deleted exchange is the growth
+    term."""
+    c_b, o_b = bucketed_custkey_tables(spark, sf_dir)
+    pool = (
+        c_b.filter(F.col("c_nationkey").isin(2, 5, 9, 13, 17, 21, 24))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("cntrycode"),
+            F.floor(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+        )
+    )
+    pos = pool.filter(F.col("acctbal_c") > 0).agg(
+        F.expr("CAST(sum(acctbal_c) AS BIGINT) div count(*)").alias("thr")
+    )
+    recent = (
+        o_b.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    lapsed = pool.join(
+        recent.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        lapsed.crossJoin(F.broadcast(pos))
+        .filter(F.col("acctbal_c") > F.col("thr"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("acctbal_c").cast("long").alias("totacctbal_c"),
+        )
+        .orderBy("cntrycode")
     )

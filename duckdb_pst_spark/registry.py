@@ -125,12 +125,13 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 # Round 11 window (executes the rotation plan pre-queued at the end of
 # round 10 — see the ROUND-11 PLAN comment below VERIFY_FIRST; this is
 # the oldest-green-first sweep, arithmetic sums to exactly 50):
-#   0. ROUND11_ADDITIONS (2): q_tpch_q3_bucketed (the eleventh twin —
-#      whole-plan-exchange-free Q3 on the existing orderkey layout)
-#      and q_tpch_q13_bucketed (the twelfth — custkey layout, third
-#      family, 0.30x at x100); each needs its first hash-checked
-#      driver row and displaces one r6 fill slot (q_orderby_expr and
-#      q_union → round 12).
+#   0. ROUND11_ADDITIONS (3): q_tpch_q3_bucketed (the eleventh twin —
+#      whole-plan-exchange-free Q3 on the existing orderkey layout),
+#      q_tpch_q13_bucketed (the twelfth — custkey layout, third
+#      family, 0.30x at x100), and q_tpch_q22_bucketed (the
+#      thirteenth — rides the same custkey layout, 0.48x at x100);
+#      each needs its first hash-checked driver row and displaces one
+#      r6 fill slot (q_struct_access, q_orderby_expr, q_union → r12).
 #   1. The r4 stragglers (3) — the only greens older than r5 anywhere:
 #      q_corpus_card, q_filter_cascade, q_media_dedup.
 #   2. The full r5 block (29, registration order): q_tpch_q3, the
@@ -139,8 +140,8 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 #   3. r6 greens in registration order (16 of 47 fit; the remaining 31
 #      clear in round 12).
 VERIFY_FIRST: tuple[str, ...] = (
-    # round-11 additions (2) — first driver window for the new twins
-    "q_tpch_q3_bucketed", "q_tpch_q13_bucketed",
+    # round-11 additions (3) — first driver window for the new twins
+    "q_tpch_q3_bucketed", "q_tpch_q13_bucketed", "q_tpch_q22_bucketed",
     # r4 stragglers (3) — last green round 4
     "q_corpus_card", "q_filter_cascade", "q_media_dedup",
     # r5 block (29) — last green round 5, registration order
@@ -154,17 +155,17 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q_attribution_last_touch", "q_media_salvage_real",
     "q_stream_closed_windows", "q_stream_topk", "q_stream_cdc_merge",
     "q_stream_sessions_native", "q_stream_late_data", "q_stream_dedup_wm",
-    # r6 fill (16 of 47, registration order; rest clear in round 12)
+    # r6 fill (15 of 47, registration order; rest clear in round 12)
     "q_scan_project", "q_filter_eq", "q_filter_like", "q_filter_null",
     "q_count_star", "q_count_distinct", "q_groupby_count_order",
     "q_orderby_multi", "q_topn", "q_late_materialization",
     "q_distinct", "q_join_inner", "q_semi_join", "q_from_subquery",
-    "q_case_when", "q_struct_access",
+    "q_case_when",
 )
 
 ROUND11_ADDITIONS: tuple[str, ...] = (
     # registered in round 11, windowed in round 11 (front slots)
-    "q_tpch_q3_bucketed", "q_tpch_q13_bucketed",
+    "q_tpch_q3_bucketed", "q_tpch_q13_bucketed", "q_tpch_q22_bucketed",
 )
 
 ROUND10_ADDITIONS: tuple[str, ...] = (
@@ -182,9 +183,9 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
 # window):
 #   0. Any round-12 registry additions + canaries for green plans
 #      round 12 rewrites (front slots; truncate the fill to keep 50).
-#   1. The 31 remaining r6 greens in registration order (the round-11
-#      window took the first 16): q_orderby_expr, q_union, q_tpch_q1,
-#      q_join_agg_topn,
+#   1. The 32 remaining r6 greens in registration order (the round-11
+#      window took the first 15): q_struct_access, q_orderby_expr,
+#      q_union, q_tpch_q1, q_join_agg_topn,
 #      q_minhash_sig, q_ngram_jaccard, q_dedup_cluster,
 #      q_dedup_cluster_star, q_dedup_keep_best, q_dedup_incremental,
 #      q_lsh_recall, q_cluster_size_histogram, q_passage_dedup,

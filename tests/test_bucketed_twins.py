@@ -221,6 +221,24 @@ def test_q13_twin_only_histogram_shuffles(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_q22_twin_rows_equal_plain(spark, sf_dir):
+    a = sorted(map(tuple, SPECS["q_tpch_q22"].builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, SPECS["q_tpch_q22_bucketed"].builder(spark, sf_dir).collect()))
+    assert a == b, (a[:5], b[:5])
+
+
+def test_q22_twin_only_constant_rollups_shuffle(spark, sf_dir):
+    """Q22 on the custkey layout: the lapsed-customer LEFT ANTI is a
+    merge-pinned SMJ over two `Bucketed: true` scans — the plan's only
+    fact-sized exchange in the plain is gone; the <=3 remaining
+    shuffles are constant-size (1-row threshold SinglePartition,
+    <=7-group rollup, orderBy range)."""
+    plan = _executed_plan(SPECS["q_tpch_q22_bucketed"].builder(spark, sf_dir))
+    assert len(_SHUFFLE.findall(plan)) <= 3, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_q13_twin_fallback_to_plain(spark, sf_dir, monkeypatch):
     """Unwritable warehouse → loud degrade to plain scans, same rows."""
     from duckdb_pst_spark import sinks
