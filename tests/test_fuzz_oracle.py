@@ -1736,3 +1736,113 @@ def test_fractional_quantities_floor_harmonized(spark):
             compare(spark, REGISTRY[q], d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------- round-11 additions
+
+def _write_co_pair(rows: list[tuple[int, int, float, int]],
+                   path_c: str, path_o: str) -> None:
+    """Joined customer+orders slice for the Q13/Q22 family.
+
+    rows: (custkey, n_orders, acctbal, priority_idx). Adversarial
+    cases the generated corpora never produce: ORDERLESS customers
+    (n_orders=0 — Q13's LEFT OUTER must emit c_count=0 through the
+    NULL-skipping count), all-URGENT customers (the join-condition
+    residual drops every order: c_count=0 by residual, not by
+    absence), acctbal at the exact integer-division threshold
+    boundary (Q22's `acctbal_c > s div n` must agree bit-for-bit),
+    and order dates straddling the 2000-01-01 lapse window."""
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    c = pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_name": [f"c{r[0]}" for r in rows],
+            "c_nationkey": [r[0] % 25 for r in rows],
+            "c_acctbal": [r[2] for r in rows],
+            "c_mktsegment": ["BUILDING" if r[0] % 2 else "MACHINERY"
+                             for r in rows],
+        }
+    )
+    o_rows = []
+    for ck, n, _bal, p in rows:
+        for j in range(n):
+            o_rows.append(
+                (
+                    ck * 1000 + j,
+                    ck,
+                    pri[(p + j) % 5],
+                    # straddle the Q22 lapse window edge
+                    datetime.datetime(1999, 12, 30)
+                    + datetime.timedelta(days=(ck + j) % 5),
+                )
+            )
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in o_rows] or [0],
+            "o_custkey": [r[1] for r in o_rows] or [0],
+            "o_orderstatus": ["O"] * max(len(o_rows), 1),
+            "o_totalprice": [100.0] * max(len(o_rows), 1),
+            "o_orderdate": [r[3] for r in o_rows]
+            or [datetime.datetime(1996, 1, 1)],
+            "o_orderpriority": [r[2] for r in o_rows] or ["5-LOW"],
+        }
+    )
+    if not o_rows:  # keep the (valid) empty-orders case representable
+        o = o.iloc[0:0]
+    _copy_to_parquet(
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,"
+        " CAST(c_nationkey AS INTEGER) AS c_nationkey, c_acctbal,"
+        " c_mktsegment FROM pdf",
+        c,
+        path_c,
+    )
+    _copy_to_parquet(
+        # VARCHAR casts are load-bearing: an EMPTY pandas object column
+        # registers in DuckDB as INTEGER, which would write int32
+        # o_orderstatus/o_orderpriority for the zero-order case
+        "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,"
+        " CAST(o_custkey AS BIGINT) AS o_custkey,"
+        " CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,"
+        " CAST(o_totalprice AS DOUBLE) AS o_totalprice,"
+        " CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,"
+        " CAST(o_orderpriority AS VARCHAR) AS o_orderpriority FROM pdf",
+        o,
+        path_o,
+    )
+
+
+co_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=4),          # incl. ORDERLESS
+        st.sampled_from([-1.0, 0.0, 0.005, 49.995, 50.0, 50.005, 7000.0]),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=co_st)
+@settings(**_SETTINGS)
+def test_fuzz_tpch_q13_q22(spark, rows):
+    """Q13's NULL-count path (orderless + all-URGENT customers give
+    c_count=0 via two different mechanisms) and Q22's exact-integer
+    above-mean boundary + lapse-window edge, on the same adversarial
+    customer/orders slice. The bucketed twins share these oracles
+    verbatim and are rows-equal-gated to the plains, so fuzzing the
+    plains covers the family's semantics."""
+    d = _fuzz_dir({})
+    try:
+        for t in ("customer", "orders"):
+            os.unlink(os.path.join(d, f"{t}.parquet"))
+        _write_co_pair(
+            rows,
+            os.path.join(d, "customer.parquet"),
+            os.path.join(d, "orders.parquet"),
+        )
+        compare(spark, REGISTRY["q_tpch_q13"], d)
+        compare(spark, REGISTRY["q_tpch_q22"], d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
