@@ -175,6 +175,23 @@ def main() -> None:
                     spec.builder(spark, warm_dir).write.mode("overwrite").format("noop").save()
             except Exception:
                 pass
+    # Fixed-corpus rows additionally warm on their OWN corpus: the
+    # bucketed twins materialize their layout on first use per
+    # session/source, and that is an INGEST-time artifact (the thing a
+    # deployment pays once, not per query) — without this, the first
+    # twin's timed rep1 pays the x10 layout write and every later twin
+    # inherits its GC/page-cache pressure (the r11 end-of-round session
+    # read the twin rows up to 3x their interleaved-A/B walls from
+    # exactly this).
+    for spec in bench_specs:
+        if spec.bench_dir and os.path.isdir(spec.bench_dir):
+            try:
+                with applied_confs(spark, spec):
+                    spec.builder(spark, spec.bench_dir).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+            except Exception:
+                pass
     # Touch every timed input at sf_dir (full column scan, noop sink) so
     # the FIRST timed query doesn't get billed for cold parquet IO and
     # footer parsing that later queries then get for free — steady-state
@@ -188,6 +205,13 @@ def main() -> None:
             pass
 
     from duckdb_pst_spark.session import free_checkpoints
+
+    # start the timed block clean: the warmups above (incl. the layout
+    # builds) may have checkpointed
+    try:
+        free_checkpoints(spark)
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     overrides: dict[str, str] = {}
