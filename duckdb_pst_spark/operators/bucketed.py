@@ -21,6 +21,20 @@ Plan contract (gated in tests/test_bucketed_twins.py): the fact join
 reads ``Bucketed: true`` scans with ZERO shuffle exchange beneath it;
 only dim broadcasts (fixed-cardinality chains, or AQE's choice for the
 SF-scaled sides) and the final tiny rollup cross a wire.
+
+WHEN A LAYOUT PAYS (the rule distilled from the family's 16 measured
+A/B verdicts — 13 cures, 3 no-ships): bucketing deletes an exchange
+worth deleting only when that exchange carries O(|fact|) rows — joins
+or aggregates keyed near-uniquely per fact row (orderkey, custkey,
+partkey-per-line pairs). It does NOT pay when the plan already
+collapses the exchange before it crosses a wire: map-side partial
+aggregation over a LOW-cardinality key (Q15's per-suppkey revenue —
+the combine reduces 15M windowed rows to <=|partitions|x|suppliers|
+before shuffling), or a semi-prune that shrinks the fact first
+(Q16's part-spec at 1.33x, Q20's red-parts x year window at 0.85x —
+both measured no-ship, tools/ab_bucketed_q16.py /
+tools/ab_q20_partkey.py). Price the exchange's post-combine,
+post-prune row count before writing a layout for it.
 """
 
 from __future__ import annotations
