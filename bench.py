@@ -292,10 +292,10 @@ def main() -> None:
         by_dir.setdefault(short, []).append(name)
     twin_names = {t for _, t in TWIN_PAIRS}
     for d, names in by_dir.items():
-        # the ten twin rows share one dir; the literal name list alone
-        # is ~220 chars of the 2000 budget — collapse to a documented
-        # token (the twins are exactly operators/bucketed.py TWIN_PAIRS,
-        # also enumerated by this payload's twin_plain keys)
+        # the thirteen twin rows share one dir; the literal name list
+        # alone is ~290 chars of the 2000 budget — collapse to a
+        # documented token (the twins are exactly operators/bucketed.py
+        # TWIN_PAIRS, also enumerated by this payload's twin_plain keys)
         if set(names) == twin_names:
             by_dir[d] = "tpch_bucketed_twins"
     print(
@@ -304,7 +304,12 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "queries": {
                     n: _fmt(t)
-                    for n, t in sorted(timings.items(), key=lambda kv: kv[1])
+                    # failed rows (-1.0 sentinel) sort LAST: they are
+                    # diagnostics, not cheap rows — front-truncation
+                    # must never clip the evidence that a query failed
+                    for n, t in sorted(
+                        timings.items(), key=lambda kv: (kv[1] < 0, kv[1])
+                    )
                 },
                 "value": total,
                 "unit": "sec",

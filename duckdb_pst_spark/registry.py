@@ -137,7 +137,7 @@ def applied_confs(spark: SparkSession, spec: QuerySpec):
 #   2. The full r5 block (29, registration order): q_tpch_q3, the
 #      dedup/text/sketch r5 rows, the windows block, and the six
 #      stream queries — after this, no green anywhere predates r6.
-#   3. r6 greens in registration order (16 of 47 fit; the remaining 31
+#   3. r6 greens in registration order (15 of 47 fit; the remaining 32
 #      clear in round 12).
 VERIFY_FIRST: tuple[str, ...] = (
     # round-11 additions (3) — first driver window for the new twins
@@ -197,7 +197,7 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
 #   2. r7 greens in registration order until the 50 slots are full
 #      (49 candidates; ~20 fit; the rest clear in round 13).
 # Done = no green older than r7 anywhere; steady-state rotation
-# (window 50 vs registry 274) keeps every green within ~6 rounds.
+# (window 50 vs registry 277) keeps every green within ~6 rounds.
 
 # Round-8 window (executed; all 50 green in CORRECTNESS_r08): the 16
 # ROUND8_ADDITIONS + 34 registration-order fill slots — kept as a named

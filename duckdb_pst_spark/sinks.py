@@ -128,12 +128,15 @@ def export_bucketed(
                 n_buckets=n_buckets,
                 sort_by=[col],
             )
-            # GC runs only AFTER the replacement layout is durably
-            # written: a failed write must leave the superseded layout
-            # (and its ledger row) untouched, never a window where
-            # neither layout exists.
-            _gc_superseded_layout(spark, wh, sf_dir, key=key,
-                                  n_buckets=n_buckets, t=t, digest=digest)
+        # GC/reconcile runs AFTER the layout exists (written above, or
+        # already present on the reuse path): a failed write must leave
+        # the superseded layout and its ledger row untouched — never a
+        # window where neither layout exists — and the reuse path must
+        # ALSO reconcile, else a crash between write and GC leaves the
+        # live layout's digest permanently unrecorded (its directory
+        # would then never be collectable when superseded).
+        _gc_superseded_layout(spark, wh, sf_dir, key=key,
+                              n_buckets=n_buckets, t=t, digest=digest)
         out[t] = name
     return out
 
@@ -171,7 +174,9 @@ def _gc_superseded_layout(
         ledger = {}
     lkey = f"{key}:{n_buckets}:{t}:{os.path.abspath(sf_dir)}"
     old = ledger.get(lkey)
-    if old and old != digest:
+    if old == digest:
+        return  # reconciled already — skip the drop and the rewrite
+    if old:
         stale = f"bkt_{key}{n_buckets}_{old}_{t}"
         try:
             spark.sql(f"DROP TABLE IF EXISTS {stale}")
@@ -179,14 +184,22 @@ def _gc_superseded_layout(
             pass
         shutil.rmtree(os.path.join(wh, stale), ignore_errors=True)
     ledger[lkey] = digest
+    tmp = None
     try:
         os.makedirs(wh, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=wh, prefix=".bkt_ledger_")
         with os.fdopen(fd, "w") as f:
             json.dump(ledger, f, indent=0, sort_keys=True)
         os.replace(tmp, ledger_path)
+        tmp = None
     except OSError:
         pass  # read-only warehouse: the loud-fallback path handles it
+    finally:
+        if tmp is not None:  # half-written temp on ENOSPC/replace failure
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def ingest_pst_archive(

@@ -105,11 +105,11 @@ def test_verify_window_rotation_consistent():
     rows_only = [n for n, s in SPECS.items() if s.oracle is None]
     if rows_only:  # class emptied in round 10; guard names[-0:] == all
         assert names[-len(rows_only):] == rows_only
-    # the round-11 window: the one round-11 registration leads (the new
-    # Q3 twin needs its first hash-checked driver row), then the pure
-    # oldest-green-first rotation — three r4 stragglers, the 29-query
-    # r5 block, r6 registration-order fill. No canaries owed (no green
-    # plan was rewritten this round).
+    # the round-11 window: the three round-11 registrations lead (the
+    # Q3/Q13/Q22 twins each need their first hash-checked driver row),
+    # then the pure oldest-green-first rotation — three r4 stragglers,
+    # the 29-query r5 block, r6 registration-order fill. No canaries
+    # owed (no green plan was rewritten this round).
     from duckdb_pst_spark.registry import ROUND11_ADDITIONS
 
     n_add = len(ROUND11_ADDITIONS)

@@ -95,9 +95,23 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in QUERIES:
+        # One untimed pass FIRST: builders with one-time side effects
+        # (a bucketed twin's first-use layout materialization, a cached
+        # broadcast build) run them here, so the measured pass below
+        # attributes only the query's OWN executions — summing the
+        # layout-write's full-corpus repartition into a twin's budget
+        # would report tens of millions of shuffled records for a
+        # genuinely zero-exchange plan.
+        specs[name].builder(spark, SF_DIR).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        import time as _t
+
+        _t.sleep(0.5)  # let the async SQL listener drain before snapshotting
         before = store.executionsList().size()
         df = specs[name].builder(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
+        _t.sleep(0.5)  # ...and before reading the post-run list
         execs = store.executionsList()
         exchanges = []
         # every execution this query triggered: eager-localCheckpoint
