@@ -195,7 +195,8 @@ ROUND10_ADDITIONS: tuple[str, ...] = (
 #      q_dedup_semantic, q_hll_distinct, q_kmv_jaccard, q_countmin,
 #      q_window_rank, q_sessionize, q_asof_join, q_media_decode_real.
 #   2. r7 greens in registration order until the 50 slots are full
-#      (49 candidates; ~20 fit; the rest clear in round 13).
+#      (49 candidates; ~18 fit absent round-12 additions; the rest
+#      clear in round 13).
 # Done = no green older than r7 anywhere; steady-state rotation
 # (window 50 vs registry 277) keeps every green within ~6 rounds.
 
