@@ -100,8 +100,19 @@ def decode_image(images: DataFrame) -> DataFrame:
                     _require_raw(meta["format"], "raw-rgb8")
                     w, h, c = int(meta["width"]), int(meta["height"]), int(meta["channels"])
                     px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
-                luma = px @ np.array([0.299, 0.587, 0.114])
-                out.append((mid, w, h, c, float(luma.mean()), int(px.min()), int(px.max())))
+                # Exact integer channel sums + one fixed scalar combine:
+                # mean(px @ [cr,cg,cb]) == (cr*ΣR + cg*ΣG + cb*ΣB)/n in
+                # exact arithmetic, but the BLAS matvec's accumulation
+                # order varies with runtime blocking across hosts (~1e-9
+                # drift — enough to flip the 9-decimal rounding used for
+                # the pinned golden). Integer sums are exact and the
+                # 5-op scalar tail is one fixed IEEE sequence, so the
+                # result is bit-identical on every host.
+                ch = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                mean_luma = (
+                    0.299 * float(ch[0]) + 0.587 * float(ch[1]) + 0.114 * float(ch[2])
+                ) / float(h * w)
+                out.append((mid, w, h, c, mean_luma, int(px.min()), int(px.max())))
             yield pd.DataFrame(
                 out,
                 columns=[
