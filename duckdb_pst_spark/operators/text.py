@@ -1423,12 +1423,19 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         _docs_with_tokens(spark, sf_dir)
         .select(F.explode("toks").alias("w"))
-        .select(F.expr("filter(split(w, ''), c -> c != '')").alias("cs"))
-        .filter(F.size("cs") >= 2)
+        .filter(F.length("w") >= 2)
     )
+    # r11 optimization (guide §1.2 per-task work): pairs come straight
+    # off the word string as substring(w, i, 2) instead of splitting
+    # every word into a per-character array and concat-ing adjacent
+    # elements — one string slice per pair replaces a char-array
+    # allocation + filter + two array indexes + concat. Identical pairs
+    # (Spark's substring and split('') both index codepoints; results
+    # pinned equal by tools/ab_r11.py bpe_pairs). Interleaved min-of-3:
+    # sf0.1 1.51 -> 1.00 s (0.66x), x10 1.97 -> 1.63 s (0.83x).
     pairs = words.select(
         F.explode(
-            F.expr("transform(sequence(1, size(cs) - 1), i -> concat(cs[i-1], cs[i]))")
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
         ).alias("pair")
     )
     return (
@@ -2818,21 +2825,28 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model on xxhash64 and skips the string hash entirely."""
     from duckdb_pst_spark.functions.partitioning import spread
 
-    weights = F.broadcast(
-        spark.range(_QL_BUCKETS).select(
-            F.col("id").alias("bucket"),
-            ((F.col("id") * F.lit(_QL_MULT)) % F.lit(1_000_000_007) % F.lit(1001))
-            .cast("long")
-            .alias("w"),
-        )
-    )
+    # r11 optimization (guide §3/§2.4): the "model" here is deterministic
+    # arithmetic over the bucket id — exactly what the DuckDB oracle
+    # computes inline — so the 4096-row broadcast dimension join is a
+    # pure-function lookup Catalyst cannot constant-fold away. Computing
+    # the weight inline deletes the BroadcastHashJoin (plan: scan →
+    # explode → hash → project → one doc-keyed aggregate; zero joins)
+    # for identical results (tools/ab_r11.py quality_linear, pinned
+    # equal). Interleaved min-of-3: sf0.1 1.45 → 0.99 s (0.68x), x10
+    # 1.95 → 1.60 s (0.82x). A deployment with a real exported model
+    # keeps the broadcast-join shape (the old form, preserved verbatim
+    # in the A/B tool); the broadcast-model join pattern stays exercised
+    # by q_oov_rate / q_lang_stopword / the pipeline gates.
     tok = (
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .select("doc_id", (poly_hash(F.col("t")) % F.lit(_QL_BUCKETS)).alias("bucket"))
     )
+    w = (
+        (F.col("bucket") * F.lit(_QL_MULT)) % F.lit(1_000_000_007) % F.lit(1001)
+    ).cast("long")
     agg = (
-        tok.join(weights, "bucket")
+        tok.select("doc_id", w.alias("w"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -2966,7 +2980,21 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-100×: join-back 8.3 s → 3.0 s (identical 500k-row output),
     0.4× same-box DuckDB. min(doc_id) as "first" is the deterministic
     tiebreak for same-snapshot duplicates; with a crawl-date column
-    the same plan keys min(ts)."""
+    the same plan keys min(ts).
+
+    r11 measured NO-SHIP (tools/ab_r11.py ngram_novelty): replacing the
+    totals branch's explode + doc-keyed aggregate with a scan-local
+    ``size(array_distinct(...))`` — the deleted exchange is map-side
+    combined to doc cardinality already (the layout-admission rule's
+    post-combine test), so only the explode/agg CPU goes away while the
+    totals branch still pays the full trigram HOF. Interleaved min-of-3:
+    sf0.1 1.15-1.30x (regression), x10 0.75x, x100 0.95x — inconsistent,
+    not a cure; the two-branch shape stands. Also measured (7x
+    regression, same tool): exploding a PROJECTED trigram column instead
+    of the inline expression lets InferFiltersFromGenerate add size>0 /
+    isnotnull filters that project-collapse into THREE evaluations of
+    the trigram HOF per row — never explode a cheap column reference
+    bound to an expensive expression."""
     d = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 3)
     tri = (
         d.select(

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Round-11 optimization A/Bs: old-vs-new builder variants, one session,
+interleaved min-of-N noop-sink timing, results pinned equal first.
+
+Usage: python tools/ab_r11.py <experiment> [corpus_dir]
+
+Experiments are registered in EXPERIMENTS below; each returns
+(old_builder, new_builder) where a builder is (spark, sf_dir) -> DataFrame.
+The "new" side is the REGISTERED builder (what ships); the "old" side is
+the pre-optimization shape kept here verbatim for reproducible evidence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REPS = 3
+
+
+# ------------------------------------------------------------ experiments
+def ngram_novelty():
+    """Measured NO-SHIP (the registered two-branch shape stands as
+    "old"): the candidate computed per-doc totals scan-local via
+    size(array_distinct(...)) instead of the second explode + doc-keyed
+    aggregate. Verdict (interleaved min-of-3, results pinned equal):
+    sf0.1 1.15-1.30x REGRESSION, x10 0.75x, x100 0.95x — the deleted
+    exchange is map-side combined to doc cardinality already, so only
+    explode/agg CPU goes away while the totals branch still pays the
+    full trigram HOF; inconsistent across scales, not a cure. (An
+    earlier candidate that exploded a PROJECTED trigram column measured
+    7x WORSE: InferFiltersFromGenerate infers size>0/isnotnull on the
+    cheap column child and project-collapse re-evaluates the trigram
+    HOF three times per row.)"""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.operators.text import _docs_with_tokens
+    from duckdb_pst_spark.registry import load_all
+
+    def candidate(spark, sf_dir):
+        d = _docs_with_tokens(spark, sf_dir).where(F.size("toks") >= 3)
+        _tg = F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> xxhash64(toks[i - 1], toks[i], toks[i + 1]))"
+            )
+        )
+        totals = d.select("doc_id", F.size(_tg).cast("long").alias("n_trigrams"))
+        tri = d.select("doc_id", F.explode(_tg).alias("g"))
+        novel = (
+            tri.groupBy("g")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        )
+        return totals.join(novel, "doc_id", "left").select(
+            "doc_id",
+            "n_trigrams",
+            F.expr(
+                "1000000 * coalesce(n_novel, CAST(0 AS BIGINT)) div n_trigrams"
+            ).alias("novel_ppm"),
+        )
+
+    return load_all()["q_ngram_novelty"].builder, candidate
+
+
+def bpe_pairs():
+    """Old (pre-r11, kept verbatim): per-word char split + transform
+    concat. New (shipped): substring-based pair generation directly on
+    the word string — no per-char array, no filter, no concat.
+    Identical pairs: substring(w, i, 2) IS cs[i]||cs[i+1] (Spark
+    substring and split('') both index codepoints)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.operators.text import BPE_TOP_PAIRS, _docs_with_tokens
+    from duckdb_pst_spark.registry import load_all
+
+    def old(spark, sf_dir):
+        words = (
+            _docs_with_tokens(spark, sf_dir)
+            .select(F.explode("toks").alias("w"))
+            .select(F.expr("filter(split(w, ''), c -> c != '')").alias("cs"))
+            .filter(F.size("cs") >= 2)
+        )
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1), i -> concat(cs[i-1], cs[i]))"
+                )
+            ).alias("pair")
+        )
+        return (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_TOP_PAIRS)
+        )
+
+    return old, load_all()["q_bpe_pairs"].builder
+
+
+def quality_linear():
+    """Old (pre-r11, kept verbatim): weights joined as a 4096-row
+    broadcast dimension — the shape a real exported model needs. New
+    (shipped): the weight computed inline (the model IS deterministic
+    arithmetic here, exactly what the oracle runs; join deleted)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.functions.partitioning import spread
+    from duckdb_pst_spark.functions.portable import poly_hash, tokens
+    from duckdb_pst_spark.operators.text import _QL_BUCKETS, _QL_MULT
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def old(spark, sf_dir):
+        weights = F.broadcast(
+            spark.range(_QL_BUCKETS).select(
+                F.col("id").alias("bucket"),
+                ((F.col("id") * F.lit(_QL_MULT)) % F.lit(1_000_000_007) % F.lit(1001))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        tok = (
+            spread(table(spark, sf_dir, "documents"))
+            .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+            .select(
+                "doc_id", (poly_hash(F.col("t")) % F.lit(_QL_BUCKETS)).alias("bucket")
+            )
+        )
+        agg = (
+            tok.join(weights, "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("w").cast("long").alias("score"),
+            )
+        )
+        q = F.expr("(score * 1000000) div n_tokens")
+        return agg.select(
+            "doc_id", "n_tokens", "score", q.alias("quality_u"),
+            (q >= F.lit(500_000)).alias("is_keep"),
+        )
+
+    return old, load_all()["q_quality_linear"].builder
+
+
+EXPERIMENTS = {
+    "ngram_novelty": ngram_novelty,
+    "bpe_pairs": bpe_pairs,
+    "quality_linear": quality_linear,
+}
+
+
+def main() -> None:
+    name = sys.argv[1]
+    corpus = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    old_b, new_b = EXPERIMENTS[name]()
+
+    from duckdb_pst_spark.session import free_checkpoints, get_spark
+
+    spark = get_spark(f"ab-r11-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # results pinned equal first
+    o = sorted(tuple(r) for r in old_b(spark, corpus).collect())
+    n = sorted(tuple(r) for r in new_b(spark, corpus).collect())
+    assert o == n, f"{name}: old/new results differ ({len(o)} vs {len(n)} rows)"
+    print(f"{name}: results pinned equal ({len(o)} rows)", file=sys.stderr)
+    free_checkpoints(spark)
+
+    def run(b) -> float:
+        t0 = time.perf_counter()
+        b(spark, corpus).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # plan warm-up, then interleaved min-of-REPS
+    run(old_b), run(new_b)
+    free_checkpoints(spark)
+    to, tn = float("inf"), float("inf")
+    for _ in range(REPS):
+        to = min(to, run(old_b))
+        free_checkpoints(spark)
+        tn = min(tn, run(new_b))
+        free_checkpoints(spark)
+    print(
+        f"{name} @ {corpus}: old {to:.3f} s -> new {tn:.3f} s "
+        f"({tn / to:.2f}x), interleaved min-of-{REPS}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
