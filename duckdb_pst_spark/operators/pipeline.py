@@ -176,21 +176,38 @@ def q_pipeline_pretrain(
     )
     gated = _obs("gated", gated)
     train = _obs("train_split", gated.filter(F.col("doc_id") % 100 != 0))
-    # Main-chain slimming: everything downstream of the gates needs only
-    # the token COUNT, not the token array — carrying `toks` through the
-    # decontamination anti-join and the exact-dedup window would double
-    # those exchanges' bytes (the array is ~the size of the text). The
-    # shingle branch below keeps using `train` (with toks) — its explode
-    # is scan-local, so the array never crosses an exchange there either.
+    # Main-chain slimming (r11, guide §2.3/§8: shuffle keys and metadata,
+    # never payloads): everything downstream of the gates needs only the
+    # token COUNT and — for exact dedup — a CONTENT KEY, not the text or
+    # the token array. The text (~1 KB/row) is replaced by its xxhash64
+    # (8 B) before the chain's only corpus exchange (the exact-dedup
+    # window), a ~100x byte cut on that wire; two distinct texts
+    # colliding on 64 bits would spuriously drop one doc, at the same
+    # vanishing probability the registered band keys and q_ngram_novelty
+    # trigram ids already accept (~n²/2⁶⁵). Measured (tools/ab_r11.py
+    # pipeline_pretrain, interleaved min-of-3, results pinned equal):
+    # sf0.1 3.20→2.80 s (0.87x), x10 0.97x (dup-heavy replica profile),
+    # x100 17.6→15.4 s (0.87x) — and the deleted bytes are network on a
+    # real cluster, so the single-box ratio is the conservative bound.
+    # The shingle branch below keeps using `train` (with toks) — its
+    # explode is scan-local.
     train_slim = train.select(
-        "doc_id", "source", "lang", "text", F.size("toks").alias("n_toks")
+        "doc_id",
+        "source",
+        "lang",
+        F.xxhash64("text").alias("_tkey"),
+        F.size("toks").alias("n_toks"),
     )
 
     def shingle_rows(df: DataFrame) -> DataFrame:
+        # xxhash64 trigram ids, not concat'd strings (r11): the join
+        # only decides membership, so an 8-byte key replaces the ~30-byte
+        # gram string — smaller broadcast, long-keyed join, no string
+        # materialization per gram (the q_ngram_novelty id scheme).
         grams = F.array_distinct(
             F.expr(
                 "transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                " i -> xxhash64(toks[i-1], toks[i], toks[i+1]))"
             )
         )
         return (
@@ -210,10 +227,10 @@ def q_pipeline_pretrain(
     )
     exact = (
         clean.withColumn(
-            "_min_id", F.min("doc_id").over(Window.partitionBy("text"))
+            "_min_id", F.min("doc_id").over(Window.partitionBy("_tkey"))
         )
         .filter(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id")
+        .drop("_min_id", "_tkey")
     )
     # near-dedup, production shape: fast Arrow-kernel candidates (capped
     # buckets), then exact Jaccard verification computed ONLY for docs

@@ -150,10 +150,119 @@ def quality_linear():
     return old, load_all()["q_quality_linear"].builder
 
 
+def pipeline_pretrain():
+    """Old (pre-r11, kept verbatim): text carried through the exact-dedup
+    window exchange; decontamination shingles as concat'd strings. New
+    (shipped): xxhash64 content key + trigram ids — the chain's only
+    corpus exchange carries 8-byte keys instead of ~1 KB texts."""
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.functions.partitioning import spread
+    from duckdb_pst_spark.functions.portable import poly_hash, tokens
+    from duckdb_pst_spark.operators.dedup import (
+        JACCARD_THRESHOLD_U,
+        _band_pairs,
+        _minhash_band_kernel,
+        _shingle_hashes,
+    )
+    from duckdb_pst_spark.operators.pipeline import EN_RATIO_U, MIN_CHARS, MIN_TOKENS
+    from duckdb_pst_spark.operators.text import _EN_STOPWORDS
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def old(spark, sf_dir):
+        docs = spread(table(spark, sf_dir, "documents"))
+        d = docs.withColumn("toks", tokens(F.col("text")))
+        en_hits = F.size(
+            F.filter(F.col("toks"), lambda t: t.isin(*_EN_STOPWORDS))
+        ).cast("long")
+        gated = d.filter(
+            (F.length("text") >= MIN_CHARS)
+            & (F.size("toks") >= MIN_TOKENS)
+            & ((en_hits * 1_000_000).cast("long") / F.size("toks") >= EN_RATIO_U)
+        )
+        train = gated.filter(F.col("doc_id") % 100 != 0)
+        train_slim = train.select(
+            "doc_id", "source", "lang", "text", F.size("toks").alias("n_toks")
+        )
+
+        def shingle_rows(df: DataFrame) -> DataFrame:
+            grams = F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+            return (
+                df.filter(F.size("toks") >= 3)
+                .select("doc_id", F.explode(grams).alias("g"))
+            )
+
+        eval_sh = shingle_rows(d.filter(F.col("doc_id") % 100 == 0))
+        contaminated = (
+            shingle_rows(train)
+            .join(F.broadcast(eval_sh.select("g").distinct()), "g")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = train_slim.join(contaminated, "doc_id", "left_anti")
+        exact = (
+            clean.withColumn(
+                "_min_id", F.min("doc_id").over(Window.partitionBy("text"))
+            )
+            .filter(F.col("doc_id") == F.col("_min_id"))
+            .drop("_min_id")
+        )
+        bands = (
+            docs.select("doc_id", "text")
+            .mapInPandas(
+                _minhash_band_kernel, "doc_id long, band_idx int, band_val long"
+            )
+        )
+        pairs = _band_pairs(bands)
+        member_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = (
+            docs.join(F.broadcast(member_ids), "doc_id", "left_semi")
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .localCheckpoint(eager=True)
+            .select("doc_id", _shingle_hashes(F.col("toks"), poly_hash).alias("sh"))
+        )
+        jacc = F.expr(
+            "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+            " div size(array_union(sa_sh, sb_sh))"
+        )
+        near_drop = (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa_sh")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb_sh")),
+                "doc_b",
+            )
+            .filter(jacc >= JACCARD_THRESHOLD_U)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = exact.join(near_drop, "doc_id", "left_anti")
+        return survivors.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("total_tokens"),
+        )
+
+    return old, load_all()["q_pipeline_pretrain"].builder
+
+
 EXPERIMENTS = {
     "ngram_novelty": ngram_novelty,
     "bpe_pairs": bpe_pairs,
     "quality_linear": quality_linear,
+    "pipeline_pretrain": pipeline_pretrain,
 }
 
 
