@@ -930,36 +930,51 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     len/{16} per doc, proportional to input bytes). The duplicate-passage
     detection is ONE shuffle keyed on the passage — with map-side partial
     countDistinct — and the survivors join is keyed the same way, so AQE
-    can reuse/co-locate the exchange. At 100 TB you'd key both sides on
-    xxhash64(passage) instead of the raw string (8-byte shuffle keys,
-    identical plan) and broadcast the dup set when the boilerplate tail
-    is small — it usually is (Zipfian): the dup side is
-    HAVING-count-filtered before it ever reaches the join.
+    can reuse/co-locate the exchange.
+
+    r11 optimization (guide §2.3, the docstring's own 100 TB note made
+    real): passages shuffle and join as ``xxhash64`` of the TOKEN SLICE
+    — the passage string is never materialized (tokens are space-free,
+    so array_join is injective and array equality ⇔ string equality; a
+    64-bit collision spuriously merges two passages at the accepted
+    ~n²/2⁶⁵ class). Per-passage token counts ride the explode
+    scan-local (the empty-slice guard reproduces split('')'s size-1
+    exactly). Interleaved min-of-3 (tools/ab_r11.py passage_dedup,
+    results pinned equal): sf0.1 1.05 → 1.10 s (1.04x — inside the
+    sub-second noise class; the slice hash costs what the string join
+    cost), x100 5.23 → 4.49 s (0.86x) — the ratio improves with scale
+    because the deleted string bytes are the exchange's growth term,
+    and they are network on a real cluster.
     """
     d = _docs_with_tokens(spark, sf_dir)
-    starts = F.expr(
+    slices = F.expr(
         f"transform(sequence(0, cast(ceil(size(toks) / {_PASSAGE_W}.0) as int) - 1),"
-        f" i -> array_join(slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}), ' '))"
+        f" i -> slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}))"
     )
-    passages = d.select("doc_id", F.explode(starts).alias("passage"))
+    passages = d.select("doc_id", F.explode(slices).alias("p")).select(
+        "doc_id",
+        F.xxhash64("p").alias("pk"),
+        # split('', ' ') of an empty joined passage yields [''] (size 1),
+        # not 0 — preserve that exact edge for empty token slices
+        F.when(F.size("p") == 0, 1).otherwise(F.size("p")).alias("n_ptok"),
+    )
     dup = (
-        passages.groupBy("passage")
+        passages.groupBy("pk")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") > 1)
-        .select("passage", F.lit(1).alias("isdup"))
+        .select("pk", F.lit(1).alias("isdup"))
     )
-    kept_tok = F.when(
-        F.col("isdup").isNull(), F.size(F.split(F.col("passage"), " "))
-    ).otherwise(0)
     return (
-        passages.join(dup, "passage", "left")
+        passages.join(dup, "pk", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_passages"),
             F.sum(F.when(F.col("isdup").isNull(), 1).otherwise(0)).cast("long").alias(
                 "kept_passages"
             ),
-            F.sum(kept_tok).cast("long").alias("kept_tokens"),
+            F.sum(
+                F.when(F.col("isdup").isNull(), F.col("n_ptok")).otherwise(0)
+            ).cast("long").alias("kept_tokens"),
         )
     )
 

@@ -258,11 +258,53 @@ def pipeline_pretrain():
     return old, load_all()["q_pipeline_pretrain"].builder
 
 
+def passage_dedup():
+    """Old (pre-r11, kept verbatim): passages materialized as joined
+    strings, shuffled and joined as strings. New (shipped): xxhash64 of
+    the token slice as the shuffle/join key; per-passage token count
+    computed scan-local at explode time."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.operators.text import _PASSAGE_W, _docs_with_tokens
+    from duckdb_pst_spark.registry import load_all
+
+    def old(spark, sf_dir):
+        d = _docs_with_tokens(spark, sf_dir)
+        starts = F.expr(
+            f"transform(sequence(0, cast(ceil(size(toks) / {_PASSAGE_W}.0) as int) - 1),"
+            f" i -> array_join(slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}), ' '))"
+        )
+        passages = d.select("doc_id", F.explode(starts).alias("passage"))
+        dup = (
+            passages.groupBy("passage")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") > 1)
+            .select("passage", F.lit(1).alias("isdup"))
+        )
+        kept_tok = F.when(
+            F.col("isdup").isNull(), F.size(F.split(F.col("passage"), " "))
+        ).otherwise(0)
+        return (
+            passages.join(dup, "passage", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_passages"),
+                F.sum(F.when(F.col("isdup").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("kept_passages"),
+                F.sum(kept_tok).cast("long").alias("kept_tokens"),
+            )
+        )
+
+    return old, load_all()["q_passage_dedup"].builder
+
+
 EXPERIMENTS = {
     "ngram_novelty": ngram_novelty,
     "bpe_pairs": bpe_pairs,
     "quality_linear": quality_linear,
     "pipeline_pretrain": pipeline_pretrain,
+    "passage_dedup": passage_dedup,
 }
 
 
