@@ -3095,12 +3095,24 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined groupBy over n_chars (the
     exchange carries ≤|distinct lengths| rows — histogram-sized, the
     q_token_histogram class), then a window cumsum and max over that
-    tiny table. Nothing corpus-sized crosses an unpartitioned window."""
+    tiny table. Nothing corpus-sized crosses an unpartitioned window.
+
+    r11 optimization (guide §5): the histogram feeds THREE consumers
+    (cumsum, totals, and the totals inside the D max) and Catalyst
+    re-executed the corpus scan+aggregate per branch — the before plan
+    holds three BatchScans of documents. One eager localCheckpoint of
+    the ≤|distinct lengths|-row histogram collapses that to ONE corpus
+    pass; everything downstream is arithmetic on the tiny table.
+    Interleaved min-of-3 (tools/ab_r11.py quality_ks, results pinned
+    equal): 0.87x at BOTH sf0.1 (0.75 → 0.65 s) and x100 (0.78 →
+    0.68 s) — locally the row is job-overhead-bound because the scan
+    reads only (lang, n_chars); on a real lake the 3→1 scan cut is the
+    point (those two columns are still TB-scale at 100 TB)."""
     d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
     h = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).cast("long").alias("nb"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = h.select(
         F.sum("na").over(w).cast("long").alias("ca"),

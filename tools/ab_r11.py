@@ -299,12 +299,71 @@ def passage_dedup():
     return old, load_all()["q_passage_dedup"].builder
 
 
+def quality_ks():
+    """Old (pre-r11, kept verbatim): the histogram re-computed per
+    consumer — three corpus scan+aggregate branches. New (shipped): one
+    eager localCheckpoint of the histogram-sized table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def old(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
+        h = d.groupBy(F.col("n_chars").alias("v")).agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        c = h.select(
+            F.sum("na").over(w).cast("long").alias("ca"),
+            F.sum("nb").over(w).cast("long").alias("cb"),
+        )
+        t = h.agg(
+            F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        diff = c.crossJoin(F.broadcast(t)).agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).alias("d_num")
+        )
+        return t.crossJoin(F.broadcast(diff)).select(
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(0).cast("long")
+            )
+            .otherwise(
+                F.expr(
+                    "coalesce(d_num, CAST(0 AS DECIMAL(38,0))) * 1000000"
+                    " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                )
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+
+    return old, load_all()["q_quality_ks"].builder
+
+
 EXPERIMENTS = {
     "ngram_novelty": ngram_novelty,
     "bpe_pairs": bpe_pairs,
     "quality_linear": quality_linear,
     "pipeline_pretrain": pipeline_pretrain,
     "passage_dedup": passage_dedup,
+    "quality_ks": quality_ks,
 }
 
 
