@@ -809,7 +809,15 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ≤ |langs|² keys; gold totals come from re-aggregating those
     cells (never a second corpus pass) and join back as a broadcast.
     Everything after the scan is driver-trivial — the eval costs one
-    pass at any corpus size."""
+    pass at any corpus size.
+
+    r11 measured NO-SHIP (tools/ab_r11.py lang_confusion): the static
+    plan shows TWO scan+classifier subtrees (one per consumer of the
+    cell table), but AQE's runtime stage reuse already deduplicates the
+    shared aggregate exchange — an eager localCheckpoint of the cell
+    table measured only 0.90x at sf0.1 and 0.97x (noise) at x100,
+    interleaved min-of-3. The declarative one-pass claim holds AT
+    RUNTIME; don't trust pre-AQE plan duplication without an A/B."""
     g = _lang_guess_df(spark, sf_dir)
     c = g.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).cast("long").alias("n")

@@ -357,6 +357,34 @@ def quality_ks():
     return old, load_all()["q_quality_ks"].builder
 
 
+def lang_confusion():
+    """Measured NO-SHIP (registered shape stands as "old"): the static
+    plan shows two scan+classifier subtrees, but AQE stage reuse already
+    deduplicates the shared aggregate exchange at runtime — the
+    checkpoint candidate measured 0.90x sf0.1 / 0.97x x100 only."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.operators.text import _lang_guess_df
+    from duckdb_pst_spark.registry import load_all
+
+    def candidate(spark, sf_dir):
+        g = _lang_guess_df(spark, sf_dir)
+        c = (
+            g.groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        tot = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_gold"))
+        return c.join(F.broadcast(tot), "lang").select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.expr("1000000 * n div n_gold").alias("cell_ppm"),
+        )
+
+    return load_all()["q_lang_confusion"].builder, candidate
+
+
 EXPERIMENTS = {
     "ngram_novelty": ngram_novelty,
     "bpe_pairs": bpe_pairs,
@@ -364,6 +392,7 @@ EXPERIMENTS = {
     "pipeline_pretrain": pipeline_pretrain,
     "passage_dedup": passage_dedup,
     "quality_ks": quality_ks,
+    "lang_confusion": lang_confusion,
 }
 
 
