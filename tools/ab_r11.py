@@ -385,6 +385,88 @@ def lang_confusion():
     return load_all()["q_lang_confusion"].builder, candidate
 
 
+def source_overlap():
+    """Measured NO-SHIP: eager localCheckpoint of the |sources|x64-row
+    KMV sketch so the corpus shingle pass provably runs once (the static
+    plan holds FOUR copies of the scan->shingle->distinct->window-limit
+    subtree). Verdict: sf0.1 0.85x, x10 0.97x, x100 0.94x interleaved
+    min-of-3 — AQE stage reuse already dedupes the corpus stage at
+    runtime; the residual is small-scale fixed overhead, which does not
+    ship (local-only wins don't count). Registered shape stands."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.functions.partitioning import spread
+    from duckdb_pst_spark.functions.portable import poly_hash
+    from duckdb_pst_spark.operators.sketches import _OVL_K, _OVL_SALT
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def candidate(spark, sf_dir):
+        sh = (
+            spread(table(spark, sf_dir, "documents"))
+            .select(
+                "source",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+            )
+            .filter(F.size("toks") >= 3)
+            .select(
+                "source",
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 2),"
+                            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                        )
+                    )
+                ).alias("g"),
+            )
+            .select("source", poly_hash(F.col("g")).alias("hv"))
+            .distinct()
+        )
+        w1 = Window.partitionBy("source", (F.col("hv") % _OVL_SALT)).orderBy("hv")
+        w2 = Window.partitionBy("source").orderBy("hv")
+        sk = (
+            sh.withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= _OVL_K)
+            .withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= _OVL_K)
+            .select("source", "hv")
+            .localCheckpoint(eager=True)
+        )
+        srcs = sk.select("source").distinct()
+        pairs = srcs.select(F.col("source").alias("sa")).join(
+            srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb")
+        )
+        ska = sk.select(F.col("source").alias("sa"), "hv", F.lit(1).alias("in_a"))
+        skb = sk.select(F.col("source").alias("sb"), "hv", F.lit(1).alias("in_b"))
+        left = pairs.join(ska, "sa").select("sa", "sb", "hv", "in_a")
+        right = pairs.join(skb, "sb").select("sa", "sb", "hv", "in_b")
+        u = left.join(right, ["sa", "sb", "hv"], "full_outer").select(
+            "sa",
+            "sb",
+            "hv",
+            F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+        )
+        wr = Window.partitionBy("sa", "sb").orderBy("hv")
+        est = (
+            u.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= _OVL_K)
+            .groupBy("sa", "sb")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("k_used"),
+                F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("both_n"),
+            )
+        )
+        return est.select(
+            "sa", "sb", "k_used",
+            F.expr("(both_n * 1000000) div k_used").alias("jaccard_ppm"),
+        )
+
+    return load_all()["q_source_overlap"].builder, candidate
+
+
 EXPERIMENTS = {
     "ngram_novelty": ngram_novelty,
     "bpe_pairs": bpe_pairs,
@@ -393,6 +475,7 @@ EXPERIMENTS = {
     "passage_dedup": passage_dedup,
     "quality_ks": quality_ks,
     "lang_confusion": lang_confusion,
+    "source_overlap": source_overlap,
 }
 
 

@@ -33,9 +33,12 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     specs = load_all()
-    todo = [s for s in specs.values() if s.bench]
-    if only:
-        todo = [specs[n] for n in only]
+    if only and "ALL" in only:
+        todo = list(specs.values())
+    else:
+        todo = [s for s in specs.values() if s.bench]
+        if only:
+            todo = [specs[n] for n in only]
 
     spark = get_spark("dps-plans")
     spark.sparkContext.setLogLevel("ERROR")
