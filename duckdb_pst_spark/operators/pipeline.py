@@ -179,16 +179,26 @@ def q_pipeline_pretrain(
     # Main-chain slimming (r11, guide §2.3/§8: shuffle keys and metadata,
     # never payloads): everything downstream of the gates needs only the
     # token COUNT and — for exact dedup — a CONTENT KEY, not the text or
-    # the token array. The text (~1 KB/row) is replaced by its xxhash64
-    # (8 B) before the chain's only corpus exchange (the exact-dedup
-    # window), a ~100x byte cut on that wire; two distinct texts
-    # colliding on 64 bits would spuriously drop one doc, at the same
-    # vanishing probability the registered band keys and q_ngram_novelty
-    # trigram ids already accept (~n²/2⁶⁵). Measured (tools/ab_r11.py
+    # the token array. The text (~1 KB/row) is replaced by a content key
+    # before the chain's only corpus exchange (the exact-dedup window),
+    # a ~60x byte cut on that wire. Measured (tools/ab_r11.py
     # pipeline_pretrain, interleaved min-of-3, results pinned equal):
     # sf0.1 3.20→2.80 s (0.87x), x10 0.97x (dup-heavy replica profile),
     # x100 17.6→15.4 s (0.87x) — and the deleted bytes are network on a
     # real cluster, so the single-box ratio is the conservative bound.
+    #
+    # Key width (r12, VERDICT r11 item 1): the key decides a FINAL drop
+    # with no downstream exact verification — unlike the LSH band keys,
+    # whose collisions only nominate candidates that exact Jaccard then
+    # re-checks — so a single 64-bit key is NOT enough at the declared
+    # 100 TB target: at ~1e11 docs the birthday expectation is
+    # n²/2⁶⁵ ≈ hundreds of spurious drops. The key is therefore 128 bits
+    # as TWO independently-seeded xxhash64 columns (the second hashes a
+    # constant discriminator first, i.e. a distinct derived seed); a
+    # spurious drop now needs a simultaneous collision under both seeds,
+    # collapsing the class to n²/2¹²⁹ ≈ 1e-17 at 1e11 docs. Still 16 B
+    # vs ~1 KB on the wire (~60x), and the second hash is scan-local CPU
+    # — measured ≤3% on the row (tools/ab_r12.py tkey128, sf0.1 + x100).
     # The shingle branch below keeps using `train` (with toks) — its
     # explode is scan-local.
     train_slim = train.select(
@@ -196,18 +206,25 @@ def q_pipeline_pretrain(
         "source",
         "lang",
         F.xxhash64("text").alias("_tkey"),
+        F.xxhash64(F.lit(1), "text").alias("_tkey2"),
         F.size("toks").alias("n_toks"),
     )
 
     def shingle_rows(df: DataFrame) -> DataFrame:
-        # xxhash64 trigram ids, not concat'd strings (r11): the join
-        # only decides membership, so an 8-byte key replaces the ~30-byte
-        # gram string — smaller broadcast, long-keyed join, no string
-        # materialization per gram (the q_ngram_novelty id scheme).
+        # Hashed trigram ids, not concat'd strings (r11): the join only
+        # decides membership, so a fixed-width key replaces the ~30-byte
+        # gram string — smaller broadcast, no string materialization per
+        # gram (the q_ngram_novelty id scheme). r12: the membership hit
+        # is a FINAL drop decision (left_anti below, no exact re-check),
+        # so the id is 128 bits — a two-seed xxhash64 struct, same
+        # discipline and ~n²/2¹²⁹ class as the exact-dedup key above; a
+        # spurious train-gram/eval-gram collision now needs both seeds
+        # to collide at once. Measured ≤3% (tools/ab_r12.py tkey128).
         grams = F.array_distinct(
             F.expr(
                 "transform(sequence(1, size(toks) - 2),"
-                " i -> xxhash64(toks[i-1], toks[i], toks[i+1]))"
+                " i -> struct(xxhash64(toks[i-1], toks[i], toks[i+1]) AS g1,"
+                "             xxhash64(1, toks[i-1], toks[i], toks[i+1]) AS g2))"
             )
         )
         return (
@@ -227,10 +244,10 @@ def q_pipeline_pretrain(
     )
     exact = (
         clean.withColumn(
-            "_min_id", F.min("doc_id").over(Window.partitionBy("_tkey"))
+            "_min_id", F.min("doc_id").over(Window.partitionBy("_tkey", "_tkey2"))
         )
         .filter(F.col("doc_id") == F.col("_min_id"))
-        .drop("_min_id", "_tkey")
+        .drop("_min_id", "_tkey", "_tkey2")
     )
     # near-dedup, production shape: fast Arrow-kernel candidates (capped
     # buckets), then exact Jaccard verification computed ONLY for docs

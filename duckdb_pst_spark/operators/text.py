@@ -941,39 +941,70 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     can reuse/co-locate the exchange.
 
     r11 optimization (guide §2.3, the docstring's own 100 TB note made
-    real): passages shuffle and join as ``xxhash64`` of the TOKEN SLICE
-    — the passage string is never materialized (tokens are space-free,
-    so array_join is injective and array equality ⇔ string equality; a
-    64-bit collision spuriously merges two passages at the accepted
-    ~n²/2⁶⁵ class). Per-passage token counts ride the explode
-    scan-local (the empty-slice guard reproduces split('')'s size-1
-    exactly). Interleaved min-of-3 (tools/ab_r11.py passage_dedup,
-    results pinned equal): sf0.1 1.05 → 1.10 s (1.04x — inside the
-    sub-second noise class; the slice hash costs what the string join
-    cost), x100 5.23 → 4.49 s (0.86x) — the ratio improves with scale
-    because the deleted string bytes are the exchange's growth term,
-    and they are network on a real cluster.
+    real): passages shuffle and join as a hash of the TOKEN SLICE — the
+    passage string is never materialized (tokens are space-free, so
+    array_join is injective and array equality ⇔ string equality).
+    Interleaved min-of-3 (tools/ab_r11.py passage_dedup, results pinned
+    equal): sf0.1 1.05 → 1.10 s (1.04x — inside the sub-second noise
+    class; the slice hash costs what the string join cost), x100
+    5.23 → 4.49 s (0.86x) — the ratio improves with scale because the
+    deleted string bytes are the exchange's growth term, and they are
+    network on a real cluster.
+
+    r12 hardening (VERDICT r11 item 1): a hash collision here silently
+    MERGES two distinct passages (undercounting kept_passages/
+    kept_tokens) with no downstream exact check — not the re-verified
+    candidate-generation class the band keys live in — so the key is
+    128 bits: two independently-seeded xxhash64 columns (the second
+    hashes a constant discriminator first). Collision class drops from
+    ~n²/2⁶⁵ (hundreds expected at the 100 TB target's ~1e11 passages)
+    to n²/2¹²⁹ (~1e-17). Still 16 B vs the ~100 B passage string on
+    the exchange; cost measured ≤3% (tools/ab_r12.py pk128).
+
+    r12 edge fix (ADVICE r11): empty slices are filtered out right
+    after the explode — for a zero-token doc Spark's ``sequence(0, -1)``
+    yields ``[0, -1]`` (two empty slices ⇒ two phantom passages) where
+    the oracle's ``range(0)`` yields none; dropping size-0 slices makes
+    both engines agree that a token-less document has no passages (no
+    corpus in testdata hits the edge, so benched results are
+    unchanged). The guard sits ON THE EXPLODED ATTRIBUTE, not on
+    ``toks`` before the generate: a pre-explode ``size(toks) > 0``
+    filter pushes below the tokenization projection and re-inlines the
+    split/filter HOF into a second per-doc evaluation (the r11
+    projected-column-explode trap class — measured 1.18x at x100),
+    while ``size(p) > 0`` on a 16-element array attribute is ~free.
+    With it, every surviving slice is non-empty, so the old
+    split('')-size-1 shim for empty slices is dead and n_ptok is simply
+    size(p).
     """
     d = _docs_with_tokens(spark, sf_dir)
     slices = F.expr(
         f"transform(sequence(0, cast(ceil(size(toks) / {_PASSAGE_W}.0) as int) - 1),"
         f" i -> slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}))"
     )
-    passages = d.select("doc_id", F.explode(slices).alias("p")).select(
+    passages = d.select("doc_id", F.explode(slices).alias("p")).where(
+        F.size("p") > 0
+    ).select(
         "doc_id",
         F.xxhash64("p").alias("pk"),
-        # split('', ' ') of an empty joined passage yields [''] (size 1),
-        # not 0 — preserve that exact edge for empty token slices
-        F.when(F.size("p") == 0, 1).otherwise(F.size("p")).alias("n_ptok"),
+        F.xxhash64(F.lit(1), "p").alias("pk2"),
+        F.size("p").alias("n_ptok"),
     )
+    # "occurs in MORE THAN ONE distinct document" needs only
+    # min(doc_id) != max(doc_id), not COUNT(DISTINCT doc_id) —
+    # min/max are plain partial aggregates (no distinct-expansion
+    # machinery), measured 0.85x vs the r11 countDistinct shape at
+    # x100 (tools/ab_r12.py pk128), which more than pays for the
+    # 128-bit key. The oracle keeps HAVING COUNT(DISTINCT ...) > 1;
+    # the predicates are equivalent by definition.
     dup = (
-        passages.groupBy("pk")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
-        .select("pk", F.lit(1).alias("isdup"))
+        passages.groupBy("pk", "pk2")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .where(F.col("mn") != F.col("mx"))
+        .select("pk", "pk2", F.lit(1).alias("isdup"))
     )
     return (
-        passages.join(dup, "pk", "left")
+        passages.join(dup, ["pk", "pk2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_passages"),

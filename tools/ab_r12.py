@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Round-12 optimization A/Bs: old-vs-new builder variants, one session,
+interleaved min-of-N noop-sink timing, results pinned equal first.
+
+Usage: python tools/ab_r12.py <experiment> [corpus_dir]
+
+Experiments are registered in EXPERIMENTS below; each returns
+(old_builder, new_builder) where a builder is (spark, sf_dir) -> DataFrame.
+The "new" side is the REGISTERED builder (what ships); the "old" side is
+the pre-optimization shape kept here verbatim for reproducible evidence.
+Same harness as tools/ab_r11.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REPS = 3
+
+
+# ------------------------------------------------------------ experiments
+def tkey128():
+    """r12 hardening cost probe: q_pipeline_pretrain with the r11 64-bit
+    content key / 64-bit decon shingle ids (old, kept verbatim) vs the
+    shipped 128-bit two-seed keys (new). The answer is identical on any
+    collision-free corpus; the A/B prices the second xxhash64 per text /
+    per gram and the extra 8 B per row on the exact-dedup exchange."""
+    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.functions.partitioning import spread
+    from duckdb_pst_spark.operators.pipeline import (
+        _EN_STOPWORDS,
+        EN_RATIO_U,
+        JACCARD_THRESHOLD_U,
+        MIN_CHARS,
+        MIN_TOKENS,
+        _band_pairs,
+        _minhash_band_kernel,
+        _shingle_hashes,
+    )
+    from duckdb_pst_spark.functions.portable import poly_hash, tokens
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def old(spark, sf_dir):
+        docs = spread(table(spark, sf_dir, "documents"))
+        d = docs.withColumn("toks", tokens(F.col("text")))
+        en_hits = F.size(
+            F.filter(F.col("toks"), lambda t: t.isin(*_EN_STOPWORDS))
+        ).cast("long")
+        gated = d.filter(
+            (F.length("text") >= MIN_CHARS)
+            & (F.size("toks") >= MIN_TOKENS)
+            & ((en_hits * 1_000_000).cast("long") / F.size("toks") >= EN_RATIO_U)
+        )
+        train = gated.filter(F.col("doc_id") % 100 != 0)
+        train_slim = train.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.xxhash64("text").alias("_tkey"),
+            F.size("toks").alias("n_toks"),
+        )
+
+        def shingle_rows(df: DataFrame) -> DataFrame:
+            grams = F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> xxhash64(toks[i-1], toks[i], toks[i+1]))"
+                )
+            )
+            return (
+                df.filter(F.size("toks") >= 3)
+                .select("doc_id", F.explode(grams).alias("g"))
+            )
+
+        eval_sh = shingle_rows(d.filter(F.col("doc_id") % 100 == 0))
+        contaminated = (
+            shingle_rows(train)
+            .join(F.broadcast(eval_sh.select("g").distinct()), "g")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = train_slim.join(contaminated, "doc_id", "left_anti")
+        exact = (
+            clean.withColumn(
+                "_min_id", F.min("doc_id").over(Window.partitionBy("_tkey"))
+            )
+            .filter(F.col("doc_id") == F.col("_min_id"))
+            .drop("_min_id", "_tkey")
+        )
+        bands = (
+            docs
+            .select("doc_id", "text")
+            .mapInPandas(
+                _minhash_band_kernel, "doc_id long, band_idx int, band_val long"
+            )
+        )
+        pairs = _band_pairs(bands)
+        member_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = (
+            docs
+            .join(F.broadcast(member_ids), "doc_id", "left_semi")
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .localCheckpoint(eager=True)
+            .select("doc_id", _shingle_hashes(F.col("toks"), poly_hash).alias("sh"))
+        )
+        jacc = F.expr(
+            "(CAST(size(array_intersect(sa_sh, sb_sh)) AS BIGINT) * 1000000)"
+            " div size(array_union(sa_sh, sb_sh))"
+        )
+        near_drop = (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa_sh")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb_sh")),
+                "doc_b",
+            )
+            .filter(jacc >= JACCARD_THRESHOLD_U)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = exact.join(near_drop, "doc_id", "left_anti")
+        return survivors.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("total_tokens"),
+        )
+
+    return old, load_all()["q_pipeline_pretrain"].builder
+
+
+def pk128():
+    """r12 hardening cost probe: q_passage_dedup with the r11 64-bit
+    slice key (old, kept verbatim, incl. the empty-slice shim) vs the
+    shipped 128-bit two-seed key + zero-token guard (new). Identical
+    answers on any collision-free, no-empty-doc corpus (all testdata)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.operators.text import _PASSAGE_W, _docs_with_tokens
+    from duckdb_pst_spark.registry import load_all
+
+    def old(spark, sf_dir):
+        d = _docs_with_tokens(spark, sf_dir)
+        slices = F.expr(
+            f"transform(sequence(0, cast(ceil(size(toks) / {_PASSAGE_W}.0) as int) - 1),"
+            f" i -> slice(toks, i * {_PASSAGE_W} + 1, {_PASSAGE_W}))"
+        )
+        passages = d.select("doc_id", F.explode(slices).alias("p")).select(
+            "doc_id",
+            F.xxhash64("p").alias("pk"),
+            F.when(F.size("p") == 0, 1).otherwise(F.size("p")).alias("n_ptok"),
+        )
+        dup = (
+            passages.groupBy("pk")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") > 1)
+            .select("pk", F.lit(1).alias("isdup"))
+        )
+        return (
+            passages.join(dup, "pk", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_passages"),
+                F.sum(F.when(F.col("isdup").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("kept_passages"),
+                F.sum(F.when(F.col("isdup").isNull(), F.col("n_ptok")).otherwise(0))
+                .cast("long")
+                .alias("kept_tokens"),
+            )
+        )
+
+    return old, load_all()["q_passage_dedup"].builder
+
+
+EXPERIMENTS = {
+    "tkey128": tkey128,
+    "pk128": pk128,
+}
+
+
+def main() -> None:
+    name = sys.argv[1]
+    corpus = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    old_b, new_b = EXPERIMENTS[name]()
+
+    from duckdb_pst_spark.session import free_checkpoints, get_spark
+
+    spark = get_spark(f"ab-r12-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # results pinned equal first
+    o = sorted(tuple(r) for r in old_b(spark, corpus).collect())
+    n = sorted(tuple(r) for r in new_b(spark, corpus).collect())
+    assert o == n, f"{name}: old/new results differ ({len(o)} vs {len(n)} rows)"
+    print(f"{name}: results pinned equal ({len(o)} rows)", file=sys.stderr)
+    free_checkpoints(spark)
+
+    def run(b) -> float:
+        t0 = time.perf_counter()
+        b(spark, corpus).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # plan warm-up, then interleaved min-of-REPS
+    run(old_b), run(new_b)
+    free_checkpoints(spark)
+    to, tn = float("inf"), float("inf")
+    for _ in range(REPS):
+        to = min(to, run(old_b))
+        free_checkpoints(spark)
+        tn = min(tn, run(new_b))
+        free_checkpoints(spark)
+    print(
+        f"{name} @ {corpus}: old {to:.3f} s -> new {tn:.3f} s "
+        f"({tn / to:.2f}x), interleaved min-of-{REPS}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
