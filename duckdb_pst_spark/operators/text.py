@@ -3139,19 +3139,33 @@ def q_quality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 optimization (guide §5): the histogram feeds THREE consumers
     (cumsum, totals, and the totals inside the D max) and Catalyst
     re-executed the corpus scan+aggregate per branch — the before plan
-    holds three BatchScans of documents. One eager localCheckpoint of
-    the ≤|distinct lengths|-row histogram collapses that to ONE corpus
-    pass; everything downstream is arithmetic on the tiny table.
+    holds three BatchScans of documents. One (lazy, since r12)
+    localCheckpoint of the ≤|distinct lengths|-row histogram collapses
+    that to ONE corpus pass; everything downstream is arithmetic on the
+    tiny table.
     Interleaved min-of-3 (tools/ab_r11.py quality_ks, results pinned
     equal): 0.87x at BOTH sf0.1 (0.75 → 0.65 s) and x100 (0.78 →
     0.68 s) — locally the row is job-overhead-bound because the scan
     reads only (lang, n_chars); on a real lake the 3→1 scan cut is the
     point (those two columns are still TB-scale at 100 TB)."""
+    # r12 (ADVICE r11): the checkpoint is LAZY — eager=True fully
+    # materialized AND persisted the histogram at DataFrame-BUILD time
+    # (an extra count job + persist pass before any action). eager=False
+    # keeps the same lineage truncation (one Scan ExistingRDD feeding
+    # all three consumers, ONE corpus pass) and moves the final-stage
+    # materialization to the first action. Honest caveat, measured: with
+    # AQE on, building the checkpoint RDD still finalizes the aggregate's
+    # shuffle stages, so builder()+explain still fires the corpus-scan
+    # map stage (2 jobs, vs eager's 3) — the build-time-job class is
+    # reduced, not eliminated, and the snapshot-at-build semantics are
+    # unchanged. A/B (tools/ab_r12.py quality_ks_lazy, interleaved
+    # min-of-3): 0.97x sf0.1, 0.93x x100 — the deleted eager pass is the
+    # difference.
     d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
     h = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("na"),
         F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0)).cast("long").alias("nb"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = h.select(
         F.sum("na").over(w).cast("long").alias("ca"),

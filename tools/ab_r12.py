@@ -186,9 +186,79 @@ def pk128():
     return old, load_all()["q_passage_dedup"].builder
 
 
+def quality_ks_lazy():
+    """r12 (ADVICE r11): q_quality_ks's histogram checkpoint goes
+    eager=True (old, r11 shipped — runs a corpus scan at DataFrame-BUILD
+    time) -> eager=False (new — same lineage truncation and same single
+    corpus pass, final-stage materialization moved to the first ACTION).
+    Measured: 0.97x sf0.1 / 0.93x x100 (the deleted eager pass). Caveat
+    probed with a statusTracker job count: under AQE, builder()+explain
+    still fires the aggregate's shuffle-stage jobs (2, vs eager's 3) —
+    the build-time-job class is reduced, not eliminated."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.registry import load_all
+    from duckdb_pst_spark.tables import table
+
+    def old(spark, sf_dir):
+        d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "fr"))
+        h = d.groupBy(F.col("n_chars").alias("v")).agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("lang") == "fr", 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+        ).localCheckpoint(eager=True)
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        c = h.select(
+            F.sum("na").over(w).cast("long").alias("ca"),
+            F.sum("nb").over(w).cast("long").alias("cb"),
+        )
+        t = h.agg(
+            F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        diff = (
+            c.crossJoin(F.broadcast(t))
+            .agg(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                        - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                    )
+                ).alias("d_num")
+            )
+        )
+        return (
+            t.crossJoin(F.broadcast(diff))
+            .select(
+                "n_a",
+                "n_b",
+                F.when(
+                    (F.col("n_a") == 0) | (F.col("n_b") == 0),
+                    F.lit(0).cast("long"),
+                )
+                .otherwise(
+                    F.expr(
+                        "coalesce(d_num, CAST(0 AS DECIMAL(38,0))) * 1000000"
+                        " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                    )
+                )
+                .alias("ks_ppm"),
+            )
+        )
+
+    return old, load_all()["q_quality_ks"].builder
+
+
 EXPERIMENTS = {
     "tkey128": tkey128,
     "pk128": pk128,
+    "quality_ks_lazy": quality_ks_lazy,
 }
 
 
