@@ -62,15 +62,59 @@ JACCARD_THRESHOLD_U = 300_000  # 0.30 in micro-units
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: group on the content key, keep the smallest
-    doc_id as the canonical representative. At 100 TB you'd group on a
-    content hash (xxhash64/sha) instead of the raw text to shrink the
-    shuffle — same plan shape. No output sort: dedup results are a set
-    (the oracle's ORDER BY is cosmetic; the driver compare is
-    order-insensitive), and a global sort is a full extra exchange."""
+    doc_id as the canonical representative. The oracle requires key_text
+    in the output, so the group key cannot be hashed HERE; the 100 TB
+    production twin that groups on a 128-bit content hash instead is
+    registered as q_dedup_exact_hash (r12). No output sort: dedup
+    results are a set (the oracle's ORDER BY is cosmetic; the driver
+    compare is order-insensitive), and a global sort is a full extra
+    exchange."""
     return (
         table(spark, sf_dir, "documents")
         .groupBy(F.col("text").alias("key_text"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+@query(
+    "q_dedup_exact_hash",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_cnt
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup", "pipeline"),
+    bench=True,
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_exact's PRODUCTION twin (r12, VERDICT r11 item 6): the
+    group key is a 128-bit content hash — a two-seed xxhash64 pair, the
+    q_pipeline_pretrain/_tkey discipline — and key_text is NOT in the
+    output, so the exchange carries 16 B per distinct document instead
+    of the ~1 KB text (~60x fewer aggregate-exchange bytes; at 100 TB
+    the text column never crosses a wire at all). Same plan shape as
+    the plain twin: one map-side-combined groupBy, no output sort.
+
+    Exactness: a spurious merge needs one text pair colliding under
+    BOTH seeds at once — n²/2¹²⁹, ~1e-17 at the 100 TB target's ~1e11
+    docs (vs hundreds expected from a single 64-bit key, which is why
+    the pair is the floor for drop/merge decisions repo-wide). The
+    oracle groups by the raw text; the driver compare proves the hash
+    grouping reproduces it exactly on every checked corpus. A/B vs the
+    text-keyed plain (tools/ab_r12.py dedup_exact_hash, interleaved
+    min-of-3): see OPTIMIZATION_r12.md — the win grows with scale
+    because the deleted text bytes are the exchange's growth term.
+
+    The exact-dedup family now has the same plain/production pairing as
+    minhash (q_dedup_minhash vs q_dedup_minhash_fast)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            F.xxhash64("text").alias("_h1"),
+            F.xxhash64(F.lit(1), "text").alias("_h2"),
+        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
     )
 
 

@@ -65,7 +65,8 @@ def test_tpch_exchange_budget(spark, sf_dir, name):
 # leans on hardest — a crept-in exchange here invalidates the
 # exchange-budget math, not just a bench row.
 FLAGSHIP_BUDGETS = {
-    "q_dedup_exact": 1,        # one groupBy on the content hash
+    "q_dedup_exact": 1,        # one groupBy on the content key
+    "q_dedup_exact_hash": 1,   # same shape, 128-bit hash key (r12)
     "q_dedup_minhash": 1,      # one band-key groupBy; pairs bucket-local
     "q_dedup_minhash_fast": 2, # fused xxhash64 path + rollup
     "q_dedup_simhash": 0,      # scan-local signatures

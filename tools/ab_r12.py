@@ -255,10 +255,30 @@ def quality_ks_lazy():
     return old, load_all()["q_quality_ks"].builder
 
 
+def dedup_exact_hash():
+    """r12 (VERDICT r11 item 6): the exact-dedup production twin. Old =
+    the registered text-keyed q_dedup_exact projected to (keep_id,
+    dup_cnt) so results pin equal (the projection does NOT change the
+    text-keyed exchange being priced — the group key still rides the
+    wire; only the cosmetic key_text output column is dropped). New =
+    q_dedup_exact_hash (128-bit two-seed hash group key, 16 B/doc on
+    the exchange instead of ~1 KB)."""
+    from duckdb_pst_spark.registry import load_all
+
+    specs = load_all()
+    plain = specs["q_dedup_exact"].builder
+
+    def old(spark, sf_dir):
+        return plain(spark, sf_dir).select("keep_id", "dup_cnt")
+
+    return old, specs["q_dedup_exact_hash"].builder
+
+
 EXPERIMENTS = {
     "tkey128": tkey128,
     "pk128": pk128,
     "quality_ks_lazy": quality_ks_lazy,
+    "dedup_exact_hash": dedup_exact_hash,
 }
 
 
