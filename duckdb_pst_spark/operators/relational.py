@@ -2603,12 +2603,32 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches it; region→nation (ASIA, fixed cardinality) broadcasts
     into customer exactly as q_tpch_q5; the order-date window is
     pushed into the orders scan. Every join of an SF-scaled side
-    (part, supplier, the fact⋈fact orderkey join) is declarative —
-    AQE broadcasts the filtered part/supplier sides while they fit
-    and right-sizes past that (the forced-broadcast A/B on the orders
-    side measured a tie, tools/ab_q21_q8.py). The final aggregate is
-    ≤ |years| groups, map-side combined, and the CASE split rides
-    inside it — one pass computes both revenue arms."""
+    (part, the fact⋈fact orderkey join) is declarative — AQE
+    broadcasts the filtered part side while it fits and right-sizes
+    past that (the forced-broadcast A/B on the orders side measured a
+    tie, tools/ab_q21_q8.py).
+
+    r12 (VERDICT r11 item 2, guide §2.3 "aggregate before you
+    shuffle"): the fact is PARTIALLY AGGREGATED to ≤|suppkey|·|2
+    years| rows BEFORE the supplier attach — supplier is the only dim
+    the assembled fact still needed, and nothing in the final rollup
+    depends on anything but (suppkey, year, sum rev), so the supplier
+    join now probes a dimension-sized aggregate instead of every fact
+    row. Past the broadcast cliff (supplier scales with the corpus)
+    this replaces a fact-sized suppkey exchange with a
+    dimension-sized one. Measured interleaved min-of-3
+    (tools/ab_r12.py suppagg_q8): broadcast-on 1.01x sf0.1 / 0.96x
+    x10 (tie); broadcast-disabled (the post-cliff shape)
+    0.88x x10 / 0.92x x100. Exactness: int64 partial sums regrouped
+    by (supp_nation, year) — sum re-association only; supplier's
+    s_suppkey is unique so the inner attach drops whole groups
+    exactly as it dropped their rows. The same restructure measured
+    as a NO-SHIP for Q5/Q7/Q9 (tools/ab_r12.py suppagg_noship:
+    Q5 1.09–1.30x, Q7 1.07–1.16x everywhere; Q9 0.94x at sf0.1/
+    x100-off but 1.17x at x10-on — not uniform, stands as-is).
+    The final aggregate is ≤ |years| groups, map-side combined, and
+    the CASE split rides inside it — one pass computes both revenue
+    arms from the partial sums."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
         "p_partkey"
     )
@@ -2648,29 +2668,28 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    j = (
+    part_agg = (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            rev_c.alias("rev_c"),
-            "supp_nation",
+        .groupBy(
+            "l_suppkey", F.year("o_orderdate").cast("long").alias("o_year")
         )
+        .agg(F.sum(rev_c).alias("rev_part"))
     )
-    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+    j = part_agg.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev_part")).otherwise(0)
     return (
         j.groupBy("o_year")
         .agg(
             F.sum(nat).cast("long").alias("nation_rev_c"),
-            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            F.sum("rev_part").cast("long").alias("total_rev_c"),
             F.expr(
                 # decimal(38) product (the q_quality_ks 128-bit-safe
                 # rescale): an int64 1e6*sum wraps past ~9.2e12 cents
                 # per year group while DuckDB's HUGEINT sum does not
                 "CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' "
-                "THEN rev_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
-                " div sum(rev_c) AS BIGINT)"
+                "THEN rev_part ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div sum(rev_part) AS BIGINT)"
             ).alias("mkt_share_ppm"),
         )
         .orderBy("o_year")

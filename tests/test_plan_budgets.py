@@ -32,7 +32,11 @@ BUDGETS = {
     "q_tpch_q5": 2,
     "q_tpch_q6": 1,   # pure scan-aggregate
     "q_tpch_q7": 4,
-    "q_tpch_q8": 4,
+    "q_tpch_q8": 5,   # r12: +1 DIMENSION-sized exchange (the (suppkey,
+                      # year) partial agg below the supplier attach) in
+                      # exchange for deleting the FACT-sized suppkey
+                      # exchange past the broadcast cliff — 0.66x at
+                      # x100 broadcast-off (tools/ab_r12.py suppagg_q8)
     "q_tpch_q9": 2,
     "q_tpch_q10": 2,
     "q_tpch_q11": 2,  # partkey agg + tiny threshold filter (twin: 0)

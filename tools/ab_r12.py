@@ -274,11 +274,114 @@ def dedup_exact_hash():
     return old, specs["q_dedup_exact_hash"].builder
 
 
+def _q8_pre_r12(spark, sf_dir):
+    """Q8 as shipped in r8–r11 (supplier attached per fact row), kept
+    verbatim: the 'old' side of suppagg_q8."""
+    from pyspark.sql import functions as F
+
+    from duckdb_pst_spark.tables import table
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2.select("n_nationkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(nat).cast("long").alias("nation_rev_c"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' "
+                "THEN rev_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+                " div sum(rev_c) AS BIGINT)"
+            ).alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def suppagg_q8():
+    """r12 SHIPPED (VERDICT r11 item 2): Q8's fact partially aggregated
+    to (l_suppkey, o_year) BEFORE the supplier attach. Run with
+    AB_R12_BCAST_OFF=1 to disable size-based broadcasts (planner + AQE)
+    and measure the post-broadcast-cliff shape the restructure targets.
+    Verdicts: broadcast-on 1.01x sf0.1 / 0.96x x10; broadcast-off 0.88x
+    x10 / 0.92x x100."""
+    from duckdb_pst_spark.registry import load_all
+
+    return _q8_pre_r12, load_all()["q_tpch_q8"].builder
+
+
+def suppagg_noship():
+    """Measured NO-SHIP: the same partial-agg-before-supplier-attach
+    restructure for Q5/Q7/Q9 (candidates in tools/probe_suppagg_r12.py,
+    runnable standalone). Verdicts (interleaved min-of-3):
+    Q5 1.02x sf0.1-on / 1.30x x10-on / 1.09x x10-off / 1.12x x100-off;
+    Q7 1.07x / 1.16x / 1.15x / 1.10x — both regress everywhere (their
+    partial-agg keys carry cust_nation, so the pre-supplier fact join
+    loses its supplier prune (Q7) or the agg collapses less (Q5));
+    Q9 0.94x sf0.1-on / 0.94x x100-off BUT 1.17x x10-on (min-of-5) —
+    not uniform across confs, so the registered shape stands (the
+    repo's preferSMJ lesson: no uniform direction, no ship)."""
+    raise SystemExit(
+        "no-ship evidence experiment: run `python tools/probe_suppagg_r12.py"
+        " <corpus> [off]` for the Q5/Q7/Q9 candidates"
+    )
+
+
 EXPERIMENTS = {
     "tkey128": tkey128,
     "pk128": pk128,
     "quality_ks_lazy": quality_ks_lazy,
     "dedup_exact_hash": dedup_exact_hash,
+    "suppagg_q8": suppagg_q8,
+    "suppagg_noship": suppagg_noship,
 }
 
 
@@ -291,6 +394,13 @@ def main() -> None:
 
     spark = get_spark(f"ab-r12-{name}")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("AB_R12_BCAST_OFF") == "1":
+        # disable size-based broadcasts (planner + AQE) to measure the
+        # post-broadcast-cliff shape; explicit F.broadcast hints on the
+        # fixed-cardinality dims still apply, as they would at any scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        print("AB_R12_BCAST_OFF=1: size-based broadcasts disabled", file=sys.stderr)
 
     # results pinned equal first
     o = sorted(tuple(r) for r in old_b(spark, corpus).collect())
