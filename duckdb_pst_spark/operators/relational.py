@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_pst_spark.functions.portable import P_HASH
 from duckdb_pst_spark.registry import query
 from duckdb_pst_spark.tables import table
 
@@ -3464,3 +3465,63 @@ def q_lake_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(lake, ignore_errors=True)
     return out
+
+
+# ----------------------------------------------- iterated key stretching
+#: rounds of the polynomial stretch fold — sized so the row is CPU-bound
+#: enough to express core-count scaling (guide §1: ~44 core-seconds at
+#: sf0.1, i.e. ~2.3 s on local[32] vs ~6.4 s on local[8], ratio 2.8)
+#: while staying a small fraction of the bench total.
+KEY_STRETCH_ROUNDS = 1024
+
+
+@query(
+    "q_key_stretch",
+    oracle=f"""
+    SELECT CAST(SUM(list_reduce(
+             list_prepend(CAST(l_orderkey % {P_HASH} AS BIGINT),
+                          range(1, {KEY_STRETCH_ROUNDS + 1})),
+             (acc, x) -> (acc * 31 + x) % {P_HASH})) AS BIGINT) AS h_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    tags=("relational", "agg", "scaling"),
+    bench=True,
+)
+def q_key_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated polynomial key stretching over every lineitem key, plus
+    a corpus checksum: each l_orderkey is folded through
+    {KEY_STRETCH_ROUNDS} rounds of (acc*31 + i) % P — the
+    key-hardening shape (PBKDF-style) a pipeline uses to derive
+    non-invertible record fingerprints — and the stretched keys are
+    summed into one portable corpus digest. Pure 64-bit integer
+    arithmetic, identical in any engine (functions/portable.py
+    discipline: acc < P ≈ 1e9, so acc*31 + i stays far below 2^63).
+
+    Scale shape AND bench role (VERDICT r11 item 4): the work is
+    embarrassingly parallel per-row CPU — ~44 core-seconds at sf0.1 —
+    behind one tiny hash exchange (600k 8-byte keys; hash repartition
+    on the key, not round-robin, so no sort-before-repartition pass
+    and deterministic placement under retries, guide §2.5) and one
+    map-side-combined global sum. That makes this row the bench's
+    PARALLEL-SCALING probe: every other sf0.1 row is fixed-cost/
+    scheduling-bound (the r11 scaling block read all 71 low/high-core
+    ratios ≈1), so this is the row that lets the driver's 8-vs-32-core
+    comparison distinguish "overhead-bound at this SF" from a real
+    serialization bottleneck — measured local[8]/local[32] ratio ≈2.8
+    at sf0.1. The repartition width scales with
+    sc.defaultParallelism (not a constant), so the probe stays
+    parallel at any core count."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sp = li.repartition(
+        4 * spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
+    stretched = F.aggregate(
+        F.sequence(F.lit(1), F.lit(KEY_STRETCH_ROUNDS)),
+        (F.col("l_orderkey") % P_HASH).cast("long"),
+        lambda acc, i: (acc * F.lit(31) + i) % F.lit(P_HASH),
+    )
+    return sp.agg(
+        F.sum(stretched).cast("long").alias("h_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
