@@ -28,6 +28,26 @@ from duckdb_pst_spark.tables import table
 # tiny English stopword list for the language-ID heuristic
 _EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+#: r12 (found by the tests/test_plan_audit.py generator-trap detector,
+#: the r11 projected-column-explode lesson made a gate): queries that
+#: explode the PROJECTED ``toks`` column trip InferFiltersFromGenerate —
+#: the rule infers ``size(toks) > 0 AND isnotnull(toks)`` on the cheap
+#: attribute, filter-pushdown sinks it below the tokenization Project,
+#: and collapse re-inlines the split/filter HOF so every document is
+#: tokenized 2-3x (scan DataFilters + Filter + Project). The inferred
+#: filter buys nothing here (explode of an empty array already emits no
+#: rows), so these specs exclude the rule per-query via QuerySpec.confs
+#: (the Q11/Q16 per-query-conf precedent). Measured interleaved
+#: min-of-3, results pinned equal (tools/ab_r12.py infer_gen):
+#: q_explode_agg 0.98x sf0.1 / 0.54x x100, q_oov_rate 0.93x / 0.67x,
+#: q_bpe_pairs 0.98x / 0.72x, q_phrase_pmi 0.91x / 0.89x.
+_NO_INFER_GEN = (
+    (
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    ),
+)
+
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every consumer is compute-bound token work (interpreted array
@@ -72,6 +92,7 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("nested", "agg"),
     bench=True,
+    confs=_NO_INFER_GEN,
 )
 def q_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23: aggregation after explode — corpus term frequencies. The
@@ -1456,6 +1477,7 @@ BPE_TOP_PAIRS = 20
     """,
     tags=("text", "tokenizer"),
     bench=True,
+    confs=_NO_INFER_GEN,
 )
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-symbol pair statistics — the counting step of BPE
@@ -2067,6 +2089,7 @@ _PMI_MIN_COUNT = 5
     LIMIT {_PMI_TOP}
     """,
     tags=("text", "pipeline"),
+    confs=_NO_INFER_GEN,
 )
 def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation / phrase mining by pointwise mutual information —
@@ -2938,6 +2961,7 @@ _OOV_DENOM = 64  # in-vocab = corpus count >= total_tokens / 64
     GROUP BY tok.doc_id
     """,
     tags=("text", "quality", "pipeline"),
+    confs=_NO_INFER_GEN,
 )
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document out-of-vocabulary rate against a frequency-derived

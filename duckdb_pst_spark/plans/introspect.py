@@ -113,3 +113,35 @@ def codegen_fraction(df: DataFrame) -> float:
         elif re.match(r"^[\s:+-]*[A-Z][A-Za-z]+", ln):
             total += 1
     return inside / total if total else 0.0
+
+
+def inferred_generator_hof_filters(plan: str) -> list[str]:
+    """r12 generator-trap detector (VERDICT r11 item 8).
+
+    The trap: binding an expensive higher-order expression to a column
+    and exploding the COLUMN lets ``InferFiltersFromGenerate`` infer
+    ``size(col) > 0 AND isnotnull(col)`` on the cheap attribute; filter
+    pushdown then sinks that condition below the defining Project and
+    collapse re-inlines the HOF, so the generator-feeding expression is
+    evaluated 2-3x per row (measured 7x wall on q_ngram_novelty's
+    trigram HOF in r11, 1.2-1.9x on the tokenization HOF in the four
+    r12 finds). This walks the FORMATTED plan and returns every
+    Filter/scan condition line matching the inferred-filter signature
+    with a lambda-bearing payload — the textual fingerprint that only
+    this rewrite produces.
+    """
+    norm = re.sub(r"#\d+", "", plan)
+    hits: list[str] = []
+    for block in norm.split("\n\n"):
+        if not re.match(r"\(\d+\) (Filter|BatchScan|Scan)", block):
+            continue
+        for line in block.splitlines():
+            if "lambdafunction" not in line:
+                continue
+            if re.search(
+                r"size\([^\n]*lambdafunction[^\n]*\) > 0\)"
+                r" AND isnotnull\([^\n]*lambdafunction",
+                line,
+            ):
+                hits.append(line.strip()[:120])
+    return hits

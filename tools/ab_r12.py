@@ -375,6 +375,21 @@ def suppagg_noship():
     )
 
 
+def infer_gen():
+    """r12 SHIPPED (found by tests/test_plan_audit.py): the four
+    _docs_with_tokens consumers that explode the projected toks column
+    (q_explode_agg, q_bpe_pairs, q_oov_rate, q_phrase_pmi) carried an
+    InferFiltersFromGenerate-inferred size/isnotnull filter that
+    re-inlined the tokenization HOF 2-3x per document. Cure: per-query
+    excludedRules conf (_NO_INFER_GEN in operators/text.py). A/B:
+    `python tools/probe_infer_gen_r12.py <corpus>` (interleaved
+    min-of-3, results pinned equal) — 0.91-0.98x sf0.1,
+    0.54/0.67/0.72/0.89x at x100."""
+    raise SystemExit(
+        "conf experiment: run `python tools/probe_infer_gen_r12.py <corpus>`"
+    )
+
+
 EXPERIMENTS = {
     "tkey128": tkey128,
     "pk128": pk128,
@@ -382,6 +397,7 @@ EXPERIMENTS = {
     "dedup_exact_hash": dedup_exact_hash,
     "suppagg_q8": suppagg_q8,
     "suppagg_noship": suppagg_noship,
+    "infer_gen": infer_gen,
 }
 
 
