@@ -622,31 +622,68 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt-bucket k-mins). Everything after the sketch — pair expansion,
     union ranks, estimates — runs on |sources|²·{64} rows however big
     the corpus. Estimator identical to q_kmv_jaccard's, hash-checked
-    bit-exactly via the portable polynomial hash."""
+    bit-exactly via the portable polynomial hash.
+
+    r12 per-task optimization (guide §1.2 step 2; stage-profiled first:
+    trigram string building + per-gram char folds were ~10.7 of the
+    13 s x100 wall): the polynomial hash is LINEAR — for any prefix
+    state acc and string s, fold(acc, s) = (acc·31^|s| + fold(0, s))
+    mod P — so each token's char fold runs ONCE, producing
+    (p = fold(0, t), m = 31^|t| mod P), and every trigram hash is then
+    five O(1) modular ops combining three (p, m) pairs with the two
+    space chars: bit-identical to poly_hash(concat_ws(' ', t1, t2, t3))
+    by algebra, with no gram string ever built and the explode emitting
+    longs instead of ~30-byte strings. 31^|t| comes from a 1024-entry
+    constant power table (tokens ≥1024 chars fall back to an exact
+    fold, keeping totality). The `size(toks) >= 3` row filter became a
+    scan-local CASE (empty gram array) so tokenization is not
+    re-inlined into a pushed filter — the r12 plan-audit trap class.
+    Measured (tools/probe_source_overlap_r12.py, interleaved min-of-3,
+    results pinned equal): 0.88x sf0.1, 0.97x x10, 0.80x x100
+    (13.4 → 9.9 s). The numpy-kernel alternative (same shingle hashes
+    via functions/polyhash_np) measured 0.89x — the JVM linearized form
+    wins because no text crosses the Python boundary; kept in the
+    probe tool as the measured runner-up."""
     from pyspark.sql import Window
 
     from duckdb_pst_spark.functions.partitioning import spread
-    from duckdb_pst_spark.functions.portable import poly_hash
+    from duckdb_pst_spark.functions.portable import P_HASH
 
+    pow31 = [1]
+    for _ in range(1023):
+        pow31.append(pow31[-1] * 31 % P_HASH)
+    pow_lit = "array(" + ",".join(f"{v}L" for v in pow31) + ")"
+    # per-token (p, m): the chars array binds ONCE per token (lambda
+    # vars are bound values — no CSE is needed, unlike inline exprs)
+    pm_expr = F.expr(
+        f"""
+        transform(transform(toks,
+                    t -> transform(filter(split(t, ''), c -> c != ''),
+                                   c -> CAST(ascii(c) AS BIGINT))),
+                  cs -> named_struct(
+            'p', aggregate(cs, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {P_HASH}),
+            'm', CASE WHEN size(cs) < 1024 THEN element_at({pow_lit}, size(cs) + 1)
+                      ELSE aggregate(cs, CAST(1 AS BIGINT),
+                                     (acc, c) -> (acc * 31) % {P_HASH}) END))
+        """
+    )
+    # poly_hash('t1 t2 t3') = ((((p1·31+32)·m2+p2)·31+32)·m3+p3) mod P
+    grams = F.expr(
+        f"""
+        CASE WHEN size(pm) >= 3 THEN array_distinct(transform(sequence(1, size(pm) - 2),
+          i -> ((((pm[i-1].p * 31 + 32) % {P_HASH} * pm[i].m + pm[i].p) % {P_HASH}
+                 * 31 + 32) % {P_HASH} * pm[i+1].m + pm[i+1].p) % {P_HASH}))
+        ELSE array() END
+        """
+    )
     sh = (
         spread(table(spark, sf_dir, "documents"))
         .select(
             "source",
             F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
         )
-        .filter(F.size("toks") >= 3)
-        .select(
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 2),"
-                        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-                    )
-                )
-            ).alias("g"),
-        )
-        .select("source", poly_hash(F.col("g")).alias("hv"))
+        .select("source", pm_expr.alias("pm"))
+        .select("source", F.explode(grams).alias("hv"))
         .distinct()
     )
     w1 = Window.partitionBy("source", (F.col("hv") % _OVL_SALT)).orderBy("hv")
