@@ -1403,14 +1403,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bid"), F.lit(1).alias("is_near"))
     )
 
-    # Statusing: one text join (batch side's only wide exchange — the
-    # per_text side reuses its aggregate partitioning), then a SKINNY
-    # b_doc-keyed join for the near flag on (doc_id, b_doc, c_doc) rows —
-    # text never crosses a second exchange.
+    # Statusing: every batch doc inherits its representative's verdict.
+    # r12 (guide §2.3, the repo-wide 128-bit content-key discipline):
+    # the inheritance join is keyed on a two-seed xxhash64 pair of the
+    # text instead of the text itself — the batch side's only wide
+    # exchange now carries 16 B per doc instead of the ~1 KB text, and
+    # the per_text side re-keys on the same 16 B (it is
+    # distinct-texts-sized, so its extra exchange is the small one).
+    # A spurious inheritance needs a collision under both seeds at once
+    # (n²/2¹²⁹ — the q_pipeline_pretrain/_tkey class; the verdict is
+    # final with no downstream re-check, which is exactly why the key
+    # is 128-bit, not 64). Measured interleaved min-of-3, results
+    # pinned equal (tools/probe_incr_r12.py): 0.96x sf0.1, 0.91x x10,
+    # 0.86x x100 — the text bytes are the exchange's growth term. The
+    # near flag then rides a SKINNY b_doc-keyed join on
+    # (doc_id, b_doc, c_doc) rows. (A lazy per_text checkpoint was
+    # A/B'd in the same probe: 0.96/0.81/1.05x — not uniform, no-ship.)
+    pt_h = per_text.select(
+        F.xxhash64("text").alias("_t1"),
+        F.xxhash64(F.lit(1), "text").alias("_t2"),
+        "c_doc",
+        "b_doc",
+    )
     return (
         role.where(~F.col("in_corpus"))
-        .select("doc_id", "text")
-        .join(per_text, "text")
+        .select(
+            "doc_id",
+            F.xxhash64("text").alias("_t1"),
+            F.xxhash64(F.lit(1), "text").alias("_t2"),
+        )
+        .join(pt_h, ["_t1", "_t2"])
         .select("doc_id", "c_doc", F.col("b_doc").alias("bid"))
         .join(near_rep, "bid", "left")
         .select(
